@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated star-schema parquet tables
+  * (TESTDATA.md). One function per table; every query builder takes the
+  * scale-factor directory so the same plan runs at any SF.
+  *
+  * All loads are plain parquet scans so Catalyst gets predicate pushdown
+  * and column pruning for free — filters/projections applied by the
+  * query builders reach the scan (`PushedFilters` / `ReadSchema` in
+  * `.explain("formatted")`).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  /** `events.ts` is nanosecond-precision in parquet, which Spark 4 only
+    * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (set by the
+    * Verify/Bench/test session builders). Under that flag the column
+    * arrives as LongType nanos; normalize it to a microsecond TIMESTAMP
+    * (integer `div`, not `/`, because nanos exceed 2^53 and a double
+    * round-trip would corrupt them). DuckDB's oracle reads the same file
+    * truncated to µs as well, so both engines agree (TESTDATA caveat,
+    * FIXTURES.md §B).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
