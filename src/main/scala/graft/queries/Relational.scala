@@ -68,8 +68,11 @@ object Relational {
     "q02_category_distribution",
     (s, dir) => {
       val li = T.lineitem(s, dir)
+      // No broadcast hint on `part`: unlike region/nation it grows linearly
+      // with SF (multi-GB at 100 TB scale → driver OOM if force-broadcast).
+      // AQE's size threshold picks broadcast when it actually fits.
       val p  = T.part(s, dir)
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_type"))
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("total_qty"))
         .orderBy(col("n_items").desc, col("p_type"))
@@ -542,11 +545,14 @@ object Relational {
     "q26_regexp",
     (s, dir) =>
       T.documents(s, dir)
-        .groupBy(regexp_extract(col("source"), "src([0-9]+)", 1).cast("int").as("src_num"))
+        // try_cast, not cast: a non-matching `source` row yields '' and a
+        // hard ANSI cast error would abort the whole verify run; try_cast
+        // degrades to NULL on both engines.
+        .groupBy(expr("try_cast(regexp_extract(source, 'src([0-9]+)', 1) AS int)").as("src_num"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("src_num")),
     Some("""
-      SELECT CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INTEGER) AS src_num,
+      SELECT TRY_CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INTEGER) AS src_num,
              COUNT(*) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents

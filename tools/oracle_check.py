@@ -91,12 +91,23 @@ def main(sf_dir, out_dir):
                   f"  spark={bad[1]}\n  oracle={bad[2]}")
             n_bad += 1
         elif obad:
-            print(f"WARN {name}: same multiset, row ORDER differs at "
+            # The driver's real gate is order-sensitive; a row-order
+            # mismatch here must fail locally too or green is a lie.
+            print(f"FAIL {name}: same multiset, row ORDER differs at "
                   f"{obad[0]}: spark={obad[1]} oracle={obad[2]}")
-            print(f"ok   {name}: {len(gr)} rows (order-insensitive only)")
+            n_bad += 1
         else:
             print(f"ok   {name}: {len(gr)} rows, {len(gc)} cols")
-    missing = [n for n in sorted(oracle) if n not in oracle]
+    import os
+    dirs = {d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))}
+    no_oracle = sorted(dirs - set(oracle))
+    no_result = sorted(set(oracle) - dirs)
+    if no_oracle:
+        print(f"NOTE result dirs without oracle sql: {no_oracle}")
+    if no_result:
+        print(f"FAIL oracle entries without result dir: {no_result}")
+        n_bad += len(no_result)
     print(f"\n{len(oracle) - n_bad}/{len(oracle)} oracle queries match")
     return 1 if n_bad else 0
 
