@@ -1,0 +1,313 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables (SURVEY.md §2.10; the north-star extension set:
+  * dedup, near-dup, similarity search, text analysis, fingerprinting).
+  *
+  * The reference motivates these (README.md:24,41 plans sentiment /
+  * neutrality filtering over the crawled corpus) but implements none; the
+  * designs below are the standard scale-out shapes:
+  *
+  *  - exact dedup: hash-groupBy — one shuffle on the hash, map-side
+  *    partial agg, no data movement of the text itself beyond the hash.
+  *  - near-dup: candidate generation FIRST (inverted shingle index or
+  *    banded minhash-LSH buckets), exact Jaccard only on candidates.
+  *    Never all-pairs: at 100 TB, |pairs| = O(n²) is a non-starter;
+  *    LSH keeps the join keyed on (band, bucket) so the shuffle is
+  *    O(n·bands) and skew is bounded by bucket size.
+  *  - top-k cosine: broadcast the (small) query set, stream the corpus
+  *    once, per-partition top-k via window — no shuffle of the corpus
+  *    beyond the final k·|queries| rows.
+  *
+  * Cross-engine determinism: every hash is md5 (identical lowercase hex
+  * in Spark and DuckDB on the same UTF-8 bytes); minhash minima are taken
+  * over hex STRINGS (lexicographic, locale-free); all similarity math is
+  * IEEE double in an explicitly sequenced fold (Spark `aggregate` from
+  * 0.0 ≡ DuckDB `list_reduce` from the first element, since 0.0+x == x
+  * exactly), so both engines produce bit-identical doubles.
+  */
+object LlmOps {
+
+  /** Whitespace tokens of lowercased text — the same naive tokenizer the
+    * reference uses for word_count (categorizer.py:137 `split(value," ")`).
+    */
+  private val toksE = "split(lower(text), ' ')"
+
+  /** Distinct 3-word shingles (requires >= 3 tokens; callers filter). */
+  private def shinglesE(t: String): String =
+    s"array_distinct(transform(sequence(1, size($t)-2), " +
+      s"i -> concat(element_at($t,i),' ',element_at($t,i+1),' ',element_at($t,i+2))))"
+
+  /** documents with a distinct-shingle-set column `sh`. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(shinglesE("toks")).as("sh"))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Exact Jaccard >= `threshold` on candidate pairs (id_a < id_b),
+    * given a frame of candidate (id_a, id_b) pairs.
+    */
+  private def verifiedPairs(sh: DataFrame, cands: DataFrame): DataFrame = {
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact dedup
+  // ---------------------------------------------------------------------
+
+  val q29ExactDedup = Q(
+    "q29_exact_dedup",
+    (s, dir) =>
+      T.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(
+          count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("first_doc"),
+          min(col("n_chars")).cast("long").as("n_chars"))
+        .orderBy(col("text_hash")),
+    Some("""
+      SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS first_doc,
+             CAST(MIN(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin),
+    "exact text dedup: hash-groupBy; at scale only the 16-byte hash shuffles, representative row by min id")
+
+  // ---------------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------------
+
+  val q30TokenFreq = Q(
+    "q30_token_freq",
+    (s, dir) =>
+      T.documents(s, dir)
+        .select(col("doc_id"), explode(expr(toksE)).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_total").desc, col("token")),
+    Some("""
+      SELECT t AS token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      WHERE t <> '' GROUP BY t ORDER BY n_total DESC, token""".stripMargin),
+    "corpus term + document frequency: generator explode (O-24) feeding a hash agg with count-distinct")
+
+  val q31DocDistinctTokens = Q(
+    "q31_doc_distinct_tokens",
+    (s, dir) =>
+      T.documents(s, dir)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), explode(array_distinct(expr(toksE))).as("token"))
+        .orderBy(col("doc_id"), col("token")),
+    Some("""
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+      FROM documents WHERE doc_id < 20 ORDER BY doc_id, token""".stripMargin),
+    "per-row array dedup then fan-out: array_distinct + explode (O-23/O-25, fetcher main.py:122 set-comprehension semantics)")
+
+  val q35LangQuality = Q(
+    "q35_lang_quality",
+    (s, dir) =>
+      T.documents(s, dir)
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(expr(toksE)).as("n_toks"),
+          size(array_distinct(expr(toksE))).as("n_utoks"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("total_tokens"),
+          (sum(col("n_toks")).cast("double") / count(lit(1))).as("avg_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          (sum(col("n_utoks")).cast("double") / sum(col("n_toks"))).as("type_token_ratio"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang")),
+    Some("""
+      WITH d AS (
+        SELECT lang, source, n_chars,
+          string_split(lower(text), ' ') toks,
+          list_distinct(string_split(lower(text), ' ')) utoks
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+        CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        CAST(SUM(len(utoks)) AS DOUBLE) / SUM(len(toks)) AS type_token_ratio,
+        COUNT(DISTINCT source) AS n_sources
+      FROM d GROUP BY lang ORDER BY lang""".stripMargin),
+    "per-language quality profile: token counts, type/token ratio — all ratios are exact-integer divisions, engine-identical")
+
+  // ---------------------------------------------------------------------
+  // Near-duplicate detection
+  // ---------------------------------------------------------------------
+
+  /** Exact set-similarity join: candidates = pairs sharing >= 1 shingle
+    * (a pair with Jaccard > 0 must share one, so recall is exactly 1),
+    * then exact Jaccard on candidates only. The inverted-index join is
+    * keyed on the shingle — at web scale hot shingles need prefix
+    * filtering or a stopword cut; q33 is the probabilistic-scale path.
+    */
+  val q32NearDupPairs = Q(
+    "q32_near_dup_pairs",
+    (s, dir) => {
+      val sh = shingled(s, dir)
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val cands = inv.as("x").join(inv.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      verifiedPairs(sh, cands)
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(toks)-2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents)
+        WHERE len(toks) >= 3)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      ORDER BY id_a, id_b""".stripMargin),
+    "near-dup via exact set-similarity join: inverted shingle index -> candidate pairs -> exact Jaccard >= 0.8")
+
+  /** Banded minhash-LSH near-dup (the 100 TB path): 16 md5-string
+    * minhashes -> 8 bands x 2 rows -> group by (band, bucket) -> candidate
+    * pairs within buckets only -> exact Jaccard verify. For the planted
+    * pairs (J >= 0.97) the per-pair miss probability is
+    * (1-J²)⁸ ≈ 2e-10, and the whole computation is deterministic, so the
+    * oracle below — the exact-Jaccard answer — is also the LSH answer.
+    */
+  val q33MinhashLshDup = Q(
+    "q33_minhash_lsh_dup",
+    (s, dir) => {
+      val sh = shingled(s, dir)
+      val mhE = "transform(sequence(0, 15), k -> " +
+        "array_min(transform(sh, t -> md5(concat(cast(k as string), ':', t)))))"
+      val bandsE = "transform(sequence(0, 7), j -> " +
+        "md5(concat(element_at(mhs, 2*j+1), element_at(mhs, 2*j+2))))"
+      val buckets = sh
+        .select(col("doc_id"), expr(mhE).as("mhs"))
+        .select(col("doc_id"), posexplode(expr(bandsE)).as(Seq("band", "bucket")))
+      val cands = buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      verifiedPairs(sh, cands)
+    },
+    q32NearDupPairs.oracle,
+    "near-dup via banded minhash-LSH: candidates only within (band, bucket) groups; shuffle O(n·bands), never all-pairs")
+
+  // ---------------------------------------------------------------------
+  // Similarity search
+  // ---------------------------------------------------------------------
+
+  /** Brute-force exact top-k cosine: the correctness baseline for ANN.
+    * The 10-vector query set is broadcast; the corpus streams through one
+    * scan with no shuffle until the final k·|queries| window.
+    */
+  val q34TopkCosine = Q(
+    "q34_topk_cosine",
+    (s, dir) => {
+      val e = T.embeddings(s, dir)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .select(col("vec_id"), col("v"),
+          expr("sqrt(aggregate(transform(v, x -> x*x), cast(0 as double), (a,x) -> a+x))").as("nrm"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (expr("aggregate(zip_with(qv, v, (x,y) -> x*y), cast(0 as double), (a,x) -> a+x)")
+            / (col("qn") * col("nrm"))).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+          sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) nrm
+        FROM e),
+      p AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_transform(generate_series(1, len(q.v)),
+            i -> q.v[i]*c.v[i]), (x,y) -> x+y) / (q.nrm*c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      r AS (
+        SELECT query_id, neighbor_id, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM p)
+      SELECT query_id, rank, neighbor_id, cosine FROM r
+      WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "exact top-k cosine: broadcast query set, one corpus scan, sequenced-fold dot product (bit-identical doubles both engines)")
+
+  // ---------------------------------------------------------------------
+  // Fingerprinting
+  // ---------------------------------------------------------------------
+
+  /** 16-bit SimHash over distinct tokens: bit b of the fingerprint is set
+    * iff a strict majority of token-hash bits at position b are 1. Token
+    * hash = first 4 hex chars of md5 (engine-identical).
+    */
+  val q36Simhash = Q(
+    "q36_simhash",
+    (s, dir) => {
+      val valsE =
+        "transform(array_distinct(split(lower(text), ' ')), " +
+          "t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as int))"
+      val fpE = (0 until 16).map { b =>
+        val p = 1 << b
+        s"(CASE WHEN 2*size(filter(vals, v -> (v div $p) % 2 = 1)) > size(vals) THEN $p ELSE 0 END)"
+      }.mkString(" + ")
+      T.documents(s, dir)
+        .select(col("doc_id"), expr(valsE).as("vals"))
+        .select(col("doc_id"), expr(fpE).cast("int").as("simhash16"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val fp = (0 until 16).map { b =>
+        val p = 1 << b
+        s"(CASE WHEN 2*len(list_filter(vals, v -> (v // $p) % 2 = 1)) > len(vals) THEN $p ELSE 0 END)"
+      }.mkString(" + ")
+      s"""
+      WITH d AS (
+        SELECT doc_id,
+          list_transform(list_distinct(string_split(lower(text), ' ')),
+            t -> ('0x' || substr(md5(t), 1, 4))::INT) AS vals
+        FROM documents)
+      SELECT doc_id, CAST($fp AS INTEGER) AS simhash16
+      FROM d ORDER BY doc_id""".stripMargin
+    },
+    "SimHash document fingerprint: near-dup docs land on near-identical fingerprints; integer majority vote, engine-exact")
+
+  val all: Seq[Q] = Seq(
+    q29ExactDedup, q30TokenFreq, q31DocDistinctTokens,
+    q32NearDupPairs, q33MinhashLshDup, q34TopkCosine,
+    q35LangQuality, q36Simhash)
+}
