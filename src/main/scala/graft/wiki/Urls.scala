@@ -1,0 +1,62 @@
+package graft.wiki
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL scalar ops re-expressing the crawler's parser/fetcher semantics as
+  * native column expressions (codegen-friendly — no UDFs, so Catalyst can
+  * push/fold around them).
+  *
+  * Reference semantics (cited file:line under /root/reference/):
+  *  - parser main.py:15-40 `parse_wikipedia_link`: keep scheme (Python
+  *    urlparse lowercases it), lowercase netloc, rstrip '/' from path,
+  *    drop params/query/fragment; return null for non-Wikipedia hosts.
+  *    The host check `netloc.endswith("en.wikipedia.org")` is
+  *    CASE-SENSITIVE in the reference — a mixed-case host is rejected
+  *    even though it would survive normalization; replicated faithfully.
+  *  - fetcher main.py:46-47: filename from URL — strip http:// and
+  *    https:// (all occurrences), '/' -> '_', then [:?&=] -> '_'
+  *    (the regex also re-replaces '/'), append '.html'.
+  *  - fetcher main.py:63-77: RFC-1123 `Last-Modified` parse, null on
+  *    failure (strptime '%a, %d %b %Y %H:%M:%S %Z').
+  */
+object Urls {
+
+  val WikiDomain = "en.wikipedia.org"
+
+  /** The reference's (case-sensitive) Wikipedia-host predicate. */
+  def isWikipedia(url: Column): Column =
+    coalesce(parse_url(url, lit("HOST")).endsWith(WikiDomain), lit(false))
+
+  /** Normalized URL per parser main.py:26-34: lowercased scheme + host,
+    * path with trailing slashes stripped, query/fragment dropped.
+    */
+  def normalize(url: Column): Column =
+    concat(
+      lower(parse_url(url, lit("PROTOCOL"))), lit("://"),
+      lower(parse_url(url, lit("HOST"))),
+      regexp_replace(coalesce(parse_url(url, lit("PATH")), lit("")), "/+$", ""))
+
+  /** Local-storage filename per fetcher main.py:46-47 (including the
+    * str.replace-all semantics and the '.html' suffix append).
+    */
+  def filenameFromUrl(url: Column): Column =
+    concat(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(url, "http://|https://", ""),
+          "/", "_"),
+        "[:/?&=]", "_"),
+      lit(".html"))
+
+  /** RFC-1123 timestamp parse (fetcher main.py:74), null on failure like
+    * the reference's except-path — try_to_timestamp, not to_timestamp,
+    * because Spark 4 ANSI mode turns parse failures into runtime errors.
+    */
+  def parseRfc1123(s: Column): Column =
+    try_to_timestamp(s, lit("EEE, dd MMM yyyy HH:mm:ss zzz"))
+
+  /** RFC-1123 rendering of a timestamp (for round-trip tests/queries). */
+  def formatRfc1123(ts: Column): Column =
+    concat(date_format(ts, "EEE, dd MMM yyyy HH:mm:ss"), lit(" GMT"))
+}
