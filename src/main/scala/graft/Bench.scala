@@ -29,14 +29,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Unit =
+    def materialize(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // Some queries persist() shared subtrees (q32/q33 shingles); drop
+      // them so no query's timing inherits another's cached state.
+      spark.catalog.clearCache()
+    }
 
-    // Untimed warmup: flagship + one touch of every base table family.
-    try materialize("q02_category_distribution") catch { case _: Throwable => () }
-
+    // Untimed warmup: one full pass over EVERY query. First-touch costs
+    // (parquet footer reads, whole-stage codegen compilation, C2 JIT of
+    // interpreted higher-order-function eval loops, UDF classloading)
+    // are 2-10× for expression-heavy queries (measured: q33 cold 37 s vs
+    // warm 3.6 s on identical code), so a partial warmup makes whichever
+    // heavy query runs first absorb them (round-2 verdict #6). A full
+    // untimed pass means the timed pass below measures steady-state
+    // throughput for every query — what a long-running cluster job sees.
     val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(n => try materialize(n) catch { case _: Throwable => () })
     var errors = ListMap.empty[String, String]
     val results = names.map { name =>
       val t0 = System.nanoTime()

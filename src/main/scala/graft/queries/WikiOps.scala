@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import graft.wiki.{Html, Urls}
+import org.apache.spark.sql.functions._
+
+/** Oracle-registered queries exercising the `graft.wiki` extraction/URL
+  * surface (SURVEY.md §2.2-§2.3: O-5 sanitize_filename, O-6 categories,
+  * O-7 last-edited date, O-8 word count, O-9 text extraction, O-11 URL
+  * normalization, O-12 RFC-1123 parse, O-13 filename-from-URL, O-14
+  * domain filter).
+  *
+  * The star schema has no URL or HTML columns, so each query SYNTHESIZES
+  * them deterministically from star-schema columns (mixed-case hosts,
+  * query strings, fragments, trailing slashes, mid-name `.html`,
+  * malformed dates — the exact edge cases the reference code paths
+  * handle), applies the wiki ops, and the DuckDB oracle recomputes the
+  * same answer independently with SQL string/regex functions. That makes
+  * these real cross-engine correctness checks of the op semantics, not
+  * self-referential no-ops.
+  *
+  * DuckDB parity notes: DuckDB `regexp_replace` is first-match unless
+  * given the 'g' flag, Spark's replaces all — every oracle regexp_replace
+  * passes 'g'; DuckDB `strftime('%-d %B %Y')` ≡ Java `d MMMM yyyy`
+  * (unpadded day, full English month, both engines Locale-fixed).
+  */
+object WikiOps {
+
+  /** O-11 + O-14 (parser main.py:15-40): normalize scheme/host casing,
+    * strip trailing slashes, drop query+fragment; case-sensitive
+    * en.wikipedia.org host predicate (a mixed-case host FAILS it, exactly
+    * like the reference's `netloc.endswith`).
+    */
+  val q37UrlNormalize = Q(
+    "q37_url_normalize",
+    (s, dir) => {
+      val url = concat(
+        lit("https://"),
+        expr("CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN 'en.wikipedia.org' " +
+          "WHEN 1 THEN 'EN.Wikipedia.org' ELSE 'docs.example.com' END"),
+        lit("/wiki/"), regexp_replace(col("p_name"), " ", "_"),
+        expr("CASE CAST(p_partkey % 4 AS INT) WHEN 0 THEN '' WHEN 1 THEN '/' " +
+          "WHEN 2 THEN '?ref=home' ELSE '#sec' END"))
+      T.part(s, dir)
+        .select(col("p_partkey"), url.as("url"))
+        .select(col("p_partkey"), col("url"),
+          Urls.isWikipedia(col("url")).as("is_wiki"),
+          Urls.normalize(col("url")).as("norm_url"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT p_partkey,
+          'https://' ||
+          CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN 'en.wikipedia.org'
+               WHEN 1 THEN 'EN.Wikipedia.org' ELSE 'docs.example.com' END ||
+          '/wiki/' || replace(p_name, ' ', '_') ||
+          CASE CAST(p_partkey % 4 AS INT) WHEN 0 THEN '' WHEN 1 THEN '/'
+               WHEN 2 THEN '?ref=home' ELSE '#sec' END AS url
+        FROM part)
+      SELECT p_partkey, url,
+        ends_with(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+                  'en.wikipedia.org') AS is_wiki,
+        lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+        lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) ||
+        regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                       '/+$', '') AS norm_url
+      FROM u ORDER BY p_partkey""".stripMargin),
+    "URL normalization + case-sensitive domain predicate (O-11/O-14, parser main.py:15-40) over synthesized mixed-case/query/fragment URLs")
+
+  /** O-5 (utils.py:4-11): basename, charset sanitize, and the
+    * remove-EVERY-'.html'-occurrence quirk (`str.replace`, not a suffix
+    * strip) — some rows get a mid-name '.html' to pin that behavior.
+    */
+  val q38SanitizeFilename = Q(
+    "q38_sanitize_filename",
+    (s, dir) => {
+      val path = concat(
+        lit("/srv/crawl/"), col("p_brand"), lit("/"), col("p_name"),
+        expr("CASE WHEN p_partkey % 5 = 0 THEN '.html.v2.html' ELSE '.html' END"))
+      T.part(s, dir)
+        .select(col("p_partkey"), path.as("path"))
+        .select(col("p_partkey"), col("path"),
+          Html.sanitizeFilename(col("path")).as("file_name"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT p_partkey,
+          '/srv/crawl/' || p_brand || '/' || p_name ||
+          CASE WHEN p_partkey % 5 = 0 THEN '.html.v2.html' ELSE '.html' END AS path
+        FROM part)
+      SELECT p_partkey, path,
+        replace(regexp_replace(regexp_extract(path, '[^/]+$'),
+                               '[^a-zA-Z0-9._-]', '_', 'g'),
+                '.html', '') AS file_name
+      FROM f ORDER BY p_partkey""".stripMargin),
+    "filename sanitizer (O-5, utils.py:4-11) incl. the remove-all-'.html' quirk; pure built-ins, no UDF")
+
+  /** O-12 (fetcher main.py:63-77): RFC-1123 round-trip — format a
+    * timestamp as an HTTP date, parse it back (weekday-safe on Spark 4),
+    * and prove the malformed-input path yields null on both engines.
+    */
+  val q39HttpDates = Q(
+    "q39_http_dates",
+    (s, dir) => {
+      val fmt = Urls.formatRfc1123(col("o_orderdate"))
+      T.orders(s, dir)
+        .select(col("o_orderkey"), fmt.as("http_date"))
+        .select(col("o_orderkey"), col("http_date"),
+          Urls.parseRfc1123(col("http_date")).as("parsed"),
+          Urls.parseRfc1123(concat(lit("invalid "), col("http_date"))).as("parsed_bad"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT o_orderkey,
+          strftime(o_orderdate, '%a, %d %b %Y %H:%M:%S GMT') AS http_date
+        FROM orders)
+      SELECT o_orderkey, http_date,
+        try_strptime(http_date, '%a, %d %b %Y %H:%M:%S GMT') AS parsed,
+        try_strptime('invalid ' || http_date,
+                     '%a, %d %b %Y %H:%M:%S GMT') AS parsed_bad
+      FROM f ORDER BY o_orderkey""".stripMargin),
+    "RFC-1123 HTTP-date format + parse round-trip with null-on-malformed (O-12, fetcher main.py:63-77)")
+
+  /** O-13 (fetcher main.py:46-47): URL → local filename, replicating the
+    * replace-all semantics of the reference's chained str.replace/re.sub.
+    */
+  val q40UrlFilename = Q(
+    "q40_url_filename",
+    (s, dir) => {
+      val url = concat(
+        lit("https://en.wikipedia.org/wiki/"),
+        regexp_replace(col("c_name"), " ", "_"),
+        lit("?action=view&id="), col("c_custkey"))
+      T.customer(s, dir)
+        .select(col("c_custkey"), url.as("url"))
+        .select(col("c_custkey"), col("url"),
+          Urls.filenameFromUrl(col("url")).as("file_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT c_custkey,
+          'https://en.wikipedia.org/wiki/' || replace(c_name, ' ', '_') ||
+          '?action=view&id=' || c_custkey AS url
+        FROM customer)
+      SELECT c_custkey, url,
+        regexp_replace(regexp_replace(regexp_replace(url,
+          'http://|https://', '', 'g'), '/', '_', 'g'),
+          '[:/?&=]', '_', 'g') || '.html' AS file_name
+      FROM u ORDER BY c_custkey""".stripMargin),
+    "URL-to-filename mapping (O-13, fetcher main.py:46-47); chained replace-all regexps")
+
+  /** O-6/O-7/O-8/O-9 (categorizer.py:89-141, converter.py:35-44): the
+    * full HTML extraction surface over synthesized Wikipedia-shaped pages
+    * — catlinks div, footer-info-lastmod li, plus head/title/style/script
+    * noise that extract_text must drop. The oracle recomputes categories
+    * with an independent regex (DuckDB regexp_extract_all), the date from
+    * the source timestamp it was rendered from, the word count over the
+    * identical raw HTML string, and the text by direct construction.
+    */
+  val q41HtmlExtract = Q(
+    "q41_html_extract",
+    (s, dir) => {
+      val h = concat(
+        lit("<html><head><title>x</title><style>p{}</style></head><body>" +
+          "<script>var a=1;</script>" +
+          "<div id=\"mw-normal-catlinks\"><ul><li><a>Priority "),
+        col("o_orderpriority"),
+        lit("</a></li><li><a>Status "), col("o_orderstatus"),
+        lit("</a></li></ul></div>" +
+          "<li id=\"footer-info-lastmod\">This page was last edited on "),
+        date_format(col("o_orderdate"), "d MMMM yyyy"),
+        lit(", at 10:11 (UTC).</li></body></html>"))
+      T.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"), col("o_orderstatus"), h.as("html"))
+        // parse ONCE into a struct (SURVEY.md §4), then project fields —
+        // the reference's per-UDF re-parse is its documented flaw.
+        .select(col("o_orderkey"), col("html"),
+          Html.parsePageUdf(col("html")).as("p"))
+        .select(col("o_orderkey"),
+          col("p.categories").as("categories"),
+          Html.lastmodToDate(col("p.lastmodText")).as("last_edited"),
+          Html.wordCount(col("html")).as("word_count"),
+          col("p.text").as("text"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT o_orderkey, o_orderdate, o_orderpriority, o_orderstatus,
+          '<html><head><title>x</title><style>p{}</style></head><body>' ||
+          '<script>var a=1;</script>' ||
+          '<div id="mw-normal-catlinks"><ul><li><a>Priority ' || o_orderpriority ||
+          '</a></li><li><a>Status ' || o_orderstatus || '</a></li></ul></div>' ||
+          '<li id="footer-info-lastmod">This page was last edited on ' ||
+          strftime(o_orderdate, '%-d %B %Y') ||
+          ', at 10:11 (UTC).</li></body></html>' AS html
+        FROM orders)
+      SELECT o_orderkey,
+        regexp_extract_all(html, '<a>([^<]*)</a>', 1) AS categories,
+        CAST(o_orderdate AS DATE) AS last_edited,
+        CAST(len(string_split(html, ' ')) AS INTEGER) AS word_count,
+        'Priority ' || o_orderpriority || ' Status ' || o_orderstatus ||
+        ' This page was last edited on ' || strftime(o_orderdate, '%-d %B %Y') ||
+        ', at 10:11 (UTC).' AS text
+      FROM h ORDER BY o_orderkey""".stripMargin),
+    "HTML extraction surface (O-6/O-7/O-8/O-9): categories, last-edited date, word count, text — Scala UDFs vs independent-regex oracle")
+
+  val all: Seq[Q] = Seq(
+    q37UrlNormalize, q38SanitizeFilename, q39HttpDates,
+    q40UrlFilename, q41HtmlExtract)
+}

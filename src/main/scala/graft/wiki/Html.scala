@@ -36,12 +36,30 @@ object Html {
     s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
 
+  // All regexes are compiled ONCE at object init (executor-side, on
+  // first task touching the UDF) — never per row. String.replaceAll /
+  // inline `".r"` would recompile the Pattern on every invocation, a
+  // silent ~5-10× constant on the per-row hot path at corpus scale.
+  private val TagRe = java.util.regex.Pattern.compile("<[^>]*>")
+  private val WsRe = java.util.regex.Pattern.compile("\\s+")
+  private val DivRe =
+    """(?is)<div[^>]*\bid\s*=\s*["']mw-normal-catlinks["'][^>]*>(.*?)</div>""".r
+  private val UlRe = """(?is)<ul[^>]*>(.*?)</ul>""".r
+  private val ARe = """(?is)<a\b[^>]*>(.*?)</a>""".r
+  private val LiRe =
+    """(?is)<li[^>]*\bid\s*=\s*["']footer-info-lastmod["'][^>]*>(.*?)</li>""".r
+  private val CommentRe = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val SubtreeRes = Seq("script", "style", "head", "title", "noscript")
+    .map(tag => java.util.regex.Pattern.compile(s"(?is)<$tag\\b[^>]*>.*?</$tag>"))
+  private val MetaRe = java.util.regex.Pattern.compile("(?is)<meta\\b[^>]*/?>")
+  private val HrefRe = """(?is)<a\b[^>]*\bhref\s*=\s*["']([^"']*)["']""".r
+
   /** Text of one element with nested tags stripped, per BeautifulSoup
     * `get_text(strip=True)` on an inline element.
     */
   private def innerText(html: String): String =
-    decodeEntities(html.replaceAll("<[^>]*>", " "))
-      .split("\\s+").filter(_.nonEmpty).mkString(" ").trim
+    WsRe.split(decodeEntities(TagRe.matcher(html).replaceAll(" ")))
+      .filter(_.nonEmpty).mkString(" ").trim
 
   /** Category list per categorizer.py:89-101: the first <ul> inside
     * <div id="mw-normal-catlinks">, text of each <a>; empty when the div
@@ -50,17 +68,13 @@ object Html {
   val extractCategories: String => Seq[String] = { html =>
     if (html == null) Seq.empty
     else {
-      val divRe =
-        """(?is)<div[^>]*\bid\s*=\s*["']mw-normal-catlinks["'][^>]*>(.*?)</div>""".r
-      divRe.findFirstMatchIn(html) match {
+      DivRe.findFirstMatchIn(html) match {
         case None => Seq.empty
         case Some(m) =>
-          val ulRe = """(?is)<ul[^>]*>(.*?)</ul>""".r
-          ulRe.findFirstMatchIn(m.group(1)) match {
+          UlRe.findFirstMatchIn(m.group(1)) match {
             case None => Seq.empty
             case Some(ul) =>
-              val aRe = """(?is)<a\b[^>]*>(.*?)</a>""".r
-              aRe.findAllMatchIn(ul.group(1)).map(a => innerText(a.group(1))).toSeq
+              ARe.findAllMatchIn(ul.group(1)).map(a => innerText(a.group(1))).toSeq
           }
       }
     }
@@ -75,9 +89,7 @@ object Html {
   val extractLastmodText: String => String = { html =>
     if (html == null) null
     else {
-      val liRe =
-        """(?is)<li[^>]*\bid\s*=\s*["']footer-info-lastmod["'][^>]*>(.*?)</li>""".r
-      liRe.findFirstMatchIn(html) match {
+      LiRe.findFirstMatchIn(html) match {
         case None => null
         case Some(m) =>
           innerText(m.group(1))
@@ -95,32 +107,44 @@ object Html {
   val extractText: String => String = { html =>
     if (html == null) ""
     else {
-      val noComments = html.replaceAll("(?s)<!--.*?-->", "")
-      val noSubtrees = Seq("script", "style", "head", "title", "noscript")
-        .foldLeft(noComments) { (h, tag) =>
-          h.replaceAll(s"(?is)<$tag\\b[^>]*>.*?</$tag>", " ")
-        }
-        .replaceAll("(?is)<meta\\b[^>]*/?>", " ")
-      decodeEntities(noSubtrees.replaceAll("<[^>]*>", " "))
-        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      val noComments = CommentRe.matcher(html).replaceAll("")
+      val noSubtrees = MetaRe.matcher(
+        SubtreeRes.foldLeft(noComments)((h, p) => p.matcher(h).replaceAll(" ")))
+        .replaceAll(" ")
+      WsRe.split(decodeEntities(TagRe.matcher(noSubtrees).replaceAll(" ")))
+        .filter(_.nonEmpty).mkString(" ")
     }
   }
 
-  /** All href targets of <a> tags, in document order (fetcher
-    * main.py:116-123 extracts them with BeautifulSoup and absolutizes via
-    * urljoin; absolutization here uses java.net.URI.resolve, which agrees
-    * with urljoin on the well-formed fixture links).
+  /** All href targets of <a> tags, deduplicated (fetcher main.py:122
+    * builds a SET comprehension, so duplicate hrefs collapse; we keep
+    * first-occurrence document order for determinism where Python's set
+    * order is arbitrary). Absolutization uses java.net.URI.resolve, which
+    * agrees with urljoin on the well-formed fixture links.
     */
   val extractLinks: (String, String) => Seq[String] = { (html, baseUrl) =>
     if (html == null) Seq.empty
     else {
-      val hrefRe = """(?is)<a\b[^>]*\bhref\s*=\s*["']([^"']*)["']""".r
       val base = try new java.net.URI(baseUrl) catch { case _: Exception => null }
-      hrefRe.findAllMatchIn(html).map(_.group(1)).flatMap { href =>
+      HrefRe.findAllMatchIn(html).map(_.group(1)).flatMap { href =>
         if (base == null) Some(href)
         else try Some(base.resolve(href).toString) catch { case _: Exception => None }
-      }.toSeq
+      }.toSeq.distinct
     }
+  }
+
+  /** One-pass page parse (SURVEY.md §4 "parse once into a struct
+    * column"): the reference re-parses the HTML into a fresh
+    * BeautifulSoup tree inside EVERY UDF (categorizer.py:92,106;
+    * converter.py:38) — 3× the work and 3× the executor↔UDF string
+    * traffic. Returning all extractions as one struct makes the parse a
+    * single common subexpression at plan-authoring time; consumers
+    * project the fields they need.
+    */
+  final case class PageParse(categories: Seq[String], lastmodText: String, text: String)
+
+  val parsePage: String => PageParse = { html =>
+    PageParse(extractCategories(html), extractLastmodText(html), extractText(html))
   }
 
   // Registered UDF columns (executor-JVM evaluation, ArrayType/StringType
@@ -130,13 +154,20 @@ object Html {
   val extractLastmodTextUdf = udf(extractLastmodText)
   val extractTextUdf = udf(extractText)
   val extractLinksUdf = udf(extractLinks)
+  val parsePageUdf = udf(parsePage)
+
+  /** Lastmod-text → DATE: English-month parse ('d MMMM yyyy', fixed
+    * pattern locale), null on parse failure (categorizer.py:118-121's
+    * except path).
+    */
+  def lastmodToDate(lastmodText: Column): Column =
+    try_to_timestamp(lastmodText, lit("d MMMM yyyy")).cast("date")
 
   /** Full last-edited-date op (categorizer.py:103-122): tree probe (UDF)
-    * + English-month date parse ('d MMMM yyyy', Locale.US pattern engine),
-    * null on absence or parse failure (the reference's except path).
+    * + date parse, null on absence or parse failure.
     */
   def lastEditedDate(value: Column): Column =
-    try_to_timestamp(extractLastmodTextUdf(value), lit("d MMMM yyyy")).cast("date")
+    lastmodToDate(extractLastmodTextUdf(value))
 
   /** Word count per categorizer.py:137: size(split(value, ' ')) over the
     * RAW page source — whitespace-naive by design, replicated exactly.

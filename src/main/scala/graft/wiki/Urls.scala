@@ -24,18 +24,26 @@ object Urls {
 
   val WikiDomain = "en.wikipedia.org"
 
-  /** The reference's (case-sensitive) Wikipedia-host predicate. */
+  /** The reference's (case-sensitive) Wikipedia-host predicate.
+    * try_parse_url, NOT parse_url: Spark 4's parse_url THROWS
+    * [INVALID_URL] on malformed input (found by UrlsSpec), while the
+    * reference's urlparse never does — a crawler meets malformed hrefs
+    * constantly, so a throwing predicate would kill the whole job.
+    * Malformed → host null → false.
+    */
   def isWikipedia(url: Column): Column =
-    coalesce(parse_url(url, lit("HOST")).endsWith(WikiDomain), lit(false))
+    coalesce(try_parse_url(url, lit("HOST")).endsWith(WikiDomain), lit(false))
 
   /** Normalized URL per parser main.py:26-34: lowercased scheme + host,
     * path with trailing slashes stripped, query/fragment dropped.
+    * Malformed URLs normalize to null (concat propagates try_parse_url's
+    * null), matching the reference's None return for unparseable links.
     */
   def normalize(url: Column): Column =
     concat(
-      lower(parse_url(url, lit("PROTOCOL"))), lit("://"),
-      lower(parse_url(url, lit("HOST"))),
-      regexp_replace(coalesce(parse_url(url, lit("PATH")), lit("")), "/+$", ""))
+      lower(try_parse_url(url, lit("PROTOCOL"))), lit("://"),
+      lower(try_parse_url(url, lit("HOST"))),
+      regexp_replace(coalesce(try_parse_url(url, lit("PATH")), lit("")), "/+$", ""))
 
   /** Local-storage filename per fetcher main.py:46-47 (including the
     * str.replace-all semantics and the '.html' suffix append).
@@ -52,9 +60,23 @@ object Urls {
   /** RFC-1123 timestamp parse (fetcher main.py:74), null on failure like
     * the reference's except-path — try_to_timestamp, not to_timestamp,
     * because Spark 4 ANSI mode turns parse failures into runtime errors.
+    *
+    * Day-of-week patterns ('E') are format-only since Spark 3.0 — using
+    * them for PARSING throws SparkUpgradeException
+    * [DATETIME_PATTERN_RECOGNITION] even under try_to_timestamp (the
+    * exception is raised at pattern compile, not per-row). So: strip the
+    * weekday prefix and the 'GMT' zone suffix, then parse the remaining
+    * 'dd MMM yyyy HH:mm:ss'. HTTP-date is always GMT (RFC 9110 §5.6.7),
+    * and the session timezone is pinned to UTC by every entry point, so
+    * dropping the literal zone is lossless — same semantics as the
+    * reference's strptime '%Z', which also ignores the zone's offset.
+    * A string whose weekday or timestamp is malformed still yields null
+    * (regexp leaves it unstripped → parse fails → try_ returns null).
     */
   def parseRfc1123(s: Column): Column =
-    try_to_timestamp(s, lit("EEE, dd MMM yyyy HH:mm:ss zzz"))
+    try_to_timestamp(
+      regexp_replace(s, "^[A-Za-z]+, |\\s+GMT$", ""),
+      lit("dd MMM yyyy HH:mm:ss"))
 
   /** RFC-1123 rendering of a timestamp (for round-trip tests/queries). */
   def formatRfc1123(ts: Column): Column =

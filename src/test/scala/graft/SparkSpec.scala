@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs — one JVM-wide session (tests
+  * run in sbt's forked JVM; getOrCreate dedupes across suites) with the
+  * same config surface as Verify/Bench.
+  */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+  import org.apache.spark.sql.functions.col
+
+  /** Evaluate a single-column expression over given input strings. */
+  def evalStr(input: Seq[String], c: org.apache.spark.sql.Column): Seq[Any] = {
+    import spark.implicits._
+    input.toDF("s").select(c.as("r")).collect().toSeq.map(r => r.get(0))
+  }
+
+  def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
