@@ -44,7 +44,7 @@ object LlmOps {
       s"i -> concat(element_at($t,i),' ',element_at($t,i+1),' ',element_at($t,i+2))))"
 
   /** documents with a distinct-shingle-set column `sh`. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private[queries] def shingled(s: SparkSession, dir: String): DataFrame =
     T.documents(s, dir)
       .select(col("doc_id"), expr(toksE).as("toks"))
       .filter(size(col("toks")) >= 3)
