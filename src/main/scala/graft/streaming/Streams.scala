@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming renderings of the crawler's continuous dataflow
+  * (SURVEY.md §2.9): the reference runs a RabbitMQ/Redis micro-service
+  * loop — queue consumption (queue_api.py:27-39), a Redis seen-URL set
+  * (redis_api.py:18-28), at-least-once ack, and a DLQ — which maps onto
+  * Spark as micro-batch streams with checkpointed state.
+  *
+  * Batch/stream symmetry is the design rule: every transform here is the
+  * streaming twin of a batch op already in the oracle-checked query set
+  * (dropDuplicates ≡ the Crawl seen-set anti-join; the windowed count ≡
+  * q24's hourly aggregation), so correctness is anchored by the batch
+  * oracle and the specs assert stream-result == batch-result on the same
+  * rows.
+  *
+  * Scale notes: dedup and window state live in the HDFS-backed state
+  * store, partitioned by key hash — state ops shuffle once on the key,
+  * the same shuffle shape as the batch twin. Watermarks bound state: the
+  * unbounded variants mirror the reference exactly (its Redis set also
+  * never expires), the `...WithinWatermark` / watermarked variants are
+  * the production configuration.
+  */
+object Streams {
+
+  /** A URL sighting flowing through the filter service (parser →
+    * check_dups_links → filter, .env.example:9-11).
+    */
+  final case class UrlEvent(url: String, ts: java.sql.Timestamp)
+
+  /** The filter service's Redis SISMEMBER/SADD check-and-insert
+    * (redis_api.py:18-28) as stateful stream dedup: first sighting of a
+    * URL passes, every later one is dropped. Unbounded state — exactly
+    * the reference's semantics (its Redis set never expires either).
+    */
+  def dedupUrls(urls: DataFrame): DataFrame =
+    urls.dropDuplicates("url")
+
+  /** Production variant with bounded state: sightings of the same URL
+    * further apart than the watermark delay can re-emit, in exchange for
+    * state expiry — the standard crawl-freshness trade (re-crawl after
+    * quiet periods is usually a feature).
+    */
+  def dedupUrlsWithinWatermark(urls: DataFrame, delay: String): DataFrame =
+    urls.withWatermark("ts", delay).dropDuplicatesWithinWatermark("url")
+
+  /** First-seen tracking with CUSTOM state (flatMapGroupsWithState):
+    * emits each URL once on first sighting — like [[dedupUrls]] — but
+    * keeps a per-URL hit counter in the state store, the stream twin of
+    * the crawl ledger's visit bookkeeping (db_api.py:30-37). Update
+    * output mode; NoTimeout mirrors the reference's non-expiring set.
+    */
+  def firstSeen(urls: Dataset[UrlEvent]): Dataset[UrlEvent] = {
+    import urls.sparkSession.implicits._
+    urls
+      .groupByKey(_.url)
+      .flatMapGroupsWithState[Long, UrlEvent](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (url: String, events: Iterator[UrlEvent], state: GroupState[Long]) =>
+          val sightings = events.toSeq
+          val prior = state.getOption.getOrElse(0L)
+          state.update(prior + sightings.size)
+          if (prior == 0L) sightings.sortBy(_.ts.getTime).headOption.iterator
+          else Iterator.empty
+      }
+  }
+
+  /** Streaming twin of q24's hourly event aggregation: event-time
+    * tumbling window + watermark. In append mode a window's row is
+    * emitted exactly once, when the watermark passes its end — and
+    * events arriving later than `delay` behind the stream's max event
+    * time are dropped (the reference has no late-data concept at all;
+    * this is the capability it lacks, SURVEY.md §2.9).
+    */
+  def hourlyCounts(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"))
+
+  /** O-29/O-30 stream sink: each micro-batch appended to a parquet
+    * ledger with its batch id — the Mongo crawl-ledger insert
+    * (db_api.py:30-37) plus the queue's persistent-delivery guarantee
+    * (queue_api.py:49), which in Spark is the checkpoint: a re-started
+    * query resumes from the last committed batch instead of
+    * re-publishing. foreachBatch because the ledger wants batch-id
+    * provenance; a plain `format("parquet")` sink would also be
+    * exactly-once but loses the batch column.
+    */
+  def ledgerSink(deduped: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(path)
+      }
+      .start()
+}

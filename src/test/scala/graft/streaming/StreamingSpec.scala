@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.Streams.UrlEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.sql.Timestamp
+
+/** Structured Streaming semantics via MemoryStream micro-batches: stream
+  * results are asserted against the BATCH twin computed over the same
+  * rows (the batch ops being oracle-checked separately), plus the
+  * watermark behaviors the batch twin can't express.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+
+  test("dedupUrls emits each URL once across micro-batches (Redis-set semantics)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[UrlEvent]
+    val q = Streams.dedupUrls(in.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        UrlEvent("https://en.wikipedia.org/wiki/A", ts("10:00")),
+        UrlEvent("https://en.wikipedia.org/wiki/B", ts("10:01")),
+        UrlEvent("https://en.wikipedia.org/wiki/A", ts("10:02")))
+      q.processAllAvailable()
+      assert(s.table("dedup_out").select("url").as[String].collect().sorted
+        === Array("https://en.wikipedia.org/wiki/A", "https://en.wikipedia.org/wiki/B"))
+
+      // a later batch re-offering a seen URL adds nothing (SADD on member)
+      in.addData(
+        UrlEvent("https://en.wikipedia.org/wiki/A", ts("11:00")),
+        UrlEvent("https://en.wikipedia.org/wiki/C", ts("11:01")))
+      q.processAllAvailable()
+      assert(s.table("dedup_out").count() === 3)
+    } finally q.stop()
+  }
+
+  test("firstSeen emits first sighting only and keeps counting state") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[UrlEvent]
+    val q = Streams.firstSeen(in.toDS())
+      .writeStream.format("memory").queryName("firstseen_out")
+      .outputMode("update").start()
+    try {
+      in.addData(UrlEvent("u1", ts("10:05")), UrlEvent("u1", ts("10:01")),
+        UrlEvent("u2", ts("10:02")))
+      q.processAllAvailable()
+      val first = s.table("firstseen_out").as[UrlEvent].collect()
+        .map(e => e.url -> e.ts).toMap
+      // within the first batch, the EARLIEST sighting wins
+      assert(first === Map("u1" -> ts("10:01"), "u2" -> ts("10:02")))
+
+      in.addData(UrlEvent("u1", ts("12:00")), UrlEvent("u3", ts("12:01")))
+      q.processAllAvailable()
+      assert(s.table("firstseen_out").count() === 3) // only u3 added
+    } finally q.stop()
+  }
+
+  test("hourlyCounts (complete mode) equals the batch twin on the same rows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val rows = Seq(
+      (ts("10:05"), "click"), (ts("10:40"), "click"), (ts("10:59"), "view"),
+      (ts("11:10"), "click"), (ts("12:00"), "view"))
+    val in = MemoryStream[(Timestamp, String)]
+    val stream = in.toDF().toDF("ts", "event_type")
+    val q = Streams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = s.table("hourly_out")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val want = Streams.hourlyCounts(rows.toDF("ts", "event_type"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got === want)
+      assert(want.contains((ts("10:00"), "click", 2L)))
+    } finally q.stop()
+  }
+
+  test("hourlyCounts (append mode) finalizes windows once and drops late data") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streams.hourlyCounts(in.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("hourly_append_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("10:05"), "click"), (ts("10:10"), "click"))
+      q.processAllAvailable()
+      assert(s.table("hourly_append_out").count() === 0) // window still open
+
+      // advance event time to 14:00 -> watermark 12:00 -> 10:00 window closes
+      in.addData((ts("14:00"), "view"))
+      q.processAllAvailable()
+      val closed = s.table("hourly_append_out")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(closed === Set((ts("10:00"), "click", 2L)))
+
+      // 10:20 is now far behind the 12:00 watermark: dropped, no re-emit
+      in.addData((ts("10:20"), "click"))
+      q.processAllAvailable()
+      assert(s.table("hourly_append_out").count() === 1)
+    } finally q.stop()
+  }
+
+  test("ledgerSink appends micro-batches to a parquet ledger exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString
+    val in = MemoryStream[UrlEvent]
+    val q = Streams.ledgerSink(
+      Streams.dedupUrls(in.toDF()), s"$dir/ledger", s"$dir/ckpt")
+    try {
+      in.addData(UrlEvent("u1", ts("10:00")), UrlEvent("u2", ts("10:01")))
+      q.processAllAvailable()
+      in.addData(UrlEvent("u2", ts("10:02")), UrlEvent("u3", ts("10:03")))
+      q.processAllAvailable()
+      val ledger = s.read.parquet(s"$dir/ledger")
+      assert(ledger.select("url").as[String].collect().sorted === Array("u1", "u2", "u3"))
+      // batch provenance recorded; the dup landed in no batch
+      assert(ledger.select("batch_id").distinct().count() >= 2)
+    } finally q.stop()
+  }
+}
