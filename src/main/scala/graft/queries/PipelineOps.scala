@@ -429,7 +429,40 @@ object PipelineOps {
       ORDER BY doc_id""".stripMargin),
     "Rabin-Karp rolling fingerprint over the token SEQUENCE (order-sensitive, unlike set-based prints); modular fold, engine-identical integers")
 
+  // ---------------------------------------------------------------------
+  // q48 — opaque binary payload columns
+  // ---------------------------------------------------------------------
+
+  /** Multimodal-column capability in the oracle set: documents treated
+    * as OPAQUE BINARY payloads (the graft.multimodal design — payload
+    * bytes stay uninterpreted; typed metadata is projected by NATIVE
+    * binary expressions: length = octet count, substring slices, hex).
+    * Payload synthesized by casting text→binary (the corpus is verified
+    * pure ASCII at every SF, so the DuckDB oracle reproduces identical
+    * bytes via encode()); a real corpus reads format("binaryFile") —
+    * see [[graft.multimodal.Multimodal]] and MultimodalSpec for the
+    * decoder seam, frame sampling, and batched featurization.
+    */
+  val q48BinaryPayload = Q(
+    "q48_binary_payload",
+    (s, dir) =>
+      T.documents(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          hex(substring(col("payload"), 1, 8)).as("head_hex"),
+          expr("hex(substring(payload, length(payload)-3, 4))").as("tail_hex"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        hex(encode(substr(text, 1, 8))) AS head_hex,
+        hex(encode(substr(text, len(text)-3, 4))) AS tail_hex
+      FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin),
+    "opaque binary payloads: native byte-length/slice/hex projections over a BINARY column — the multimodal metadata path, codegen'd, no UDF")
+
   val all: Seq[Q] = Seq(
     q42SimhashHammingDup, q43AnnHyperplaneLsh, q44BlockedNearDup,
-    q45LanguageId, q46BpeTokens, q47RollingHash)
+    q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload)
 }
