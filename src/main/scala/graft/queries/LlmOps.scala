@@ -261,20 +261,25 @@ object LlmOps {
   /** Brute-force exact top-k cosine: the correctness baseline for ANN.
     * The 10-vector query set is broadcast; the corpus streams through one
     * scan with no shuffle until the final k·|queries| window.
+    *
+    * Dot products use the native [[graft.functions.DotProductF]]
+    * codegen expression (`dot_f`) — same left-to-right fold as the HOF
+    * chain it replaced and as the DuckDB oracle's list_reduce, so the
+    * doubles stay bit-identical while the per-row cost drops from
+    * interpreted HigherOrderFunction eval to a fused primitive loop.
     */
   val q34TopkCosine = Q(
     "q34_topk_cosine",
     (s, dir) => {
+      import graft.functions.GraftFunctions.dot
       val e = T.embeddings(s, dir)
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .select(col("vec_id"), col("v"),
-          expr("sqrt(aggregate(transform(v, x -> x*x), cast(0 as double), (a,x) -> a+x))").as("nrm"))
+        .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (expr("aggregate(zip_with(qv, v, (x,y) -> x*y), cast(0 as double), (a,x) -> a+x)")
-            / (col("qn") * col("nrm"))).as("cosine"))
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w))

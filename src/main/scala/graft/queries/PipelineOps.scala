@@ -151,18 +151,18 @@ object PipelineOps {
   val q43AnnHyperplaneLsh = Q(
     "q43_ann_hyperplane_lsh",
     (s, dir) => {
+      import graft.functions.GraftFunctions
+      GraftFunctions.ensureRegistered(s) // dot_f inside lambda SQL below
       val w: Seq[Seq[Double]] =
         (0 until nHyper).map(h => (0 until embDim).map(j => hyperplaneWeight(h, j)))
       val e = T.embeddings(s, dir)
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .select(col("vec_id"), col("v"),
-          expr("sqrt(aggregate(transform(v, x -> x*x), cast(0 as double), (a,x) -> a+x))").as("nrm"),
+          sqrt(GraftFunctions.dot(col("v"), col("v"))).as("nrm"),
           expr(
             s"""aggregate(transform(sequence(0, ${nHyper - 1}), h ->
-               |  CASE WHEN aggregate(
-               |         zip_with(v, element_at(${wLit(w)}, h+1), (x, wt) -> x*wt),
-               |         cast(0 as double), (a,x) -> a+x) >= 0
+               |  CASE WHEN dot_f(v, element_at(${wLit(w)}, h+1)) >= 0
                |       THEN shiftleft(1, h) ELSE 0 END),
                |  0, (a,x) -> a+x)""".stripMargin).as("sig"))
         .persist()
@@ -182,7 +182,7 @@ object PipelineOps {
         .join(broadcast(qv), "query_id")
         .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
-          (expr("aggregate(zip_with(qv, v, (x,y) -> x*y), cast(0 as double), (a,x) -> a+x)")
+          (GraftFunctions.dot(col("qv"), col("v"))
             / (col("qn") * col("nrm"))).as("cosine"))
       val rankW = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -258,11 +258,12 @@ object PipelineOps {
   val q44BlockedNearDup = Q(
     "q44_blocked_near_dup",
     (s, dir) => {
+      import graft.functions.GraftFunctions.dot
       val e = T.embeddings(s, dir)
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .select(col("vec_id"), col("label"), col("v"),
-          expr("sqrt(aggregate(transform(v, x -> x*x), cast(0 as double), (a,x) -> a+x))").as("nrm"))
+          sqrt(dot(col("v"), col("v"))).as("nrm"))
       val a = e.select(col("label"), col("vec_id").as("id_a"),
         col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("label"), col("vec_id").as("id_b"),
@@ -270,8 +271,7 @@ object PipelineOps {
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
         .select(col("label"), col("id_a"), col("id_b"),
-          (expr("aggregate(zip_with(va, vb, (x,y) -> x*y), cast(0 as double), (a,x) -> a+x)")
-            / (col("na") * col("nb"))).as("cosine"))
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
         .filter(col("cosine") >= 0.35)
         .orderBy(col("id_a"), col("id_b"))
     },
