@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan regression guards: assertions about HOW key queries
+  * execute, not what they return — the properties that make the plans
+  * scale (single UDF invocation, codegen placement, broadcast sides).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: graft.Q): String =
+    q.fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("q41 evaluates the parsePage UDF exactly once per row (parse-once struct)") {
+    val plan = executedPlan(WikiOps.q41HtmlExtract)
+    val n = "parsePage|UDF".r.findAllIn(plan).length
+    assert(n <= 2, s"parsePage UDF duplicated in plan ($n occurrences):\n$plan")
+  }
+
+  test("q34 broadcasts the query side, not the corpus") {
+    val plan = executedPlan(LlmOps.q34TopkCosine)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan)
+  }
+
+  test("q42 candidate join is a hash join on (band, bucket), never a cross product") {
+    val plan = executedPlan(PipelineOps.q42SimhashHammingDup)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q01 scan prunes columns and pushes the date filter") {
+    val df = Relational.all.find(_.name == "q01_pricing_summary").get.fn(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), scan)
+  }
+}
