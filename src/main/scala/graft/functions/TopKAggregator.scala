@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored item inside the top-k buffer. */
+final case class Scored(key: Long, score: Double)
+
+/** Bounded-memory per-group top-k as a typed `Aggregator[IN, BUF, OUT]`
+  * (the custom-UDAF surface SURVEY.md §2.6 kept in reserve) — the
+  * scale-correct alternative to `row_number() OVER (PARTITION BY g ORDER
+  * BY s) <= k` for top-k-per-group:
+  *
+  *  - the window form shuffles EVERY row to its group's partition and
+  *    sorts there — O(rows) shuffle, O(rows log rows) sort;
+  *  - an Aggregator gets map-side partial aggregation: each input
+  *    partition reduces to at most k rows per group BEFORE the shuffle,
+  *    so only O(groups × k × partitions) rows move, and merge is a
+  *    k-bounded list merge.
+  *
+  * Ordering is total and deterministic: score DESC, key ASC (tie-break),
+  * so results are stable across partitionings and match a
+  * `row_number`-based oracle exactly.
+  *
+  * The buffer is a k-bounded sorted Seq — insertion by sort-take is
+  * O(k log k) with tiny constants for the k this engine uses (k ≤ 100);
+  * swap in a bounded heap for large k, same contract.
+  */
+final class TopKAggregator(k: Int)
+    extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+
+  private val ord: Ordering[Scored] =
+    Ordering.by((s: Scored) => (-s.score, s.key))
+
+  override def zero: Seq[Scored] = Seq.empty
+
+  override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] =
+    (buf :+ a).sorted(ord).take(k)
+
+  override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+    (b1 ++ b2).sorted(ord).take(k)
+
+  override def finish(reduction: Seq[Scored]): Seq[Scored] = reduction
+
+  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+
+  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+}

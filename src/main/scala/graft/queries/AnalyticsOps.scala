@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import graft.functions.{Scored, TopKAggregator}
+import org.apache.spark.sql.functions._
+
+/** Third capability wave: sessionization, pivot, typed-Aggregator
+  * top-k, and exact percentiles — analytics surface a corpus/behavior
+  * engine needs beyond the reference's join+groupBy (its Superset layer
+  * would grow exactly these dashboards next).
+  */
+object AnalyticsOps {
+
+  /** Gap-based sessionization of the event stream: Spark's
+    * `session_window` (event-time windows that merge while consecutive
+    * events are < gap apart), the batch form of the streaming session
+    * operator. The DuckDB oracle derives identical sessions from first
+    * principles — the classic gaps-and-islands (lag → new-session flag
+    * → running sum → group) — so the check is two INDEPENDENT
+    * formulations of the same semantics, not a shared code path.
+    * Boundary semantics: a gap of exactly 30 minutes starts a NEW
+    * session (session_window merges strictly-overlapping [ts, ts+gap)
+    * intervals); the oracle's flag uses `>=` to match. Window starts
+    * are string-formatted like q24 to avoid tz-attribute mismatches.
+    *
+    * Scale: one shuffle keyed on user_id; per-key work is a sort-merge
+    * of that user's events — the same shape Structured Streaming's
+    * session_window state operator uses.
+    */
+  val q49Sessionize = Q(
+    "q49_sessionize",
+    (s, dir) =>
+      T.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""
+      WITH m AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (
+        SELECT user_id, ts,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m)
+      SELECT user_id,
+        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        COUNT(*) AS n_events
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, session_start""".stripMargin),
+    "gap-based sessionization: session_window vs an independent gaps-and-islands oracle; one keyed shuffle, streaming-compatible operator")
+
+  /** Pivot: order counts per priority × status. The value list is
+    * EXPLICIT (Seq(\"F\",\"O\",\"P\")) — at scale an implicit pivot runs a
+    * distinct-values job first and can explode the schema; pinning the
+    * columns keeps the plan static and the agg a single pass. Oracle:
+    * the relational unpivot-equivalent (FILTER counts).
+    */
+  val q50Pivot = Q(
+    "q50_pivot",
+    (s, dir) =>
+      T.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority,
+        COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+        COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+        COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    "pivot with pinned value columns (no distinct-values pre-job); single hash-agg pass, FILTER-count oracle")
+
+  /** Top-3 orders by price per priority class via the typed
+    * [[TopKAggregator]] — the bounded-memory top-k-per-group path: each
+    * map task pre-reduces to ≤ k rows per group before the shuffle
+    * (partial aggregation), vs the window form that shuffles and sorts
+    * EVERY row. The oracle IS the window form, proving the two agree.
+    */
+  val q51TopkPerGroup = Q(
+    "q51_topk_per_group",
+    (s, dir) => {
+      import s.implicits._
+      val topK = new TopKAggregator(3).toColumn
+      T.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => Scored(t._2, t._3))
+        .agg(topK.name("tops"))
+        .flatMap { case (grp, tops) =>
+          tops.zipWithIndex.map { case (sc, i) => (grp, i + 1, sc.key, sc.score) }
+        }
+        .toDF("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_orderpriority"), col("rank"))
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders)
+      WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin),
+    "bounded-memory top-k per group: typed Aggregator with map-side partial reduce (k rows/group/partition shuffle) vs the full-shuffle window oracle")
+
+  /** Exact interpolated percentiles (median + p90) of quantity per
+    * return flag. Spark `percentile` and DuckDB `quantile_cont` use the
+    * same definition — value at rank p·(n−1), linear interpolation
+    * lower + (upper−lower)·frac — and the inputs are exact small
+    * integers stored as doubles, so the interpolated doubles are
+    * bit-identical. (percentile_approx would NOT be cross-engine
+    * comparable; this is the exact sort-based aggregate.)
+    */
+  val q52Percentiles = Q(
+    "q52_percentiles",
+    (s, dir) =>
+      T.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS p50_qty,
+        quantile_cont(l_quantity, 0.9) AS p90_qty,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    "exact interpolated percentiles: sort-based percentile ≡ quantile_cont (same rank/interpolation definition), bit-identical on exact inputs")
+
+  val all: Seq[Q] = Seq(q49Sessionize, q50Pivot, q51TopkPerGroup, q52Percentiles)
+}

@@ -31,6 +31,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q51 typed Aggregator gets map-side partial aggregation before the shuffle") {
+    val plan = executedPlan(AnalyticsOps.q51TopkPerGroup)
+    // two ObjectHashAggregate phases (partial below the exchange, final
+    // above) — the property that bounds the shuffle to k rows per group
+    // per partition
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("q01 scan prunes columns and pushes the date filter") {
     val df = Relational.all.find(_.name == "q01_pricing_summary").get.fn(spark, sf)
     val scan = df.queryExecution.executedPlan.toString
