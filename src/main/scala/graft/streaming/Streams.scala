@@ -83,6 +83,21 @@ object Streams {
       .select(col("window.start").as("hour_start"),
         col("event_type"), col("n_events"))
 
+  /** Streaming twin of q49's gap-based sessionization: session_window
+    * state merges sessions ACROSS micro-batches (an event arriving
+    * within the gap of an open session extends it), emitting a session
+    * row only when the watermark passes its close — semantics no batch
+    * query can express incrementally.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
   /** O-29/O-30 stream sink: each micro-batch appended to a parquet
     * ledger with its batch id — the Mongo crawl-ledger insert
     * (db_api.py:30-37) plus the queue's persistent-delivery guarantee

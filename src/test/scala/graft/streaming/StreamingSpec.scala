@@ -116,6 +116,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCounts merges one session across micro-batches, splits on gap") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = Streams.sessionCounts(in.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 10 min apart; batch 2 extends the SAME
+      // session (25 min gap), then a 40-min gap opens a second session
+      in.addData((ts("10:00"), 7L), (ts("10:10"), 7L))
+      q.processAllAvailable()
+      in.addData((ts("10:35"), 7L), (ts("11:15"), 7L))
+      q.processAllAvailable()
+      assert(s.table("session_out").count() === 0) // watermark still open
+
+      // advance watermark far past both sessions to close them
+      in.addData((ts("16:00"), 99L))
+      q.processAllAvailable()
+      val sessions = s.table("session_out")
+        .as[(Timestamp, Long, Long)].collect().filter(_._2 == 7L).toSet
+      assert(sessions === Set(
+        (ts("10:00"), 7L, 3L),  // merged across batches
+        (ts("11:15"), 7L, 1L))) // split by the 40-min gap
+    } finally q.stop()
+  }
+
   test("ledgerSink appends micro-batches to a parquet ledger exactly once") {
     val s = spark
     import s.implicits._
