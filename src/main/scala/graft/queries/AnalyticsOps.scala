@@ -139,5 +139,113 @@ object AnalyticsOps {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     "exact interpolated percentiles: sort-based percentile ≡ quantile_cont (same rank/interpolation definition), bit-identical on exact inputs")
 
-  val all: Seq[Q] = Seq(q49Sessionize, q50Pivot, q51TopkPerGroup, q52Percentiles)
+  /** Full outer join of two aggregates with partially-disjoint key
+    * coverage (filtered customer counts ⟗ filtered supplier counts per
+    * nation) — the join type the set still lacked. Keys coalesced;
+    * missing sides stay NULL in both engines (hash-compared as such).
+    */
+  val q53FullOuter = Q(
+    "q53_full_outer",
+    (s, dir) => {
+      val c = T.customer(s, dir)
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+      val p = T.supplier(s, dir)
+        .filter(col("s_acctbal") >= 5000)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+      c.join(p, col("ck") === col("sk"), "full")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY 1),
+      p AS (
+        SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier
+        WHERE s_acctbal >= 5000 GROUP BY 1)
+      SELECT COALESCE(ck, sk) AS nationkey, n_cust, n_supp
+      FROM c FULL OUTER JOIN p ON ck = sk
+      ORDER BY nationkey""".stripMargin),
+    "full outer join of two partial aggregates; coalesced key, NULL-preserving sides")
+
+  /** Range (band) join: classify event values into literal value bands
+    * via a non-equi join. The band side is 5 rows → Spark broadcasts and
+    * the nested-loop is 5 comparisons/row, which is the right plan for a
+    * small band table; for LARGE band tables the scale path is binning
+    * the probe side to a band id (width_bucket-style equi key) — noted
+    * here, demonstrated by the oracle's identical BETWEEN semantics.
+    */
+  val q54RangeJoin = Q(
+    "q54_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("micro", 0.0, 50.0), ("small", 50.0, 100.0), ("mid", 100.0, 200.0),
+        ("large", 200.0, 350.0), ("jumbo", 350.0, 1000.0))
+        .toDF("band", "lo", "hi")
+      T.events(s, dir)
+        .join(broadcast(bands),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          graft.Qdsl.dsum(col("value")).as("sum_value"))
+        .orderBy(col("band"))
+    },
+    Some("""
+      WITH bands(band, lo, hi) AS (VALUES
+        ('micro', 0.0, 50.0), ('small', 50.0, 100.0), ('mid', 100.0, 200.0),
+        ('large', 200.0, 350.0), ('jumbo', 350.0, 1000.0))
+      SELECT band, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events JOIN bands ON value >= lo AND value < hi
+      GROUP BY band ORDER BY band""".stripMargin),
+    "range/band join: non-equi broadcast join against a literal band table; scale path for big band tables = bin-to-equi-key")
+
+  /** AS-OF join — for every purchase, the user's most recent click at
+    * or before it. Spark has no asof operator; the scale-correct
+    * composition is union-tag + one windowed `last(_, ignoreNulls)`
+    * over (user, time) — ONE shuffle on user_id and a per-user sort,
+    * vs the naive inequality-join + argmax that materializes O(pairs).
+    * Tie semantics: a click at exactly the purchase timestamp counts
+    * (window orders ties click-first, matching the oracle's `>=`).
+    *
+    * The oracle is DuckDB's NATIVE `ASOF JOIN` — a fully independent
+    * implementation of the same semantics, not a transliteration of the
+    * window trick — making this one of the strongest cross-checks in
+    * the set. Timestamps are compared at full microsecond precision.
+    */
+  val q55AsofJoin = Q(
+    "q55_asof_join",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tagged = T.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("is_p", (col("event_type") === "purchase").cast("int"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_p"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tagged
+        .withColumn("click_ts",
+          last(when(col("is_p") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1 && col("click_ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT p.event_id, p.user_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id""".stripMargin),
+    "as-of join: union-tag + windowed last(ignoreNulls) — one keyed shuffle — checked against DuckDB's native ASOF JOIN (independent implementation)")
+
+  val all: Seq[Q] = Seq(
+    q49Sessionize, q50Pivot, q51TopkPerGroup, q52Percentiles,
+    q53FullOuter, q54RangeJoin, q55AsofJoin)
 }
