@@ -15,8 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    the driver harness needs no session-config coupling.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotF)
+    ext.injectFunction(GraftFunctions.simhashF)
+  }
 }
 
 object GraftFunctions {
@@ -30,12 +32,31 @@ object GraftFunctions {
       DotProductF(children.head, children(1))
     })
 
+  private[functions] val simhashF
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_bits"),
+    new ExpressionInfo(classOf[SimhashBits].getName, null, "simhash_bits"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"simhash_bits expects 2 arguments, got ${children.size}")
+      SimhashBits(children.head, children(1))
+    })
+
   /** Idempotent imperative registration on a live session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(dotF._1))
-      registry.registerFunction(dotF._1, dotF._2, dotF._3)
+    Seq(dotF, simhashF).foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
+    }
   }
+
+  /** Column-API handle for [[SimhashBits]]. */
+  def simhash(vals: Column, nbits: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      SimhashBits(
+        org.apache.spark.sql.GraftColumnBridge.expression(vals),
+        org.apache.spark.sql.catalyst.expressions.Literal(nbits)))
 
   /** Column-API handle (works without SQL-text resolution). */
   def dot(a: Column, b: Column): Column =

@@ -315,21 +315,22 @@ object LlmOps {
 
   /** 16-bit SimHash over distinct tokens: bit b of the fingerprint is set
     * iff a strict majority of token-hash bits at position b are 1. Token
-    * hash = first 4 hex chars of md5 (engine-identical).
+    * hash = first 4 hex chars of md5 (engine-identical). The majority
+    * vote runs in the native [[graft.functions.SimhashBits]] codegen
+    * kernel (one fused loop) rather than 16 interpreted filter passes;
+    * the DuckDB oracle keeps the independent CASE-chain formulation.
     */
   val q36Simhash = Q(
     "q36_simhash",
     (s, dir) => {
       val valsE =
         "transform(array_distinct(split(lower(text), ' ')), " +
-          "t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as int))"
-      val fpE = (0 until 16).map { b =>
-        val p = 1 << b
-        s"(CASE WHEN 2*size(filter(vals, v -> (v div $p) % 2 = 1)) > size(vals) THEN $p ELSE 0 END)"
-      }.mkString(" + ")
+          "t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint))"
       T.documents(s, dir)
         .select(col("doc_id"), expr(valsE).as("vals"))
-        .select(col("doc_id"), expr(fpE).cast("int").as("simhash16"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.simhash(col("vals"), 16)
+            .cast("int").as("simhash16"))
         .orderBy(col("doc_id"))
     },
     Some {

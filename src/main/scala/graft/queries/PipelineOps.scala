@@ -38,14 +38,6 @@ object PipelineOps {
   private val shingleHashE =
     "transform(sh, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
 
-  /** Majority-vote fingerprint: bit b set iff a strict majority of the
-    * feature hashes have bit b set (same integer vote as q36, widened).
-    */
-  private def simhashE(vals: String): String =
-    (0 until simhashBits).map { b =>
-      s"(CASE WHEN 2*size(filter($vals, v -> (v div ${1L << b}L) % 2 = 1)) > size($vals) THEN ${1L << b}L ELSE 0L END)"
-    }.mkString("(", " + ", ")")
-
   private def simhashOracleFpE: String =
     (0 until simhashBits).map { b =>
       s"(CASE WHEN 2*len(list_filter(vals, v -> (v // ${1L << b}) % 2 = 1)) > len(vals) THEN ${1L << b} ELSE 0 END)::BIGINT"
@@ -70,7 +62,10 @@ object PipelineOps {
     (s, dir) => {
       val fps = LlmOps.shingled(s, dir)
         .select(col("doc_id"), expr(shingleHashE).as("vals"))
-        .select(col("doc_id"), expr(simhashE("vals")).cast("long").as("fp"))
+        .select(col("doc_id"),
+          // native majority-vote kernel (SimhashBits codegen) — the HOF
+          // CASE-chain equivalent lives on in the oracle SQL below
+          graft.functions.GraftFunctions.simhash(col("vals"), simhashBits).as("fp"))
         .persist()
       val bands = fps.select(
         col("doc_id"), col("fp"),

@@ -63,6 +63,41 @@ class FunctionsSpec extends SparkSpec {
     assert(out === Seq(32.0, -2.0, 1e-9 * 1e9 + 1e9 * 1e-9 - 1.0))
   }
 
+  test("simhash_bits equals the CASE-chain majority-vote formulation") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    val df = Seq(
+      Seq(0b1011L, 0b1001L, 0b0001L),        // majorities: bit0=3/3, bit1=1/3, bit3=2/3
+      Seq(5L, 5L, 2L, 5L),
+      Seq(Long.MaxValue, Long.MaxValue, 0L))
+      .toDF("vals")
+    val hofE = (0 until 8).map { b =>
+      s"(CASE WHEN 2*size(filter(vals, v -> (v div ${1L << b}L) % 2 = 1)) > size(vals) THEN ${1L << b}L ELSE 0L END)"
+    }.mkString(" + ")
+    val rows = df.select(
+      GraftFunctions.simhash(col("vals"), 8).as("native"),
+      expr(hofE).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // and the first row's expected value by hand: bits 0 and 3
+    assert(rows(0).getLong(0) === 0b1001L)
+  }
+
+  test("simhash_bits null semantics match the HOF chain (nulls in denominator only)") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    // 2 of 3 elements have bit0 set, one element null: strict majority
+    // 2*2 > 3 -> set; with a second null (2*2 > 4 fails) -> unset
+    val df = Seq(
+      Seq[java.lang.Long](1L, 1L, null),
+      Seq[java.lang.Long](1L, 1L, null, null))
+      .toDF("vals")
+    val out = df.select(GraftFunctions.simhash(col("vals"), 4)).collect()
+    assert(out(0).getLong(0) === 1L)
+    assert(out(1).getLong(0) === 0L)
+  }
+
   test("dot_f stays inside WholeStageCodegen over a parquet scan") {
     // a local Seq relation constant-folds to LocalTableScan (itself proof
     // of interpreted eval); codegen shows on a real datasource plan
