@@ -177,6 +177,13 @@ object WikiOps {
       T.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderdate"),
           col("o_orderpriority"), col("o_orderstatus"), h.as("html"))
+        // Sort FIRST, on the narrow pre-UDF frame: a global orderBy
+        // range-partitions via a SAMPLING pass that re-executes its
+        // child — placed above the UDF it would run the whole parse
+        // subtree twice (measured 2x at sf0.1). Below it, the sampler
+        // re-reads only the cheap scan+concat, and the projections
+        // after it preserve the order (no further exchange).
+        .orderBy(col("o_orderkey"))
         // parse ONCE into a struct (SURVEY.md §4), then project fields —
         // the reference's per-UDF re-parse is its documented flaw.
         .select(col("o_orderkey"), col("html"),
@@ -186,7 +193,6 @@ object WikiOps {
           Html.lastmodToDate(col("p.lastmodText")).as("last_edited"),
           Html.wordCount(col("html")).as("word_count"),
           col("p.text").as("text"))
-        .orderBy(col("o_orderkey"))
     },
     Some("""
       WITH h AS (

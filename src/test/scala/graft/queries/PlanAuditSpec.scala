@@ -19,6 +19,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(n <= 2, s"parsePage UDF duplicated in plan ($n occurrences):\n$plan")
   }
 
+  test("q41 applies the UDF above the sort (range-sampling must not re-run the parse)") {
+    val lines = executedPlan(WikiOps.q41HtmlExtract).linesIterator.toSeq
+    val udfIdx = lines.indexWhere(_.contains("UDF("))
+    val sortIdx = lines.indexWhere(_.contains("Sort ["))
+    assert(udfIdx >= 0 && sortIdx >= 0 && udfIdx < sortIdx,
+      s"UDF (line $udfIdx) must sit above Sort (line $sortIdx): the range\n" +
+        "partitioner samples its child, re-executing everything below it")
+  }
+
   test("q34 broadcasts the query side, not the corpus") {
     val plan = executedPlan(LlmOps.q34TopkCosine)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
