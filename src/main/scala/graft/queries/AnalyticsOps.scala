@@ -245,7 +245,72 @@ object AnalyticsOps {
       ORDER BY p.event_id""".stripMargin),
     "as-of join: union-tag + windowed last(ignoreNulls) — one keyed shuffle — checked against DuckDB's native ASOF JOIN (independent implementation)")
 
+  /** Bag (multiset) set operations — exceptAll / intersectAll, the ALL
+    * variants q12/q13's set forms don't cover: duplicates carry
+    * multiplicity (|a|−|b| clamped at 0 for EXCEPT ALL, min(|a|,|b|)
+    * for INTERSECT ALL). Result multiplicities are re-aggregated so the
+    * output is deterministic without relying on row order.
+    */
+  val q56BagSetOps = Q(
+    "q56_bag_set_ops",
+    (s, dir) => {
+      val f = T.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority"))
+      val o = T.orders(s, dir).filter(col("o_orderstatus") === "O")
+        .select(col("o_orderpriority"))
+      val ex = f.exceptAll(o).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val in = f.intersectAll(o).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ex.unionByName(in)
+        .select(col("op"), col("o_orderpriority"), col("n"))
+        .orderBy(col("op"), col("o_orderpriority"))
+    },
+    Some("""
+      WITH f AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+      o AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+      ex AS (
+        SELECT 'except_all' AS op, o_orderpriority, COUNT(*) AS n
+        FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM o)
+        GROUP BY 2),
+      i AS (
+        SELECT 'intersect_all' AS op, o_orderpriority, COUNT(*) AS n
+        FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM o)
+        GROUP BY 2)
+      SELECT op, o_orderpriority, n FROM ex
+      UNION ALL SELECT op, o_orderpriority, n FROM i
+      ORDER BY op, o_orderpriority""".stripMargin),
+    "multiset EXCEPT ALL / INTERSECT ALL with multiplicity semantics, re-aggregated for order-free determinism")
+
+  /** MapType surface: events.props parsed `from_json` into
+    * map<string,int>, then native map ops (element_at, map_keys, size).
+    * The DuckDB oracle goes through its JSON functions instead of a map
+    * type — an independent route to the same values. Map columns never
+    * reach the output (cross-engine map comparison is representation-
+    * sensitive); only scalars derived from them do.
+    */
+  val q57MapFuncs = Q(
+    "q57_map_funcs",
+    (s, dir) =>
+      T.events(s, dir)
+        .filter(col("event_id") < 200)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.DataType
+            .fromDDL("map<string,int>")).as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "k").as("k_value"),
+          size(col("m")).as("n_props"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+        CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+        CAST(len(json_keys(props)) AS INTEGER) AS n_props,
+        array_to_string(list_sort(json_keys(props)), ',') AS keys
+      FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin),
+    "MapType ops (from_json map, element_at, map_keys, size) vs an independent JSON-function oracle")
+
   val all: Seq[Q] = Seq(
     q49Sessionize, q50Pivot, q51TopkPerGroup, q52Percentiles,
-    q53FullOuter, q54RangeJoin, q55AsofJoin)
+    q53FullOuter, q54RangeJoin, q55AsofJoin, q56BagSetOps, q57MapFuncs)
 }
