@@ -310,7 +310,75 @@ object AnalyticsOps {
       FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin),
     "MapType ops (from_json map, element_at, map_keys, size) vs an independent JSON-function oracle")
 
+  /** RANGE window frame (value-distance peers, vs q16's ROWS frame):
+    * for each order, count and exact-sum of same-customer orders priced
+    * within 1000.00 below it. Peers are defined by VALUE distance, so
+    * ties behave differently from a rows frame — the capability this
+    * query pins. Decimal accumulator per Qdsl for order-insensitive
+    * sums.
+    */
+  val q58RangeFrame = Q(
+    "q58_range_frame",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, Window.currentRow)
+      T.orders(s, dir)
+        .filter(col("o_custkey") < 200)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_near"),
+          sum(col("o_totalprice").cast(graft.Qdsl.D2)).over(w)
+            .cast("double").as("sum_near"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        COUNT(*) OVER w AS n_near,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_near
+      FROM orders WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey""".stripMargin),
+    "RANGE window frame — value-distance peers (vs ROWS in q16); decimal accumulator for order-insensitive sums")
+
+  /** The SQL-text entry path: every other query drives the DataFrame
+    * API; this one registers temp views and runs ANSI SQL through
+    * spark.sql — with an EXISTS predicate and a correlated scalar
+    * subquery, the decorrelation surface Catalyst rewrites into joins.
+    * The DuckDB oracle is near-verbatim the same SQL: same text, two
+    * engines.
+    */
+  val q59SqlEntry = Q(
+    "q59_sql_entry",
+    (s, dir) => {
+      T.customer(s, dir).createOrReplaceTempView("customer")
+      T.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+          (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS n_f
+        FROM customer c
+        WHERE c.c_custkey < 300
+          AND EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 100000)
+        ORDER BY c.c_custkey""")
+    },
+    Some("""
+      SELECT c.c_custkey, c.c_name,
+        (SELECT COUNT(*) FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS n_f
+      FROM customer c
+      WHERE c.c_custkey < 300
+        AND EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 100000)
+      ORDER BY c.c_custkey""".stripMargin),
+    "SQL-text entry: spark.sql over temp views with EXISTS + correlated scalar subquery (Catalyst decorrelation); near-verbatim shared SQL across engines")
+
   val all: Seq[Q] = Seq(
     q49Sessionize, q50Pivot, q51TopkPerGroup, q52Percentiles,
-    q53FullOuter, q54RangeJoin, q55AsofJoin, q56BagSetOps, q57MapFuncs)
+    q53FullOuter, q54RangeJoin, q55AsofJoin, q56BagSetOps, q57MapFuncs,
+    q58RangeFrame, q59SqlEntry)
 }

@@ -107,10 +107,13 @@ object WikiOps {
       val fmt = Urls.formatRfc1123(col("o_orderdate"))
       T.orders(s, dir)
         .select(col("o_orderkey"), fmt.as("http_date"))
+        // sort on the narrow frame BEFORE the datetime parses: the range
+        // partitioner's sampling pass re-executes its child (the q41
+        // lesson), and gettimestamp is the expensive expression here
+        .orderBy(col("o_orderkey"))
         .select(col("o_orderkey"), col("http_date"),
           Urls.parseRfc1123(col("http_date")).as("parsed"),
           Urls.parseRfc1123(concat(lit("invalid "), col("http_date"))).as("parsed_bad"))
-        .orderBy(col("o_orderkey"))
     },
     Some("""
       WITH f AS (
