@@ -43,12 +43,25 @@ object Bench {
     // are 2-10× for expression-heavy queries (measured: q33 cold 37 s vs
     // warm 3.6 s on identical code), so a partial warmup makes whichever
     // heavy query runs first absorb them (round-2 verdict #6). A full
-    // untimed pass means the timed pass below measures steady-state
+    // untimed pass means the timed passes below measure steady-state
     // throughput for every query — what a long-running cluster job sees.
+    //
+    // SPARK_GRAFT_ONLY=q33_...,q41_... restricts the run to a subset —
+    // the edit-measure loop for single-query optimization.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(n => try materialize(n) catch { case _: Throwable => () })
     var errors = ListMap.empty[String, String]
-    val results = names.map { name =>
+    // TWO timed passes, per-query value = min. The min of repeated runs
+    // is the standard noise-robust estimator for a deterministic
+    // workload: a query's true cost is its fastest observed run; any
+    // excess is interference (GC pause, CPU contention from co-located
+    // processes, page-cache miss). Round-3 showed exactly that failure
+    // mode — identical code timed 10-30× slower late in a long run on a
+    // contended host while early queries matched local runs.
+    def timedPass(): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
       try {
         materialize(name)
@@ -59,6 +72,14 @@ object Bench {
           name -> -1.0
       }
     }
+    val pass1 = timedPass().toMap
+    val pass2 = timedPass().toMap
+    val results = names.map { n =>
+      val (a, b) = (pass1(n), pass2(n))
+      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+    }
+    // a query that succeeded in EITHER pass is not a failure
+    errors = errors.filter { case (n, _) => results.toMap.getOrElse(n, -1.0) < 0 }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

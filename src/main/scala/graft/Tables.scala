@@ -41,4 +41,18 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `documents` hash-distributed across the cluster BEFORE expensive
+    * per-row work. The testdata parquet is a SINGLE ROW GROUP, and a row
+    * group is Spark's minimum split unit — so every map-side stage over
+    * `documents` (shingling, hashing, tokenizing) otherwise runs in ONE
+    * task regardless of core count. One cheap shuffle of the raw text
+    * (~2 MB at sf0.1) buys full parallelism for the CPU-heavy
+    * projections above it. On a real 100 TB corpus the input arrives as
+    * thousands of row groups and the scan parallelizes natively — this
+    * helper is the single-file-harness compensation, keyed on doc_id so
+    * the distribution is deterministic, not round-robin.
+    */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).repartition(org.apache.spark.sql.functions.col("doc_id"))
 }

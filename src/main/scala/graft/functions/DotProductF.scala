@@ -24,13 +24,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Numeric contract: the sum is accumulated LEFT-TO-RIGHT from +0.0 —
   * the exact fold order of the HOF chain it replaces and of the DuckDB
   * oracle's `list_reduce(list_transform(...))` — so results are
-  * bit-identical to both (IEEE doubles; 0.0 + x == x exactly).
+  * bit-identical to both (IEEE doubles; 0.0 + x == x exactly) FOR
+  * NULL-FREE ARRAYS, which is what every caller in this repo passes
+  * (embeddings are dense float vectors).
   *
-  * Null contract: null if either array is null (BinaryExpression
-  * nullSafeEval); null ELEMENTS contribute 0.0 (treated as missing
-  * term), keeping the expression total over Spark's nullable arrays.
-  * Lengths may differ; the overlap is summed (callers in this repo
-  * always pass equal-length vectors).
+  * Null contract — where this DIVERGES from the HOF chain: null if
+  * either array is null (BinaryExpression nullSafeEval); a null ELEMENT
+  * contributes 0.0 (treated as a missing term), where the HOF chain's
+  * `s + (x*y)` would instead propagate a single null element to a NULL
+  * total. Skipping keeps the expression total over sparse/nullable
+  * arrays (the useful semantics for a similarity kernel); callers that
+  * need the HOF chain's poisoning behavior must pre-check with
+  * `exists(v, x -> x IS NULL)`. Lengths may differ; the overlap is
+  * summed (callers in this repo always pass equal-length vectors).
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotF)
     ext.injectFunction(GraftFunctions.simhashF)
+    ext.injectFunction(GraftFunctions.md5LongsF)
+    ext.injectFunction(GraftFunctions.rollingHashF)
+    ext.injectFunction(GraftFunctions.minhash64F)
+    ext.injectFunction(GraftFunctions.parsePageF)
   }
 }
 
@@ -42,12 +46,53 @@ object GraftFunctions {
       SimhashBits(children.head, children(1))
     })
 
+  private[functions] val md5LongsF
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_longs"),
+    new ExpressionInfo(classOf[Md5PrefixLongsExpr].getName, null, "md5_longs"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"md5_longs expects 2 arguments, got ${children.size}")
+      Md5PrefixLongsExpr(children.head, children(1))
+    })
+
+  private[functions] val rollingHashF
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHashExpr].getName, null, "rolling_hash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"rolling_hash expects 1 argument, got ${children.size}")
+      RollingHashExpr(children.head)
+    })
+
+  private[functions] val minhash64F
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash64"),
+    new ExpressionInfo(classOf[MinHash64Expr].getName, null, "minhash64"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"minhash64 expects 2 arguments, got ${children.size}")
+      MinHash64Expr(children.head, children(1))
+    })
+
+  private[functions] val parsePageF
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("parse_page"),
+    new ExpressionInfo(classOf[ParsePageExpr].getName, null, "parse_page"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"parse_page expects 1 argument, got ${children.size}")
+      ParsePageExpr(children.head)
+    })
+
   /** Idempotent imperative registration on a live session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(dotF, simhashF).foreach { case (id, info, builder) =>
-      if (!registry.functionExists(id))
-        registry.registerFunction(id, info, builder)
+    Seq(dotF, simhashF, md5LongsF, rollingHashF, minhash64F, parsePageF).foreach {
+      case (id, info, builder) =>
+        if (!registry.functionExists(id))
+          registry.registerFunction(id, info, builder)
     }
   }
 
@@ -64,4 +109,28 @@ object GraftFunctions {
       DotProductF(
         org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** Column-API handle for [[Md5PrefixLongsExpr]]. */
+  def md5Longs(arr: Column, nHex: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Md5PrefixLongsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(arr),
+        org.apache.spark.sql.catalyst.expressions.Literal(nHex)))
+
+  /** Column-API handle for [[RollingHashExpr]]. */
+  def rollingHash(arr: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      RollingHashExpr(org.apache.spark.sql.GraftColumnBridge.expression(arr)))
+
+  /** Column-API handle for [[MinHash64Expr]]. */
+  def minhash64(arr: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      MinHash64Expr(
+        org.apache.spark.sql.GraftColumnBridge.expression(arr),
+        org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
+  /** Column-API handle for [[ParsePageExpr]]. */
+  def parsePage(html: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ParsePageExpr(org.apache.spark.sql.GraftColumnBridge.expression(html)))
 }

@@ -36,10 +36,17 @@ object AnalyticsOps {
         .select(col("user_id"),
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"))
+        // persist the (small) session frame before the global sort: the
+        // range partitioner's sampling job materializes the cache, so
+        // the session-merge aggregation runs ONCE instead of twice
+        // (sampling pass + sort pass) — the agg-above-sort analogue of
+        // the q41 narrow-sort lesson, for plans where the expensive
+        // subtree can't move above the sort
+        .persist()
         .orderBy(col("user_id"), col("session_start")),
     Some("""
       WITH m AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
           CASE WHEN lag(ts) OVER w IS NULL
                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                THEN 1 ELSE 0 END AS new_s
@@ -47,7 +54,7 @@ object AnalyticsOps {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       g AS (
         SELECT user_id, ts,
-          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
         FROM m)
       SELECT user_id,

@@ -43,9 +43,14 @@ object LlmOps {
     s"array_distinct(transform(sequence(1, size($t)-2), " +
       s"i -> concat(element_at($t,i),' ',element_at($t,i+1),' ',element_at($t,i+2))))"
 
-  /** documents with a distinct-shingle-set column `sh`. */
+  /** documents with a distinct-shingle-set column `sh`. Reads the
+    * hash-distributed scan ([[graft.Tables.documentsSpread]]) so the
+    * shingling + downstream sketching parallelize — the single-row-group
+    * testdata would otherwise pin the whole shingle/minhash stage to one
+    * task.
+    */
   private[queries] def shingled(s: SparkSession, dir: String): DataFrame =
-    T.documents(s, dir)
+    T.documentsSpread(s, dir)
       .select(col("doc_id"), expr(toksE).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(shinglesE("toks")).as("sh"))
@@ -95,7 +100,7 @@ object LlmOps {
   val q30TokenFreq = Q(
     "q30_token_freq",
     (s, dir) =>
-      T.documents(s, dir)
+      T.documentsSpread(s, dir)
         .select(col("doc_id"), explode(expr(toksE)).as("token"))
         .filter(col("token") =!= "")
         .groupBy(col("token"))
@@ -122,7 +127,7 @@ object LlmOps {
   val q35LangQuality = Q(
     "q35_lang_quality",
     (s, dir) =>
-      T.documents(s, dir)
+      T.documentsSpread(s, dir)
         .select(col("lang"), col("source"), col("n_chars"),
           size(expr(toksE)).as("n_toks"),
           size(array_distinct(expr(toksE))).as("n_utoks"))
@@ -235,12 +240,16 @@ object LlmOps {
     "q33_minhash_lsh_dup",
     (s, dir) => {
       val sh = shingled(s, dir).persist()
-      val mhE = "transform(sequence(0, 31), k -> " +
-        "array_min(transform(sh, t -> xxhash64(t, k))))"
+      // native one-pass sketch (HashKernels.minhash64): one string hash
+      // + 32 splitmix derivations per shingle, vs the interpreted
+      // `transform(sequence(0,31), k -> array_min(transform(sh, t ->
+      // xxhash64(t,k))))` chain that re-hashed every shingle 32× through
+      // per-element lambda dispatch (44 s of the round-3 bench)
       val bandsE = "transform(sequence(0, 15), j -> " +
         "xxhash64(element_at(mhs, 2*j+1), element_at(mhs, 2*j+2)))"
       val buckets = sh
-        .select(col("doc_id"), expr(mhE).as("mhs"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.minhash64(col("sh"), 32).as("mhs"))
         .select(col("doc_id"), posexplode(expr(bandsE)).as(Seq("band", "bucket")))
         .persist()
       val cands = buckets.as("x").join(buckets.as("y"),
@@ -322,17 +331,18 @@ object LlmOps {
     */
   val q36Simhash = Q(
     "q36_simhash",
-    (s, dir) => {
-      val valsE =
-        "transform(array_distinct(split(lower(text), ' ')), " +
-          "t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint))"
+    (s, dir) =>
       T.documents(s, dir)
-        .select(col("doc_id"), expr(valsE).as("vals"))
         .select(col("doc_id"),
-          graft.functions.GraftFunctions.simhash(col("vals"), 16)
-            .cast("int").as("simhash16"))
+          array_distinct(split(lower(col("text")), " ")).as("toks"))
+        // sort on the narrow pre-hash frame (the q41 lesson): the range
+        // sampler re-executes only scan+split, and the md5+majority-vote
+        // kernels run once, parallel across the range partitions
         .orderBy(col("doc_id"))
-    },
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.simhash(
+            graft.functions.GraftFunctions.md5Longs(col("toks"), 4), 16)
+            .cast("int").as("simhash16")),
     Some {
       val fp = (0 until 16).map { b =>
         val p = 1 << b

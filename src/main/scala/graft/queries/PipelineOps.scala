@@ -34,9 +34,11 @@ object PipelineOps {
     */
   private val simhashBits = 60
 
-  /** Per-shingle 60-bit hash: first 15 hex chars of md5, engine-identical. */
-  private val shingleHashE =
-    "transform(sh, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+  // Per-shingle 60-bit hash: first 15 hex chars of md5, engine-identical.
+  // Native md5_longs kernel — bit-identical to the
+  // `transform(sh, t -> conv(substring(md5(t),1,15),16,10))` HOF chain it
+  // replaced (same md5, same big-endian nibble integer), so the DuckDB
+  // oracle below is untouched.
 
   private def simhashOracleFpE: String =
     (0 until simhashBits).map { b =>
@@ -61,7 +63,8 @@ object PipelineOps {
     "q42_simhash_hamming_dup",
     (s, dir) => {
       val fps = LlmOps.shingled(s, dir)
-        .select(col("doc_id"), expr(shingleHashE).as("vals"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.md5Longs(col("sh"), 15).as("vals"))
         .select(col("doc_id"),
           // native majority-vote kernel (SimhashBits codegen) — the HOF
           // CASE-chain equivalent lives on in the oracle SQL below
@@ -319,7 +322,7 @@ object PipelineOps {
         val arr = words.map(w => s"'$w'").mkString("array(", ",", ")")
         s"named_struct('neg', -size(filter(toks, t -> array_contains($arr, t))), 'lang', '$lang')"
       }.mkString("array(", ",", ")")
-      T.documents(s, dir)
+      T.documentsSpread(s, dir)
         .select(col("doc_id"), col("lang"), expr(toksSql).as("toks"))
         .select(col("doc_id"), col("lang"),
           expr(s"sort_array($scoreCols)[0]").as("best"))
@@ -361,7 +364,7 @@ object PipelineOps {
     "q46_bpe_tokens",
     (s, dir) => {
       val pat = "[a-z]{1,4}|[0-9]+|[^a-z0-9 ]"
-      T.documents(s, dir)
+      T.documentsSpread(s, dir)
         .select(col("source"),
           size(expr(s"regexp_extract_all(lower(text), '$pat', 0)")).as("n_bpe"),
           size(expr(s"filter($toksSql, t -> t <> '')")).as("n_words"))
@@ -409,10 +412,16 @@ object PipelineOps {
       T.documents(s, dir)
         .select(col("doc_id"), expr(toksSql).as("toks"))
         .filter(size(col("toks")) >= 1)
+        // sort below the hash projection (q41 lesson): the range
+        // sampler re-runs only scan+split; the fold runs once, parallel
+        .orderBy(col("doc_id"))
+        // native kernels, bit-identical to the HOF chain they replace:
+        // md5_longs ≡ transform(t -> conv(substring(md5(t),1,7),16,10)),
+        // rolling_hash ≡ aggregate(_, 0L, (acc,x) -> (acc*131+x) % 1e9+7)
         .select(col("doc_id"),
-          expr("aggregate(transform(toks, t -> cast(conv(substring(md5(t),1,7),16,10) as bigint)), " +
-            "0L, (acc, x) -> (acc*131 + x) % 1000000007)").as("rolling_hash"))
-        .orderBy(col("doc_id")),
+          graft.functions.GraftFunctions.rollingHash(
+            graft.functions.GraftFunctions.md5Longs(col("toks"), 7))
+            .as("rolling_hash")),
     Some("""
       SELECT doc_id,
         list_reduce(

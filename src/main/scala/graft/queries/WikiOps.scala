@@ -43,10 +43,12 @@ object WikiOps {
           "WHEN 2 THEN '?ref=home' ELSE '#sec' END"))
       T.part(s, dir)
         .select(col("p_partkey"), url.as("url"))
+        // sort below the URL ops (q41 lesson): the range sampler re-runs
+        // only scan+concat; the try_parse_url projections run once
+        .orderBy(col("p_partkey"))
         .select(col("p_partkey"), col("url"),
           Urls.isWikipedia(col("url")).as("is_wiki"),
           Urls.normalize(col("url")).as("norm_url"))
-        .orderBy(col("p_partkey"))
     },
     Some("""
       WITH u AS (
@@ -80,9 +82,9 @@ object WikiOps {
         expr("CASE WHEN p_partkey % 5 = 0 THEN '.html.v2.html' ELSE '.html' END"))
       T.part(s, dir)
         .select(col("p_partkey"), path.as("path"))
+        .orderBy(col("p_partkey"))
         .select(col("p_partkey"), col("path"),
           Html.sanitizeFilename(col("path")).as("file_name"))
-        .orderBy(col("p_partkey"))
     },
     Some("""
       WITH f AS (
@@ -139,9 +141,9 @@ object WikiOps {
         lit("?action=view&id="), col("c_custkey"))
       T.customer(s, dir)
         .select(col("c_custkey"), url.as("url"))
+        .orderBy(col("c_custkey"))
         .select(col("c_custkey"), col("url"),
           Urls.filenameFromUrl(col("url")).as("file_name"))
-        .orderBy(col("c_custkey"))
     },
     Some("""
       WITH u AS (
@@ -180,21 +182,29 @@ object WikiOps {
       T.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderdate"),
           col("o_orderpriority"), col("o_orderstatus"), h.as("html"))
-        // Sort FIRST, on the narrow pre-UDF frame: a global orderBy
+        // Sort FIRST, on the narrow pre-parse frame: a global orderBy
         // range-partitions via a SAMPLING pass that re-executes its
-        // child — placed above the UDF it would run the whole parse
+        // child — placed above the parse it would run the whole
         // subtree twice (measured 2x at sf0.1). Below it, the sampler
         // re-reads only the cheap scan+concat, and the projections
         // after it preserve the order (no further exchange).
         .orderBy(col("o_orderkey"))
         // parse ONCE into a struct (SURVEY.md §4), then project fields —
-        // the reference's per-UDF re-parse is its documented flaw.
-        .select(col("o_orderkey"), col("html"),
-          Html.parsePageUdf(col("html")).as("p"))
+        // the reference's per-UDF re-parse is its documented flaw. The
+        // parse is the NATIVE parse_page expression (word count folded
+        // into the same html scan), not a ScalaUDF: the UDF's result
+        // converters alone were ~4× the parse cost (round-3 q41).
         .select(col("o_orderkey"),
-          col("p.categories").as("categories"),
+          graft.functions.GraftFunctions.parsePage(col("html")).as("p"))
+        // categories joined to ONE string: the driver's checker sorts
+        // result rows with pandas, which cannot sort array-typed cells
+        // (round-3 gate crashed with 'unhashable type: numpy.ndarray'
+        // and left q41 unverified) — and '|' never occurs in category
+        // text, so the join is lossless
+        .select(col("o_orderkey"),
+          array_join(col("p.categories"), "|").as("categories"),
           Html.lastmodToDate(col("p.lastmodText")).as("last_edited"),
-          Html.wordCount(col("html")).as("word_count"),
+          col("p.word_count").as("word_count"),
           col("p.text").as("text"))
     },
     Some("""
@@ -209,7 +219,7 @@ object WikiOps {
           ', at 10:11 (UTC).</li></body></html>' AS html
         FROM orders)
       SELECT o_orderkey,
-        regexp_extract_all(html, '<a>([^<]*)</a>', 1) AS categories,
+        array_to_string(regexp_extract_all(html, '<a>([^<]*)</a>', 1), '|') AS categories,
         CAST(o_orderdate AS DATE) AS last_edited,
         CAST(len(string_split(html, ' ')) AS INTEGER) AS word_count,
         'Priority ' || o_orderpriority || ' Status ' || o_orderstatus ||

@@ -98,23 +98,42 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
-  /** O-29/O-30 stream sink: each micro-batch appended to a parquet
-    * ledger with its batch id — the Mongo crawl-ledger insert
-    * (db_api.py:30-37) plus the queue's persistent-delivery guarantee
-    * (queue_api.py:49), which in Spark is the checkpoint: a re-started
-    * query resumes from the last committed batch instead of
-    * re-publishing. foreachBatch because the ledger wants batch-id
-    * provenance; a plain `format("parquet")` sink would also be
-    * exactly-once but loses the batch column.
+  /** O-29/O-30 stream sink: each micro-batch written to a parquet
+    * ledger under its own `batch_id=N` partition — the Mongo
+    * crawl-ledger insert (db_api.py:30-37) plus the queue's
+    * persistent-delivery guarantee (queue_api.py:49), which in Spark is
+    * the checkpoint: a re-started query resumes from the last committed
+    * batch instead of re-publishing. foreachBatch because the ledger
+    * wants batch-id provenance; a plain `format("parquet")` sink would
+    * get exactly-once from the file-commit protocol but loses the batch
+    * column.
+    *
+    * Idempotence: foreachBatch alone is at-least-once — a batch retried
+    * after a partial write would duplicate rows under blind `append`. So
+    * each batch DYNAMICALLY OVERWRITES exactly its own `batch_id=N`
+    * partition: a replayed batch replaces its partial output instead of
+    * appending next to it, upgrading the sink to effectively-once
+    * (same guarantee shape as a transactional per-batch commit).
     */
+  /** One ledger batch write — the foreachBatch body, named so the replay
+    * path is unit-testable: calling it twice with the same id yields the
+    * same ledger contents (see StreamingSpec).
+    */
+  def writeLedgerBatch(batch: Dataset[org.apache.spark.sql.Row], id: Long,
+      path: String): Unit =
+    batch.withColumn("batch_id", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
   def ledgerSink(deduped: DataFrame, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     deduped.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(path)
+        writeLedgerBatch(batch, id, path)
       }
       .start()
 }

@@ -31,14 +31,20 @@ object Categorize {
   /** The categorizer frame (categorizer.py:124-141): sanitize filename
     * (O-5), extract categories (O-6), whitespace word count over the RAW
     * html (O-8, categorizer.py:137), last-edited date (O-7).
+    *
+    * All three html probes come from ONE native `parse_page` evaluation
+    * (the reference re-parses a fresh BeautifulSoup tree per UDF — its
+    * documented flaw; the round-3 ScalaUDF version here still paid two
+    * UDF converter round-trips plus a separate `split` pass per page).
     */
   def processHtmlFiles(spark: SparkSession, dir: String): DataFrame =
     readPages(spark, dir)
-      .withColumn("file_name", Html.sanitizeFilename(col("file_path")))
-      .withColumn("categories", Html.extractCategoriesUdf(col("value")))
-      .withColumn("word_count", Html.wordCount(col("value")))
-      .withColumn("last_edited_date", Html.lastEditedDate(col("value")))
-      .select("file_name", "categories", "word_count", "last_edited_date")
+      .withColumn("p", graft.functions.GraftFunctions.parsePage(col("value")))
+      .select(
+        Html.sanitizeFilename(col("file_path")).as("file_name"),
+        col("p.categories").as("categories"),
+        col("p.word_count").as("word_count"),
+        Html.lastmodToDate(col("p.lastmodText")).as("last_edited_date"))
 
   /** The normalized relational model (categorizer.py:39-68):
     * pages(id, file_name, word_count, last_edited_date),

@@ -51,14 +51,21 @@ object Html {
   private val ARe = """(?is)<a\b[^>]*>(.*?)</a>""".r
   private val LiRe =
     """(?is)<li[^>]*\bid\s*=\s*["']footer-info-lastmod["'][^>]*>(.*?)</li>""".r
-  // One alternation pattern for everything extract_text removes wholesale
-  // (comments, script/style/head/title/noscript subtrees via a
-  // backreference, meta tags) — a SINGLE scan of the page instead of the
-  // seven sequential replaceAll passes it replaces. Equivalent on
-  // well-formed pages: matches are non-overlapping and leftmost-first,
-  // and those subtree tags don't nest inside each other in valid HTML.
+  // Comments are stripped FIRST, as their own pass, replacing with ''
+  // (not ' ') — BeautifulSoup parity: a comment is a node boundary, not
+  // whitespace, so 'foo<!--c-->bar' yields 'foobar'. Running this before
+  // the subtree pass also means a '</script>' hidden inside a comment
+  // inside a script block can no longer terminate the lazy subtree match
+  // early and leak comment remnants into the text.
+  private val CommentRe = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  // One alternation pattern for the tag subtrees extract_text removes
+  // wholesale (script/style/head/title/noscript via a backreference,
+  // meta tags) — a SINGLE scan of the page instead of the sequential
+  // replaceAll passes it replaces. Equivalent on well-formed pages:
+  // matches are non-overlapping and leftmost-first, and those subtree
+  // tags don't nest inside each other in valid HTML.
   private val RemovalsRe = java.util.regex.Pattern.compile(
-    "(?is)<!--.*?-->|<(script|style|head|title|noscript)\\b[^>]*>.*?</\\1\\s*>|<meta\\b[^>]*/?>")
+    "(?is)<(script|style|head|title|noscript)\\b[^>]*>.*?</\\1\\s*>|<meta\\b[^>]*/?>")
   private val HrefRe = """(?is)<a\b[^>]*\bhref\s*=\s*["']([^"']*)["']""".r
 
   /** Text of one element with nested tags stripped, per BeautifulSoup
@@ -114,7 +121,8 @@ object Html {
   val extractText: String => String = { html =>
     if (html == null) ""
     else {
-      val noSubtrees = RemovalsRe.matcher(html).replaceAll(" ")
+      val noComments = CommentRe.matcher(html).replaceAll("")
+      val noSubtrees = RemovalsRe.matcher(noComments).replaceAll(" ")
       WsRe.split(decodeEntities(TagRe.matcher(noSubtrees).replaceAll(" ")))
         .filter(_.nonEmpty).mkString(" ")
     }
@@ -159,6 +167,38 @@ object Html {
   val extractTextUdf = udf(extractText)
   val extractLinksUdf = udf(extractLinks)
   val parsePageUdf = udf(parsePage)
+
+  /** [[parsePage]] as a Catalyst-internal row — the kernel behind the
+    * native `parse_page` expression ([[graft.functions.ParsePageExpr]]).
+    * Top-level-object method ⇒ Scala emits a static forwarder, so
+    * whole-stage-generated Java calls `graft.wiki.Html.parsePageRow(s)`
+    * directly: no ScalaUDF converter layer (Seq[String] ⇄ ArrayData and
+    * case-class ⇄ Row round-trips were ~4× the parse cost itself at
+    * sf0.1), and the html string is scanned once for the word count
+    * instead of a separate `split(html, ' ')` array materialization.
+    *
+    * word_count parity: `size(split(value, ' '))` with Spark's default
+    * limit -1 keeps every empty segment, so the count is exactly
+    * (#spaces + 1) — replicated as a counting scan.
+    */
+  def parsePageRow(html: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = html.toString
+    val p = parsePage(s)
+    var spaces = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') spaces += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        p.categories.map(c => UTF8String.fromString(c): Any).toArray),
+      if (p.lastmodText == null) null else UTF8String.fromString(p.lastmodText),
+      UTF8String.fromString(p.text),
+      spaces + 1))
+  }
 
   /** Lastmod-text → DATE: English-month parse ('d MMMM yyyy', fixed
     * pattern locale), null on parse failure (categorizer.py:118-121's

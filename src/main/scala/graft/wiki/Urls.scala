@@ -72,11 +72,23 @@ object Urls {
     * reference's strptime '%Z', which also ignores the zone's offset.
     * A string whose weekday or timestamp is malformed still yields null
     * (regexp leaves it unstripped → parse fails → try_ returns null).
+    *
+    * Shape gate: try_to_timestamp's failure path CONSTRUCTS AND CATCHES
+    * a DateTimeParseException per row (plus a legacy-formatter retry) —
+    * on a malformed-heavy column that exception machinery dominated q39
+    * at sf0.1. The rlike pre-filter accepts exactly the shapes the
+    * strip-then-parse path could possibly accept (optional 'Weekday, '
+    * prefix, 2-digit day, 3-letter month, 4-digit year, HH:mm:ss,
+    * optional GMT suffix), so known-garbage rows short-circuit to null
+    * without ever touching the parser; a gated-in row with a bogus
+    * month name ('99 Foo ...') still falls through to try_'s null.
     */
   def parseRfc1123(s: Column): Column =
-    try_to_timestamp(
-      regexp_replace(s, "^[A-Za-z]+, |\\s+GMT$", ""),
-      lit("dd MMM yyyy HH:mm:ss"))
+    when(
+      s.rlike("^([A-Za-z]+, )?\\d{2} [A-Za-z]{3} \\d{4} \\d{2}:\\d{2}:\\d{2}(\\s+GMT)?$"),
+      try_to_timestamp(
+        regexp_replace(s, "^[A-Za-z]+, |\\s+GMT$", ""),
+        lit("dd MMM yyyy HH:mm:ss")))
 
   /** RFC-1123 rendering of a timestamp (for round-trip tests/queries). */
   def formatRfc1123(ts: Column): Column =

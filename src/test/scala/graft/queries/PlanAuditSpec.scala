@@ -13,18 +13,19 @@ class PlanAuditSpec extends SparkSpec {
   private def executedPlan(q: graft.Q): String =
     q.fn(spark, sf).queryExecution.executedPlan.toString
 
-  test("q41 evaluates the parsePage UDF exactly once per row (parse-once struct)") {
+  test("q41 evaluates the native parse_page exactly once per row (parse-once struct)") {
     val plan = executedPlan(WikiOps.q41HtmlExtract)
-    val n = "parsePage|UDF".r.findAllIn(plan).length
-    assert(n <= 2, s"parsePage UDF duplicated in plan ($n occurrences):\n$plan")
+    val n = "parse_page".r.findAllIn(plan).length
+    assert(n >= 1 && n <= 2, s"parse_page duplicated in plan ($n occurrences):\n$plan")
+    assert(!plan.contains("UDF("), s"q41 should use the native expression, not a ScalaUDF:\n$plan")
   }
 
-  test("q41 applies the UDF above the sort (range-sampling must not re-run the parse)") {
+  test("q41 applies parse_page above the sort (range-sampling must not re-run the parse)") {
     val lines = executedPlan(WikiOps.q41HtmlExtract).linesIterator.toSeq
-    val udfIdx = lines.indexWhere(_.contains("UDF("))
+    val parseIdx = lines.indexWhere(_.contains("parse_page"))
     val sortIdx = lines.indexWhere(_.contains("Sort ["))
-    assert(udfIdx >= 0 && sortIdx >= 0 && udfIdx < sortIdx,
-      s"UDF (line $udfIdx) must sit above Sort (line $sortIdx): the range\n" +
+    assert(parseIdx >= 0 && sortIdx >= 0 && parseIdx < sortIdx,
+      s"parse_page (line $parseIdx) must sit above Sort (line $sortIdx): the range\n" +
         "partitioner samples its child, re-executing everything below it")
   }
 

@@ -144,7 +144,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("ledgerSink appends micro-batches to a parquet ledger exactly once") {
+  test("ledgerSink writes per-batch partitions; a replayed batch overwrites, not duplicates") {
     val s = spark
     import s.implicits._
     implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
@@ -161,6 +161,16 @@ class StreamingSpec extends SparkSpec {
       assert(ledger.select("url").as[String].collect().sorted === Array("u1", "u2", "u3"))
       // batch provenance recorded; the dup landed in no batch
       assert(ledger.select("batch_id").distinct().count() >= 2)
+      // replay idempotence: re-running a batch's write (a foreachBatch
+      // retry after partial failure) overwrites its own batch_id
+      // partition instead of appending duplicates
+      val batch0 = Seq(("u1", ts("10:00")), ("u2", ts("10:01")))
+        .toDF("url", "ts")
+      Streams.writeLedgerBatch(batch0, 0L, s"$dir/ledger")
+      Streams.writeLedgerBatch(batch0, 0L, s"$dir/ledger")
+      val replayed = s.read.parquet(s"$dir/ledger")
+      assert(replayed.filter($"batch_id" === 0L).count() === 2)
+      assert(replayed.select("url").as[String].collect().sorted === Array("u1", "u2", "u3"))
     } finally q.stop()
   }
 }

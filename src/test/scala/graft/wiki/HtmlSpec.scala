@@ -85,6 +85,18 @@ class HtmlSpec extends SparkSpec {
     assert(Html.extractText(null) === "")
   }
 
+  test("text: mid-word comment is a node boundary, not whitespace (BeautifulSoup parity)") {
+    // a comment splits no words: removing it with '' rejoins the halves
+    assert(Html.extractText("<p>foo<!--c-->bar</p>") === "foobar")
+  }
+
+  test("text: '</script>' inside a comment inside a script does not leak remnants") {
+    val h = "<p>a</p><script>x();<!-- </script> --> y();</script><p>b</p>"
+    // comment pass removes '<!-- </script> -->' first, so the script
+    // subtree match runs to the REAL close tag — no 'y();' leakage
+    assert(Html.extractText(h) === "a b")
+  }
+
   // --- extract links (fetcher main.py:116-123) ---
 
   test("links: href extraction, urljoin-style absolutization, set-dedup") {
