@@ -466,7 +466,125 @@ object PipelineOps {
       FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin),
     "opaque binary payloads: native byte-length/slice/hex projections over a BINARY column — the multimodal metadata path, codegen'd, no UDF")
 
+  // ---------------------------------------------------------------------
+  // q60 — IVF-style cell-partitioned ANN over embeddings
+  // ---------------------------------------------------------------------
+
+  /** Inverted-file (IVF) ANN — the OTHER classic bucketed scale path next
+    * to q43's hyperplane LSH (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11 §III: coarse
+    * quantizer + inverted lists): assign every corpus vector to its
+    * nearest coarse centroid (one cell each), probe only the `nprobe`
+    * cells whose centroids are closest to the query, exact re-rank inside
+    * the probed cells.
+    *
+    * Coarse centroids: the 16 corpus vectors with vec_id 100-115 — a
+    * deterministic stand-in for a k-means codebook (at scale the codebook
+    * comes from a sampled k-means job; the PLAN below is identical either
+    * way: the codebook is a broadcast literal-sized frame). Assignment is
+    * argmax cosine with (cos DESC, cent_id) tie-break — total order, so
+    * both engines assign identically on bit-identical cosines (pinned
+    * dot-product fold, the q34/q43 contract).
+    *
+    * Scale shape: assignment is a broadcast nested-loop over K=16
+    * centroids (O(n·K) dots, no shuffle of the corpus); the probe join is
+    * keyed on cent_id — the corpus shuffles ONCE by cell, candidates are
+    * only the probed cells' lists (recall/cost dial = nprobe/K, here
+    * 4/16 = 25% of the corpus scanned per query vs q34's 100%). Each
+    * corpus vector lives in exactly one cell and probes are distinct
+    * cells, so candidates need no dedup.
+    */
+  val q60AnnIvf = Q(
+    "q60_ann_ivf",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dot
+      val n = T.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
+        .persist()
+      val cents = n.filter(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val sim = n.join(broadcast(cents))
+        .select(col("vec_id"),
+          col("cent_id"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cos"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cent_id"))
+      val assign = sim.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id"))
+      val probes = sim.filter(col("vec_id") < 10)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") <= 4)
+        .select(col("vec_id").as("query_id"), col("cent_id"))
+      val cands = probes.join(assign, "cent_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val qv = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = cands
+        .join(broadcast(qv), "query_id")
+        .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+          sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) nrm
+        FROM e),
+      c AS (
+        SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+        FROM n WHERE vec_id BETWEEN 100 AND 115),
+      sim AS (
+        SELECT n.vec_id, c.cent_id,
+          list_reduce(list_transform(generate_series(1, $embDim),
+            i -> n.v[i]*c.cv[i]), (x,y) -> x+y) / (n.nrm*c.cn) AS cos
+        FROM n, c),
+      assign AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT vec_id, cent_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cent_id) rn
+          FROM sim) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cent_id FROM (
+          SELECT vec_id, cent_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cent_id) rn
+          FROM sim WHERE vec_id < 10) WHERE rn <= 4),
+      cands AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+        WHERE a.vec_id <> p.query_id),
+      scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+          list_reduce(list_transform(generate_series(1, $embDim),
+            i -> q.v[i]*c2.v[i]), (x,y) -> x+y) / (q.nrm*c2.nrm) AS cosine
+        FROM cands cd
+        JOIN n q ON q.vec_id = cd.query_id
+        JOIN n c2 ON c2.vec_id = cd.neighbor_id),
+      r AS (
+        SELECT query_id, neighbor_id, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM r
+      WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "IVF ANN: coarse-quantizer cell assignment (broadcast K=16 codebook), nprobe=4 probed cells, exact re-rank within cells — one cent_id-keyed shuffle, 25% corpus scanned per query vs the exact scan")
+
   val all: Seq[Q] = Seq(
     q42SimhashHammingDup, q43AnnHyperplaneLsh, q44BlockedNearDup,
-    q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload)
+    q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload,
+    q60AnnIvf)
 }
