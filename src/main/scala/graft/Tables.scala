@@ -52,7 +52,17 @@ object Tables {
     * thousands of row groups and the scan parallelizes natively — this
     * helper is the single-file-harness compensation, keyed on doc_id so
     * the distribution is deterministic, not round-robin.
+    *
+    * The partition count is EXPLICIT: a bare `repartition(col)` is an
+    * AQE-optimizable shuffle (REPARTITION_BY_COL), and with these small
+    * byte sizes AQE happily coalesces it back to ONE partition —
+    * re-serializing exactly the stage this helper exists to spread (and
+    * doing so nondeterministically, since the decision depends on
+    * cached-vs-not runtime stats). An explicit count is a
+    * REPARTITION_BY_NUM shuffle, which AQE must respect.
     */
   def documentsSpread(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).repartition(org.apache.spark.sql.functions.col("doc_id"))
+    documents(spark, dir).repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      org.apache.spark.sql.functions.col("doc_id"))
 }

@@ -155,6 +155,112 @@ object LlmOps {
       FROM d GROUP BY lang ORDER BY lang""".stripMargin),
     "per-language quality profile: token counts, type/token ratio — all ratios are exact-integer divisions, engine-identical")
 
+  /** Tiny embedded polarity lexicons — the §2.10 "sentiment-lexicon
+    * score" op (the reference README.md:24,41 plans sentiment filtering
+    * over the crawled corpus; a lexicon sum is its minimal deterministic
+    * form). Hard-coded and small so the DuckDB oracle embeds the
+    * IDENTICAL lists.
+    */
+  private val posWords = Seq("good", "great", "excellent", "happy", "love",
+    "best", "win", "bright")
+  private val negWords = Seq("bad", "terrible", "poor", "sad", "hate",
+    "worst", "fail", "dark")
+
+  /** Sentiment-lexicon scoring (SURVEY.md §2.10 row 4): per document,
+    * positive/negative lexicon hit counts (with multiplicity) and
+    * polarity score (pos−neg)/tokens, plus the argmax label with the
+    * deterministic neutral band at exactly 0. The score is one
+    * int-difference divided by one int — a single IEEE operation, so
+    * both engines produce the bit-identical double. Embarrassingly
+    * parallel single pass; the downstream filter (`label != 'neg'`) is
+    * the reference's planned sentiment gate as a WHERE clause.
+    */
+  val q61SentimentLexicon = Q(
+    "q61_sentiment_lexicon",
+    (s, dir) => {
+      val posArr = posWords.map(w => s"'$w'").mkString("array(", ",", ")")
+      val negArr = negWords.map(w => s"'$w'").mkString("array(", ",", ")")
+      T.documents(s, dir)
+        .select(col("doc_id"), expr(toksE).as("toks"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          expr(s"size(filter(toks, t -> array_contains($posArr, t)))").as("n_pos"),
+          expr(s"size(filter(toks, t -> array_contains($negArr, t)))").as("n_neg"),
+          col("toks"))
+        .select(col("doc_id"), col("n_pos"), col("n_neg"),
+          ((col("n_pos") - col("n_neg")).cast("double") / size(col("toks"))).as("score"))
+        .withColumn("label",
+          when(col("score") > 0, "pos").when(col("score") < 0, "neg")
+            .otherwise("neutral"))
+    },
+    Some {
+      val posArr = posWords.map(w => s"'$w'").mkString("[", ",", "]")
+      val negArr = negWords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""
+      WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(len(list_filter(toks, t -> list_contains($posArr, t))) AS INTEGER) n_pos,
+          CAST(len(list_filter(toks, t -> list_contains($negArr, t))) AS INTEGER) n_neg,
+          len(toks) n
+        FROM d)
+      SELECT doc_id, n_pos, n_neg,
+        CAST(n_pos - n_neg AS DOUBLE) / n AS score,
+        CASE WHEN n_pos > n_neg THEN 'pos'
+             WHEN n_pos < n_neg THEN 'neg' ELSE 'neutral' END AS label
+      FROM c ORDER BY doc_id""".stripMargin
+    },
+    "sentiment-lexicon score (SURVEY §2.10; reference README.md:24,41's planned sentiment gate): polarity hit counts + exact-division score + label, single parallel pass")
+
+  /** Per-document quality FILTER — the corpus-cleaning decision op
+    * (C4's heuristic line filters, Raffel et al. 2020 §2.2; Gopher's
+    * document-quality rules, Rae et al. 2021 Table A1), distinct from
+    * q35's corpus-level profile: every ratio lands per document and
+    * feeds a keep/drop verdict. All ratios are int/int single divisions
+    * (bit-identical cross-engine); thresholds chosen to split the
+    * synthetic corpus non-trivially. One scan, no shuffle until the
+    * output sort.
+    */
+  val q62QualityFilter = Q(
+    "q62_quality_filter",
+    (s, dir) => {
+      val stopArr = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        .map(w => s"'$w'").mkString("array(", ",", ")")
+      T.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("text"), expr(toksE).as("toks"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          (length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("double")
+            / length(col("text"))).as("punct_ratio"),
+          (expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("double")
+            / size(col("toks"))).as("stop_ratio"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double")
+            / size(col("toks"))).as("mean_word_len"))
+        .withColumn("keep",
+          col("n_toks").between(10, 5000) &&
+            col("punct_ratio") < 0.1 && col("stop_ratio") >= 0.01)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text, string_split(lower(text), ' ') toks FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(toks) AS INTEGER) n_toks,
+          CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / len(text) AS punct_ratio,
+          CAST(len(list_filter(toks,
+            t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+            / len(toks) AS stop_ratio,
+          CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS mean_word_len
+        FROM d)
+      SELECT doc_id, n_toks, punct_ratio, stop_ratio, mean_word_len,
+        (n_toks BETWEEN 10 AND 5000) AND punct_ratio < 0.1
+          AND stop_ratio >= 0.01 AS keep
+      FROM m ORDER BY doc_id""".stripMargin),
+    "per-document quality filter (C4/Gopher-style): punct/stopword/word-length ratios + keep verdict, exact int/int divisions, one parallel scan")
+
   // ---------------------------------------------------------------------
   // Near-duplicate detection
   // ---------------------------------------------------------------------
@@ -362,5 +468,5 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     q29ExactDedup, q30TokenFreq, q31DocDistinctTokens,
     q32NearDupPairs, q33MinhashLshDup, q34TopkCosine,
-    q35LangQuality, q36Simhash)
+    q35LangQuality, q36Simhash, q61SentimentLexicon, q62QualityFilter)
 }
