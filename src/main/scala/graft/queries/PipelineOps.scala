@@ -583,8 +583,83 @@ object PipelineOps {
       WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "IVF ANN: coarse-quantizer cell assignment (broadcast K=16 codebook), nprobe=4 probed cells, exact re-rank within cells — one cent_id-keyed shuffle, 25% corpus scanned per query vs the exact scan")
 
+  // ---------------------------------------------------------------------
+  // q63 — KMV distinct-cardinality sketch
+  // ---------------------------------------------------------------------
+
+  /** K-minimum-values cardinality estimate (Bar-Yossef et al., "Counting
+    * distinct elements in a data stream", RANDOM'02; the theta-sketch
+    * family) of the per-source token vocabulary, next to the exact
+    * count: hash every distinct token to a uniform 60-bit integer, keep
+    * the k smallest per group, estimate |V| ≈ (k−1)·2⁶⁰/h₍ₖ₎; when a
+    * group holds fewer than k distinct hashes the sketch IS the exact
+    * set (the standard KMV degenerate case).
+    *
+    * Why KMV and not `approx_count_distinct`: Spark's HLL++ is an
+    * engine-private binary sketch — no oracle could reproduce it. KMV
+    * from md5-derived hashes is a REAL sketch with the same one-pass /
+    * fixed-memory / mergeable properties (union-merge = keep k smallest
+    * of the union), yet every intermediate is engine-exact: the k-th
+    * minimum hash is an integer both engines agree on, and the estimate
+    * is one int→double conversion and one division (bit-identical).
+    *
+    * Scale shape: the k-minima per group is exactly the bounded top-k
+    * pattern (q51): map-side each partition keeps ≤ k hashes per group
+    * before the shuffle; the estimate never materializes the vocabulary.
+    * (Here the window form suffices — the vocabulary after `distinct`
+    * is already small; the Aggregator form is the 100 TB drop-in.)
+    */
+  val q63KmvDistinct = Q(
+    "q63_kmv_distinct",
+    (s, dir) => {
+      val k = 64
+      val toks = T.documentsSpread(s, dir)
+        .select(col("source"), explode(expr(toksSql)).as("t"))
+        .filter(col("t") =!= "")
+        .distinct()
+      val hashed = toks
+        .select(col("source"),
+          expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)").as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("source")).orderBy(col("h"))
+      val kth = hashed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === k)
+        .select(col("source"), col("h").as("hk"))
+      val counts = toks.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      val nHashes = hashed.groupBy(col("source")).agg(count(lit(1)).as("n_hashes"))
+      counts.join(nHashes, "source").join(kth, Seq("source"), "left")
+        .select(col("source"), col("n_exact"),
+          when(col("n_hashes") < k, col("n_hashes").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("hk"))
+            .as("kmv_estimate"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT DISTINCT source, t
+        FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+              FROM documents)
+        WHERE t <> ''),
+      hashed AS (
+        SELECT DISTINCT source, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        FROM toks),
+      kth AS (
+        SELECT source, h AS hk FROM (
+          SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) rn
+          FROM hashed) WHERE rn = 64),
+      counts AS (SELECT source, COUNT(*) AS n_exact FROM toks GROUP BY source),
+      nh AS (SELECT source, COUNT(*) AS n_hashes FROM hashed GROUP BY source)
+      SELECT c.source, c.n_exact,
+        CASE WHEN nh.n_hashes < 64 THEN CAST(nh.n_hashes AS DOUBLE)
+             ELSE 63.0 * 1152921504606846976.0 / k2.hk END AS kmv_estimate
+      FROM counts c
+      JOIN nh ON nh.source = c.source
+      LEFT JOIN kth k2 ON k2.source = c.source
+      ORDER BY c.source""".stripMargin),
+    "KMV cardinality sketch vs exact distinct: k=64 minimum md5-hashes per source, (k-1)·2^60/h_k estimate — engine-exact sketch internals (unlike HLL), bounded-memory top-k shuffle shape")
+
   val all: Seq[Q] = Seq(
     q42SimhashHammingDup, q43AnnHyperplaneLsh, q44BlockedNearDup,
     q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload,
-    q60AnnIvf)
+    q60AnnIvf, q63KmvDistinct)
 }
