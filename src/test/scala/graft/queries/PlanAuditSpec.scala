@@ -56,4 +56,30 @@ class PlanAuditSpec extends SparkSpec {
       .linesIterator.find(_.contains("FileScan")).getOrElse("")
     assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), scan)
   }
+
+  test("a hive-partitioned layout gets PARTITION pruning: filtered dirs never reach the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    // lay events down partitioned by event_type — the layout a 100 TB
+    // corpus uses for its highest-selectivity predicate column
+    graft.Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"))
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    // the predicate must be a PartitionFilter (directory-level skip at
+    // planning time), NOT a pushed data filter evaluated per row group
+    assert(scanLine.contains("PartitionFilters: [isnotnull(event_type"), scanLine)
+    assert(scanLine.contains("(event_type = click)") ||
+      scanLine.contains("(event_type# = click)") ||
+      scanLine.matches(".*PartitionFilters: .*event_type.* = click.*"), scanLine)
+    // and the partition column itself is pruned from the read schema
+    assert(scanLine.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"), scanLine)
+    // correctness: pruned read equals the unpartitioned filter
+    val expect = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(df.count() === expect)
+  }
 }
