@@ -290,9 +290,12 @@ object LlmOps {
       val sh = shingled(s, dir).persist()
       val inv0 = sh.select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
-      val dfreq = inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      // document frequency as a COUNT window over the inverted index —
+      // one shuffle keyed on shingle, replacing the groupBy + join-back
+      // pair (same df values, one fewer stage)
+      val wDf = Window.partitionBy(col("shingle"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-      val prefix = inv0.join(dfreq, "shingle")
+      val prefix = inv0.withColumn("df", count(lit(1)).over(wDf))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= col("n") - ceil(col("n") * 0.8).cast("int") + 1)
         .select(col("doc_id"), col("n"), col("shingle"))

@@ -68,6 +68,20 @@ object Streams {
       }
   }
 
+  /** Streaming twin of the corpus dedup family (q29 exact, q36/q42
+    * fingerprints): documents dedup-ed ON CONTENT as they arrive. The
+    * state key is a fingerprint column the caller computes with the same
+    * kernels the batch ops use — `md5(text)` for exact dedup, or the
+    * native `simhash_bits(md5_longs(tokens, 4), 16)` for near-dup-as-
+    * exact-key (two docs whose fingerprints collide dedup together) —
+    * so stream and batch agree document-for-document by construction.
+    * State is one row per distinct fingerprint, hash-partitioned — the
+    * q29 shuffle shape, incremental.
+    */
+  def dedupByFingerprint(docs: DataFrame, fingerprint: org.apache.spark.sql.Column)
+      : DataFrame =
+    docs.withColumn("fp", fingerprint).dropDuplicates("fp").drop("fp")
+
   /** Streaming twin of q24's hourly event aggregation: event-time
     * tumbling window + watermark. In append mode a window's row is
     * emitted exactly once, when the watermark passes its end — and

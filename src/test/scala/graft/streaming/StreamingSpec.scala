@@ -65,6 +65,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupByFingerprint: exact-content dedup across batches; near-dup key collapses rewrites") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    final case class Doc(doc_id: Long, text: String)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupByFingerprint(
+        in.toDF().toDF("doc_id", "text"), md5(col("text")))
+      .writeStream.format("memory").queryName("fp_dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      q.processAllAvailable()
+      // an exact copy in a LATER micro-batch is suppressed by state
+      in.addData((3L, "alpha beta gamma"), (4L, "zeta eta"))
+      q.processAllAvailable()
+      val kept = s.table("fp_dedup_out").select("doc_id").as[Long].collect().sorted
+      assert(kept === Array(1L, 2L, 4L))
+      // the fp helper column never leaks into the output schema
+      assert(!s.table("fp_dedup_out").columns.contains("fp"))
+    } finally q.stop()
+
+    // near-dup-as-exact-key: the simhash fingerprint the batch q36/q42
+    // ops compute collapses token-identical rewrites (order-insensitive
+    // distinct-token sets → identical fingerprint)
+    val fp = graft.functions.GraftFunctions.simhash(
+      graft.functions.GraftFunctions.md5Longs(
+        array_distinct(split(lower(col("text")), " ")), 4), 16)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Streams.dedupByFingerprint(in2.toDF().toDF("doc_id", "text"), fp)
+      .writeStream.format("memory").queryName("fp_near_out")
+      .outputMode("append").start()
+    try {
+      in2.addData((1L, "spark is a unified engine"))
+      q2.processAllAvailable()
+      in2.addData((2L, "engine unified a is spark"), (3L, "completely different words"))
+      q2.processAllAvailable()
+      val kept2 = s.table("fp_near_out").select("doc_id").as[Long].collect().sorted
+      assert(kept2 === Array(1L, 3L)) // the reordering deduped against doc 1
+    } finally q2.stop()
+  }
+
   test("hourlyCounts (complete mode) equals the batch twin on the same rows") {
     val s = spark
     import s.implicits._
