@@ -35,6 +35,14 @@ class PlanAuditSpec extends SparkSpec {
       plan)
   }
 
+  test("q60 IVF keeps the corpus un-broadcast: codebook and query sides broadcast, cells shuffle") {
+    val plan = executedPlan(PipelineOps.q60AnnIvf)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the K=16 codebook assignment is the only nested-loop join, and it
+    // must broadcast the centroid side (corpus streams through)
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+  }
+
   test("q42 candidate join is a hash join on (band, bucket), never a cross product") {
     val plan = executedPlan(PipelineOps.q42SimhashHammingDup)
     assert(!plan.contains("CartesianProduct"), plan)

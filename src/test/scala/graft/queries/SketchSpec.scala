@@ -23,6 +23,34 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("minhash64 sketch similarity tracks true Jaccard (the q33 LSH premise)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic universe of shingles; pairs at controlled overlap
+    val universe = (0 until 200).map(i => s"shingle_$i")
+    def setAt(start: Int, n: Int) = universe.slice(start, start + n).toList
+    // (a, b, true Jaccard): 80/120 shared = 2/3; 40/160 = 1/4; disjoint = 0
+    val pairs = Seq(
+      (setAt(0, 100), setAt(20, 100), 80.0 / 120.0),
+      (setAt(0, 100), setAt(60, 100), 40.0 / 160.0),
+      (setAt(0, 100), setAt(100, 100), 0.0))
+    val rows = pairs.map { case (a, b, j) => (a, b, j) }.toDF("a", "b", "jac")
+      .select(col("jac"),
+        graft.functions.GraftFunctions.minhash64(col("a"), 128).as("ma"),
+        graft.functions.GraftFunctions.minhash64(col("b"), 128).as("mb"))
+      .select(col("jac"),
+        (expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), t -> t))").cast("double")
+          / 128.0).as("est"))
+      .collect()
+    rows.foreach { r =>
+      val (jac, est) = (r.getDouble(0), r.getDouble(1))
+      // E[est] = J, sd = sqrt(J(1-J)/128) <= 0.045; 0.15 is a >3σ bound
+      // and the inputs are fixed, so this is deterministic
+      assert(math.abs(est - jac) < 0.15, s"true=$jac est=$est")
+    }
+  }
+
   test("q63 KMV degenerates to the exact count when a group has fewer than k hashes") {
     val s = spark
     import s.implicits._
