@@ -47,3 +47,30 @@ final class TopKAggregator(k: Int)
 
   override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
 }
+
+/** The k smallest DISTINCT longs per group — the KMV sketch's collection
+  * step (q63) as a bounded-memory typed Aggregator. Same scale argument
+  * as [[TopKAggregator]] (each map partition reduces to ≤ k values per
+  * group before the shuffle; merge is a k-bounded distinct-merge), plus
+  * the KMV-specific property that the buffer IS the sketch: mergeable
+  * (union = merge of buffers), and when |buffer| < k after all input the
+  * sketch holds the whole distinct set (the degenerate exact case).
+  */
+final class KMinDistinctAggregator(k: Int)
+    extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  override def zero: Seq[Long] = Seq.empty
+
+  override def reduce(buf: Seq[Long], x: Long): Seq[Long] =
+    if (buf.contains(x)) buf
+    else ((buf :+ x).sorted.take(k))
+
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    (b1 ++ b2).distinct.sorted.take(k)
+
+  override def finish(reduction: Seq[Long]): Seq[Long] = reduction
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}

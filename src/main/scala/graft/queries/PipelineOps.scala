@@ -603,15 +603,19 @@ object PipelineOps {
     * minimum hash is an integer both engines agree on, and the estimate
     * is one int→double conversion and one division (bit-identical).
     *
-    * Scale shape: the k-minima per group is exactly the bounded top-k
-    * pattern (q51): map-side each partition keeps ≤ k hashes per group
-    * before the shuffle; the estimate never materializes the vocabulary.
-    * (Here the window form suffices — the vocabulary after `distinct`
-    * is already small; the Aggregator form is the 100 TB drop-in.)
+    * Scale shape: the k-minima collection runs as the typed
+    * [[graft.functions.KMinDistinctAggregator]] — the bounded top-k
+    * pattern (q51): each map partition reduces to ≤ k hashes per group
+    * BEFORE the shuffle, merge is a k-bounded distinct-merge, and the
+    * estimate never materializes the vocabulary (the window/rank form
+    * would shuffle and sort EVERY distinct hash). The buffer is itself
+    * the mergeable sketch; |buffer| < k after all input ⇒ the degenerate
+    * exact case, no separate distinct-count pass needed.
     */
   val q63KmvDistinct = Q(
     "q63_kmv_distinct",
     (s, dir) => {
+      import graft.functions.KMinDistinctAggregator
       val k = 64
       val toks = T.documentsSpread(s, dir)
         .select(col("source"), explode(expr(toksSql)).as("t"))
@@ -620,17 +624,20 @@ object PipelineOps {
       val hashed = toks
         .select(col("source"),
           expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)").as("h"))
-        .distinct()
-      val w = Window.partitionBy(col("source")).orderBy(col("h"))
-      val kth = hashed.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === k)
-        .select(col("source"), col("h").as("hk"))
+      val sketch = {
+        import s.implicits._
+        hashed.as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(new KMinDistinctAggregator(k).toColumn.name("mins"))
+          .toDF("source", "mins")
+      }
       val counts = toks.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
-      val nHashes = hashed.groupBy(col("source")).agg(count(lit(1)).as("n_hashes"))
-      counts.join(nHashes, "source").join(kth, Seq("source"), "left")
+      counts.join(sketch, "source")
         .select(col("source"), col("n_exact"),
-          when(col("n_hashes") < k, col("n_hashes").cast("double"))
-            .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("hk"))
+          when(size(col("mins")) < k, size(col("mins")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+              / element_at(col("mins"), k))
             .as("kmv_estimate"))
         .orderBy(col("source"))
     },
