@@ -599,6 +599,38 @@ object Relational {
       ORDER BY l_partkey""".stripMargin),
     "post-aggregate filter (HAVING)")
 
+  /** Explicit GROUPING SETS (the form q17's ROLLUP and q18's CUBE are
+    * sugar for) with `grouping_id()` as the set discriminator — the
+    * marker that disambiguates a data NULL from a superaggregate NULL
+    * (coalesce alone can't on nullable group columns). Spark and DuckDB
+    * assign grouping_id bits identically (left column = MSB). One
+    * Expand + single hash-agg pass, same as rollup/cube.
+    */
+  val q64GroupingSets = Q(
+    "q64_grouping_sets",
+    (s, dir) => {
+      T.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY gid, status, priority""")
+    },
+    Some("""
+      SELECT COALESCE(o_orderstatus, '(all)') AS status,
+             COALESCE(o_orderpriority, '(all)') AS priority,
+             CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority))
+      ORDER BY gid, status, priority""".stripMargin),
+    "explicit GROUPING SETS + grouping_id discriminator (supersets q17/q18's rollup/cube sugar); one Expand + hash agg")
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02CategoryDistribution, q03FilterRange,
     q04SegmentOrders, q05RegionRevenue, q06OrdersPerCustomer,
@@ -607,5 +639,5 @@ object Relational {
     q15WindowRank, q16WindowRunning, q17Rollup, q18Cube,
     q19CountDistinct, q20ConditionalAgg, q21StringFuncs, q22DateParts,
     q23Json, q24HourlyWindow, q25ArrayFuncs, q26Regexp,
-    q27UnionAll, q28Having)
+    q27UnionAll, q28Having, q64GroupingSets)
 }

@@ -166,7 +166,10 @@ object Html {
   val extractLastmodTextUdf = udf(extractLastmodText)
   val extractTextUdf = udf(extractText)
   val extractLinksUdf = udf(extractLinks)
-  val parsePageUdf = udf(parsePage)
+  // (the struct-returning page parse is no longer exposed as a ScalaUDF —
+  // the native ParsePageExpr expression via parsePageRow replaced it; the
+  // three per-field UDFs above remain as the parity reference the
+  // FunctionPropertySpec checks the native kernel against)
 
   /** [[parsePage]] as a Catalyst-internal row — the kernel behind the
     * native `parse_page` expression ([[graft.functions.ParsePageExpr]]).
