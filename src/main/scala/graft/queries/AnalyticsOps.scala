@@ -384,8 +384,48 @@ object AnalyticsOps {
       ORDER BY c.c_custkey""".stripMargin),
     "SQL-text entry: spark.sql over temp views with EXISTS + correlated scalar subquery (Catalyst decorrelation); near-verbatim shared SQL across engines")
 
+  /** Malformed-record tolerance — the ingest property every web-scale
+    * ETL needs (a crawler's payloads are never all well-formed; the
+    * reference simply crashes on surprises). A deterministically
+    * corrupted copy of `events.props` flows through PERMISSIVE
+    * `from_json`: bad rows parse to NULL and are COUNTED, not thrown —
+    * the engine-side contract behind `badRecordsPath`-style quarantine.
+    * The DuckDB oracle derives validity independently via json_valid().
+    * Dirty-data rule at scale: never let one bad record kill a
+    * 1000-executor job; route it to a quarantine count/sink instead.
+    */
+  val q65CorruptJson = Q(
+    "q65_corrupt_json",
+    (s, dir) =>
+      T.events(s, dir)
+        .select(col("event_type"),
+          // every 7th event gets a LEADING brace — deterministic damage.
+          // (A trailing brace wouldn't do: Jackson stops at the first
+          // complete JSON value and ignores trailing bytes, so
+          // '{"k":1}}' still parses; '}{"k":1}' cannot.)
+          when(col("event_id") % 7 === 0, concat(lit("}"), col("props")))
+            .otherwise(col("props")).as("raw"))
+        .select(col("event_type"),
+          from_json(col("raw"), org.apache.spark.sql.types.DataType
+            .fromDDL("map<string,int>")).as("m"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("m")).as("n_valid"),
+          sum(when(col("m").isNull, 1).otherwise(0)).as("n_corrupt"))
+        .orderBy(col("event_type")),
+    Some("""
+      WITH r AS (
+        SELECT event_type,
+          CASE WHEN event_id % 7 = 0 THEN '}' || props ELSE props END AS raw
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_rows,
+        COUNT(*) FILTER (json_valid(raw)) AS n_valid,
+        CAST(COUNT(*) FILTER (NOT json_valid(raw)) AS BIGINT) AS n_corrupt
+      FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "malformed-record tolerance: PERMISSIVE from_json nulls (never throws) + quarantine counts, vs an independent json_valid() oracle")
+
   val all: Seq[Q] = Seq(
     q49Sessionize, q50Pivot, q51TopkPerGroup, q52Percentiles,
     q53FullOuter, q54RangeJoin, q55AsofJoin, q56BagSetOps, q57MapFuncs,
-    q58RangeFrame, q59SqlEntry)
+    q58RangeFrame, q59SqlEntry, q65CorruptJson)
 }
