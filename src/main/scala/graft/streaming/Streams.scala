@@ -68,6 +68,39 @@ object Streams {
       }
   }
 
+  /** Per-URL crawl bookkeeping with mapGroupsWithState — the
+    * one-output-row-per-group stateful surface (vs [[firstSeen]]'s
+    * flatMap variant): every micro-batch emits each touched URL's
+    * CURRENT ledger row (total sightings, first/last seen), the
+    * streaming rendering of the crawl ledger's upsert
+    * (db_api.py:30-37's insert + the TODO'd visit counter at
+    * fetcher main.py:113). Update output mode; state is one small row
+    * per URL, hash-partitioned on the key like every stateful op here.
+    */
+  final case class UrlLedger(url: String, sightings: Long,
+      firstSeen: java.sql.Timestamp, lastSeen: java.sql.Timestamp)
+
+  def urlLedger(urls: Dataset[UrlEvent]): Dataset[UrlLedger] = {
+    import urls.sparkSession.implicits._
+    urls
+      .groupByKey(_.url)
+      .mapGroupsWithState[UrlLedger, UrlLedger](GroupStateTimeout.NoTimeout) {
+        (url: String, events: Iterator[UrlEvent], state: GroupState[UrlLedger]) =>
+          val batch = events.toSeq
+          val tsMin = batch.map(_.ts.getTime).min
+          val tsMax = batch.map(_.ts.getTime).max
+          val next = state.getOption match {
+            case Some(prev) => UrlLedger(url, prev.sightings + batch.size,
+              new java.sql.Timestamp(math.min(prev.firstSeen.getTime, tsMin)),
+              new java.sql.Timestamp(math.max(prev.lastSeen.getTime, tsMax)))
+            case None => UrlLedger(url, batch.size.toLong,
+              new java.sql.Timestamp(tsMin), new java.sql.Timestamp(tsMax))
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** Streaming twin of the corpus dedup family (q29 exact, q36/q42
     * fingerprints): documents dedup-ed ON CONTENT as they arrive. The
     * state key is a fingerprint column the caller computes with the same

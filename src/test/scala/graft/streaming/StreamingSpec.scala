@@ -65,6 +65,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("urlLedger (mapGroupsWithState) upserts one current row per URL across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[UrlEvent]
+    val q = Streams.urlLedger(in.toDS())
+      .writeStream.format("memory").queryName("ledger_state_out")
+      .outputMode("update").start()
+    try {
+      in.addData(UrlEvent("u1", ts("10:05")), UrlEvent("u1", ts("10:01")),
+        UrlEvent("u2", ts("10:02")))
+      q.processAllAvailable()
+      in.addData(UrlEvent("u1", ts("12:00")))
+      q.processAllAvailable()
+      // memory sink in update mode appends each emission; the LAST row
+      // per url is the current ledger state
+      val current = s.table("ledger_state_out").as[Streams.UrlLedger]
+        .collect().groupBy(_.url).map { case (u, rows) =>
+          u -> rows.maxBy(_.sightings)
+        }
+      assert(current("u1").sightings === 3L)
+      assert(current("u1").firstSeen === ts("10:01")) // min across batches
+      assert(current("u1").lastSeen === ts("12:00"))  // max across batches
+      assert(current("u2").sightings === 1L)
+    } finally q.stop()
+  }
+
   test("dedupByFingerprint: exact-content dedup across batches; near-dup key collapses rewrites") {
     val s = spark
     import s.implicits._
