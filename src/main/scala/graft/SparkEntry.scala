@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsOps, LlmOps, PipelineOps, Relational, WikiOps}
+import graft.queries.{AnalyticsOps, LlmOps, PipelineOps, Relational, TrainingOps, WikiOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** The full registry; order is the documentation order of SURVEY.md §2. */
   def registry: Seq[Q] =
-    Relational.all ++ WikiOps.all ++ LlmOps.all ++ PipelineOps.all ++ AnalyticsOps.all
+    Relational.all ++ WikiOps.all ++ LlmOps.all ++ PipelineOps.all ++
+      AnalyticsOps.all ++ TrainingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline analysis — "category distribution"

@@ -1,0 +1,346 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Fourth capability wave — corpus-curation operators a training-data
+  * pipeline runs between "crawled" and "ready to train on": relevance
+  * weighting (TF-IDF), reproducible dataset splits, incremental
+  * snapshot dedup, collocation mining, and PII redaction.
+  *
+  * Shared discipline with [[LlmOps]]/[[PipelineOps]]: candidate
+  * generation before verification, keyed shuffles only, and
+  * cross-engine-deterministic arithmetic — scores stay in exact int64
+  * products (< 2^53, so the int→double conversion is exact) until a
+  * SINGLE division, which IEEE-754 rounds identically in both engines.
+  * No transcendentals cross the oracle boundary: log-based variants of
+  * TF-IDF/PMI would compare Java's `Math.log` against DuckDB's libm
+  * `log`, which may differ in the last ulp — so the registered forms
+  * use the rational (log-free) variants and document the equivalence.
+  */
+object TrainingOps {
+
+  /** The corpus's naive whitespace tokenizer (same as LlmOps). */
+  private val toksSql = "split(lower(text), ' ')"
+
+  // ---------------------------------------------------------------------
+  // q66 — TF-IDF term relevance
+  // ---------------------------------------------------------------------
+
+  /** Top-3 most corpus-distinctive terms per document by TF-IDF, with
+    * the RATIONAL idf variant idf(t) = N/df(t) (no log — see the object
+    * doc; `tf·N` and `df` are exact integers, the score is one exact
+    * division, bit-identical across engines; the usual `log` form is a
+    * per-term monotone reweighting of the same inputs).
+    *
+    * Scale shape: document frequency is ONE hash-agg over the distinct
+    * (term, doc) pairs of the FULL corpus — never a per-doc scan — and
+    * the per-doc TF frame joins it on the term key. The report is
+    * scoped to doc_id < 30 and that filter sits BELOW the tf agg (only
+    * the df side reads every doc, and it reads only the token column).
+    * The df frame is vocabulary-sized — orders of magnitude smaller
+    * than the corpus (Heaps' law) — and is broadcast; a truly huge
+    * vocabulary would fall back to a shuffled hash join on `t`, same
+    * semantics.
+    */
+  val q66Tfidf = Q(
+    "q66_tfidf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = T.documentsSpread(s, dir)
+        .select(col("doc_id"), explode(expr(toksSql)).as("t"))
+        .filter(col("t") =!= "")
+      val df = toks.distinct().groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val n = T.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val tf = toks.filter(col("doc_id") < 30)
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("t"))
+      tf.join(broadcast(df), "t")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("t").as("term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, t
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+              FROM documents)
+        WHERE t <> ''),
+      df AS (
+        SELECT t, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY t),
+      tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM toks
+        WHERE doc_id < 30 GROUP BY doc_id, t),
+      scored AS (
+        SELECT tf.doc_id, tf.t, tf.tf, df.df,
+          CAST(tf.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df AS score
+        FROM tf JOIN df ON tf.t = df.t),
+      r AS (
+        SELECT doc_id, t, tf, df, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, t) AS INTEGER) AS rank
+        FROM scored)
+      SELECT doc_id, rank, t AS term, tf, df, score
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+    "TF-IDF top terms per doc: corpus-wide df hash-agg (vocabulary-sized, broadcast) joined to scoped tf; rational idf keeps the score an exact-int division, bit-identical cross-engine")
+
+  // ---------------------------------------------------------------------
+  // q67 — reproducible hash-based dataset split
+  // ---------------------------------------------------------------------
+
+  /** Deterministic train/val/test assignment — the reproducibility
+    * primitive every training pipeline needs: split membership is a
+    * pure function of the stable key (md5 of the decimal doc_id → first
+    * 16 bits → mod 10: 0-7 train, 8 val, 9 test), so it is identical
+    * across engines, runs, cluster sizes, and data re-partitioning —
+    * unlike `rand(seed)`-based sampling, which depends on row order and
+    * partitioning. Reported per (split, lang) so the oracle also pins
+    * the stratification balance.
+    *
+    * Scale: embarrassingly parallel map + one hash agg on ~30 groups.
+    * Adding a dataset-version salt into the md5 input re-splits
+    * reproducibly; keying on a CONTENT hash instead (q68's md5(text))
+    * makes membership survive doc_id reassignment across crawls.
+    */
+  val q67HashSplit = Q(
+    "q67_hash_split",
+    (s, dir) =>
+      T.documentsSpread(s, dir)
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 10"))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr(s"size(filter($toksSql, t -> t <> ''))")).as("n_tokens"))
+        .orderBy(col("split"), col("lang")),
+    Some("""
+      WITH b AS (
+        SELECT lang,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 AS bucket,
+          len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_toks
+        FROM documents)
+      SELECT CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+        lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin),
+    "reproducible train/val/test split: membership = pure function of md5(doc_id) — stable across runs/partitioning (vs order-dependent rand(seed)); map + one small hash agg")
+
+  // ---------------------------------------------------------------------
+  // q68 — incremental (snapshot-delta) dedup
+  // ---------------------------------------------------------------------
+
+  /** Incremental ingest dedup — the between-crawls form of q29's exact
+    * dedup: an incoming batch (here docs with doc_id % 10 = 0, standing
+    * in for "today's crawl") is checked against the existing corpus by
+    * content fingerprint; per language we report how many incoming docs
+    * duplicate corpus content vs are genuinely new. This is the
+    * operation that keeps a 100 TB corpus append-only: never re-dedup
+    * the whole corpus, only delta ⋈ corpus.
+    *
+    * The fingerprint is md5 of the LEADING-8-TOKEN prefix — the
+    * boilerplate-prefix key crawl pipelines dedup on (mirrored pages
+    * and template farms share openings long before they share full
+    * bodies), chosen over md5(full text) here because this synthetic
+    * corpus has no full-text duplicates across the batch boundary at
+    * any SF (measured), which would leave the duplicate branch
+    * untested; the prefix key fires both branches (6 dup / 44 new per
+    * 50 incoming at sf0.01). Swapping the fingerprint expression for
+    * `md5(text)` gives byte-exact semantics with the identical plan.
+    *
+    * Scale shape: both sides reduce to (16-byte md5, key) BEFORE the
+    * join — the corpus side is `select distinct md5(text)`, so the only
+    * shuffle moves hashes, never text. The join is a hash-partitioned
+    * equi-join on the hash (both sides large ⇒ no broadcast); with a
+    * bucketed corpus-hash table (ops.Bucketing) the corpus side's
+    * exchange disappears entirely and daily deltas join exchange-free
+    * on their own (small) shuffle.
+    */
+  val q68IncrementalDedup = Q(
+    "q68_incremental_dedup",
+    (s, dir) => {
+      val fp = md5(array_join(slice(split(lower(col("text")), " "), 1, 8), " "))
+      val docs = T.documentsSpread(s, dir)
+      val corpusHashes = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(fp.as("h")).distinct()
+        .withColumn("in_corpus", lit(1))
+      val incoming = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("lang"), fp.as("h"))
+      incoming.join(corpusHashes, Seq("h"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_incoming"),
+          count(col("in_corpus")).as("n_dup"),
+          sum(when(col("in_corpus").isNull, 1L).otherwise(0L)).as("n_new"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id, lang,
+          md5(array_to_string(list_slice(string_split(lower(text), ' '), 1, 8), ' ')) AS h
+        FROM documents),
+      corpus AS (SELECT DISTINCT h FROM fp WHERE doc_id % 10 <> 0),
+      inc AS (SELECT lang, h FROM fp WHERE doc_id % 10 = 0)
+      SELECT i.lang, COUNT(*) AS n_incoming,
+        COUNT(c.h) AS n_dup,
+        CAST(COUNT(*) FILTER (c.h IS NULL) AS BIGINT) AS n_new
+      FROM inc i LEFT JOIN corpus c ON i.h = c.h
+      GROUP BY i.lang ORDER BY i.lang""".stripMargin),
+    "incremental snapshot dedup: incoming batch vs corpus by content fingerprint (leading-token-prefix md5) — both sides reduced to 16-byte hashes before the equi-join, so only hashes shuffle; the append-only path that avoids ever re-deduping the full corpus")
+
+  // ---------------------------------------------------------------------
+  // q69 — bigram collocation mining (PMI-style lift)
+  // ---------------------------------------------------------------------
+
+  /** Top adjacent-token collocations by association LIFT —
+    * p(ab)/(p(a)·p(b)), the exponential of PMI, so the ranking is
+    * IDENTICAL to PMI's (exp is monotone) while the score stays in
+    * exact integer products: lift = (c_ab·U²) / (B·c_a·c_b), with U =
+    * total unigrams and B = total bigrams. Both products stay below
+    * 2^53 at every test SF (documented bound: U ≈ 4·10⁵ at sf0.1 ⇒
+    * numerator ≤ c_ab·U² ≈ 10¹⁵), so the single final division is
+    * bit-identical cross-engine.
+    *
+    * Scale shape: bigrams come from a per-row `slice`+`arrays_zip` (no
+    * self-join of token positions — the classic mistake that shuffles
+    * the corpus twice); then two hash aggs (bigram counts, unigram
+    * counts) and a vocabulary-sized broadcast join of unigram counts
+    * onto the bigram frame, min-support 5 pruning the long tail before
+    * the join. Totals ride along as 1-row broadcast frames.
+    */
+  val q69BigramLift = Q(
+    "q69_bigram_lift",
+    (s, dir) => {
+      val toks = T.documentsSpread(s, dir)
+        .select(expr(s"filter($toksSql, t -> t <> '')").as("toks"))
+      val uni = toks.select(explode(col("toks")).as("t"))
+      val uniCounts = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val uniTotal = uni.agg(count(lit(1)).as("u_total"))
+      val bi = toks
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "arrays_zip(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1))"))
+          .as("p"))
+        .select(col("p")("0").as("a"), col("p")("1").as("b"))
+      val biCounts = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      val biTotal = bi.agg(count(lit(1)).as("b_total"))
+      val ca = uniCounts.select(col("t").as("a"), col("c").as("c_a"))
+      val cb = uniCounts.select(col("t").as("b"), col("c").as("c_b"))
+      biCounts.filter(col("c_ab") >= 5)
+        .join(broadcast(ca), "a").join(broadcast(cb), "b")
+        .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(biTotal))
+        .withColumn("lift",
+          (col("c_ab") * col("u_total") * col("u_total")).cast("double")
+            / (col("b_total") * col("c_a") * col("c_b")))
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(15)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      uni AS (SELECT unnest(ts) AS t FROM toks),
+      uc AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+      ut AS (SELECT CAST(COUNT(*) AS BIGINT) AS u_total FROM uni),
+      bi AS (
+        SELECT ts[i] AS a, ts[i+1] AS b
+        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)),
+      bc AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b),
+      bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_total FROM bi)
+      SELECT bc.a, bc.b, bc.c_ab, ca.c AS c_a, cb.c AS c_b,
+        CAST(bc.c_ab * ut.u_total * ut.u_total AS DOUBLE)
+          / (bt.b_total * ca.c * cb.c) AS lift
+      FROM bc, ut, bt
+      JOIN uc ca ON bc.a = ca.t
+      JOIN uc cb ON bc.b = cb.t
+      WHERE bc.c_ab >= 5
+      ORDER BY lift DESC, bc.a, bc.b LIMIT 15""".stripMargin),
+    "bigram collocations by lift (= exp(PMI), same ranking, exact-int arithmetic): per-row slice+zip bigrams (no positional self-join), two hash aggs, vocabulary-sized broadcast of unigram counts, min-support pruning before the join")
+
+  // ---------------------------------------------------------------------
+  // q70 — PII detection & redaction profile
+  // ---------------------------------------------------------------------
+
+  /** PII scrubbing — detect and redact email- and phone-shaped spans,
+    * reporting the per-language redaction profile (docs touched, spans
+    * by type, chars before/after). The corpus's synthetic text contains
+    * no PII, so a deterministic injection step (keyed on doc_id — no
+    * randomness, see the object doc) plants known spans first; the
+    * oracle independently re-derives counts from the same injected
+    * text, so the regex DETECTION is what's being cross-checked.
+    * Patterns are kept to the Java-regex ∩ RE2 common subset
+    * (character classes, +/{n}, no lookaround) so both engines compile
+    * them identically; Spark's `regexp_replace` replaces ALL matches —
+    * DuckDB needs the explicit 'g' flag to match.
+    *
+    * Scale: pure per-row map (regex scan is the cost, O(len) with
+    * these patterns) + one small hash agg; nothing shuffles but the
+    * 5-language aggregate. At 100 TB this is the shape you want —
+    * redaction riding the same single pass as quality scoring (q62),
+    * no extra materialization of the corpus.
+    */
+  val q70PiiRedact = Q(
+    "q70_pii_redact",
+    (s, dir) => {
+      val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phone = "555-[0-9]{4}"
+      T.documentsSpread(s, dir)
+        .withColumn("raw",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com now")))
+            .when(col("doc_id") % 3 === 1,
+              concat(col("text"), lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(col("text")))
+        .withColumn("n_email", size(regexp_extract_all(col("raw"), lit(email), lit(0))))
+        .withColumn("n_phone", size(regexp_extract_all(col("raw"), lit(phone), lit(0))))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+            phone, "<PHONE>"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") + col("n_phone") > 0, 1L).otherwise(0L))
+            .as("n_docs_with_pii"),
+          sum(col("n_email")).as("n_emails"),
+          sum(col("n_phone")).as("n_phones"),
+          sum(length(col("raw"))).as("chars_raw"),
+          sum(length(col("clean"))).as("chars_clean"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT lang,
+          CASE WHEN doc_id % 3 = 0
+                 THEN text || ' contact user' || doc_id || '@example.com now'
+               WHEN doc_id % 3 = 1
+                 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE text END AS raw
+        FROM documents),
+      d AS (
+        SELECT lang, raw,
+          len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_email,
+          len(regexp_extract_all(raw, '555-[0-9]{4}')) AS n_phone,
+          regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+            '555-[0-9]{4}', '<PHONE>', 'g') AS clean
+        FROM r)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(COUNT(*) FILTER (n_email + n_phone > 0) AS BIGINT) AS n_docs_with_pii,
+        CAST(SUM(n_email) AS BIGINT) AS n_emails,
+        CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+        CAST(SUM(len(raw)) AS BIGINT) AS chars_raw,
+        CAST(SUM(len(clean)) AS BIGINT) AS chars_clean
+      FROM d GROUP BY lang ORDER BY lang""".stripMargin),
+    "PII redaction profile: email/phone regex detect + replace-all in one per-row pass (Java-regex ∩ RE2 pattern subset; DuckDB oracle uses the 'g' flag), deterministic injection keyed on doc_id, 5-row hash agg output")
+
+  val all: Seq[Q] = Seq(
+    q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact)
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral contracts for the corpus-curation wave (q66-q70) — the
+  * properties the DuckDB oracle can't see: partition-invariance of the
+  * hash split, both-branch coverage of the incremental dedup, and the
+  * plan shapes that make q66/q69 scale.
+  */
+class TrainingOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q67 split assignment is a pure function of doc_id: invariant under repartitioning") {
+    // The reproducibility contract: re-partitioning the input (what a
+    // different cluster size does) must not move any doc between splits.
+    val base = TrainingOps.q67HashSplit.fn(spark, sf).collect().toSeq
+    val assign = graft.Tables.documents(spark, sf)
+      .repartition(7, col("lang")) // deliberately different layout
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 10"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    base.foreach { r =>
+      assert(assign((r.getString(0), r.getString(1))) === r.getLong(2),
+        s"split counts moved under repartitioning at ${(r.getString(0), r.getString(1))}")
+    }
+  }
+
+  test("q67 covers every doc exactly once (splits partition the corpus)") {
+    val total = TrainingOps.q67HashSplit.fn(spark, sf)
+      .agg(sum(col("n_docs"))).collect().head.getLong(0)
+    assert(total === graft.Tables.documents(spark, sf).count())
+  }
+
+  test("q68 exercises both branches and conserves the incoming batch") {
+    val rs = TrainingOps.q68IncrementalDedup.fn(spark, sf).collect().toSeq
+    val (inc, dup, nw) = rs.foldLeft((0L, 0L, 0L)) { case ((a, b, c), r) =>
+      (a + r.getLong(1), b + r.getLong(2), c + r.getLong(3))
+    }
+    assert(inc === dup + nw, "n_incoming must equal n_dup + n_new per language")
+    assert(dup > 0, "duplicate branch never fired — fingerprint too fine for this corpus")
+    assert(nw > 0, "new-content branch never fired")
+  }
+
+  test("q66 broadcasts the vocabulary-sized df side, never the corpus") {
+    val plan = TrainingOps.q66Tfidf.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q66 scores agree with a direct per-doc recomputation") {
+    // Independent in-process recomputation (collect + Scala Map), no SQL.
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    val n = docs.size
+    val dfMap = docs.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val got = TrainingOps.q66Tfidf.fn(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (id, term, tf, df, score) =
+        (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(docs(id).count(_ == term) === tf, s"tf mismatch doc $id term $term")
+      assert(dfMap(term).toLong === df, s"df mismatch term $term")
+      assert(score === tf.toDouble * n / df, s"score mismatch doc $id term $term")
+    }
+  }
+
+  test("q69 bigram counts: adjacent pairs only, totals consistent") {
+    val out = TrainingOps.q69BigramLift.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(lower(col("text"))).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+    val biCounts = docs.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    out.foreach { r =>
+      assert(biCounts((r.getString(0), r.getString(1))).toLong === r.getLong(2),
+        s"bigram count mismatch for (${r.getString(0)}, ${r.getString(1)})")
+    }
+    // lift ordering is what the query promises
+    val lifts = out.map(_.getDouble(5)).toSeq
+    assert(lifts === lifts.sorted(Ordering[Double].reverse))
+  }
+
+  test("q70 redaction removes exactly the injected spans (char accounting)") {
+    val rs = TrainingOps.q70PiiRedact.fn(spark, sf).collect()
+    rs.foreach { r =>
+      val (emails, phones, raw, clean) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      // every injected email span shrinks by (len - len('<EMAIL>')) which
+      // varies with doc_id width; phones are fixed 8 chars -> '<PHONE>' (7).
+      assert(clean < raw, s"no chars redacted for lang ${r.getString(0)}")
+      assert(emails + phones > 0, s"no PII detected for lang ${r.getString(0)}")
+      assert(raw - clean >= emails + phones * 1L,
+        "redaction must strictly shrink each matched span")
+    }
+  }
+}
