@@ -341,6 +341,164 @@ object TrainingOps {
       FROM d GROUP BY lang ORDER BY lang""".stripMargin),
     "PII redaction profile: email/phone regex detect + replace-all in one per-row pass (Java-regex ∩ RE2 pattern subset; DuckDB oracle uses the 'g' flag), deterministic injection keyed on doc_id, 5-row hash agg output")
 
+  // ---------------------------------------------------------------------
+  // q71 — Count-Min sketch heavy hitters
+  // ---------------------------------------------------------------------
+
+  /** Heavy-hitter token frequencies via a Count-Min sketch
+    * ([[graft.functions.CmsAggregator]]) next to the exact counts — the
+    * frequency-estimation sibling of q63's KMV cardinality sketch, and
+    * like it ENGINE-EXACT: counter indices are md5-derived in SQL
+    * (`h_i(t) = md5("i:" + t)[0:4] mod w + i·w`, i < 4, w = 512), so
+    * the DuckDB oracle rebuilds the identical d×w counter matrix with a
+    * plain GROUP BY and the min-of-row-counters estimates agree
+    * integer-for-integer. The CMS guarantee surfaces in the output:
+    * `overestimate = estimate − exact` is provably ≥ 0 (and ≤ ε·N with
+    * ε = e/w at probability 1−e^−d).
+    *
+    * Scale shape: the sketch pass is one fixed-16-KiB-buffer typed
+    * aggregation with map-side partial reduce — O(partitions·d·w) bytes
+    * shuffle regardless of corpus size, vs the exact group-by's
+    * O(vocabulary). The exact side here exists only to EXHIBIT the
+    * error bound; a 100 TB run keeps just the sketch (plus q51's
+    * bounded top-k for candidate heavy hitters).
+    */
+  val q71CmsHeavyHitters = Q(
+    "q71_cms_heavy_hitters",
+    (s, dir) => {
+      import graft.functions.CmsAggregator
+      val d = 4
+      val w = 512
+      val idxSql = (0 until d)
+        .map(i => s"(cast(conv(substring(md5(concat('$i:', t)), 1, 4), 16, 10) as int) % $w) + ${i * w}")
+        .mkString("array(", ", ", ")")
+      val toks = T.documentsSpread(s, dir)
+        .select(explode(expr(toksSql)).as("t"))
+        .filter(col("t") =!= "")
+      val sketch = {
+        import s.implicits._
+        toks.select(expr(idxSql).as("idxs"))
+          .as[Seq[Int]]
+          .select(new CmsAggregator(d, w).toColumn.name("cms"))
+          .toDF("cms")
+      }
+      val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("t")).limit(10)
+      exact.crossJoin(broadcast(sketch))
+        .withColumn("cms_estimate",
+          expr(s"array_min(transform($idxSql, j -> element_at(cms, j + 1)))"))
+        .select(col("t").as("token"), col("exact"), col("cms_estimate"),
+          (col("cms_estimate") - col("exact")).as("overestimate"))
+        .orderBy(col("exact").desc, col("token"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT t
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        WHERE t <> ''),
+      occ AS (
+        SELECT (('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || t), 1, 4))::INT % 512)
+                 + g.i * 512 AS j
+        FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g),
+      counters AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY j),
+      exact AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS exact FROM toks
+        GROUP BY t ORDER BY exact DESC, t LIMIT 10),
+      ix AS (
+        SELECT e.t, (('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || e.t), 1, 4))::INT % 512)
+                 + g.i * 512 AS j
+        FROM exact e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g),
+      est AS (
+        SELECT ix.t, MIN(c.c) AS cms FROM ix
+        JOIN counters c ON c.j = ix.j GROUP BY ix.t)
+      SELECT e.t AS token, e.exact, est.cms AS cms_estimate,
+        est.cms - e.exact AS overestimate
+      FROM exact e JOIN est ON est.t = e.t
+      ORDER BY exact DESC, token""".stripMargin),
+    "Count-Min heavy hitters: fixed-16KiB mergeable counter matrix (typed Aggregator, map-side partial reduce — O(partitions*d*w) shuffle vs O(vocabulary)); md5-derived indices make the sketch engine-exact, overestimate >= 0 surfaced per token")
+
+  // ---------------------------------------------------------------------
+  // q72 — near-dup cluster resolution (connected components)
+  // ---------------------------------------------------------------------
+
+  /** Dedup CLUSTER resolution — the step q32/q33/q42 stop short of:
+    * near-dup PAIRS are only half the dedup story; keeping one
+    * representative per duplicate GROUP needs the connected components
+    * of the pair graph (pairs (a,b),(b,c) must collapse to ONE cluster
+    * {a,b,c} even though (a,c) was never emitted). Components come from
+    * iterative min-label propagation — the Pregel formulation: every
+    * node starts as its own label, each round takes the min of its own
+    * and its neighbors' labels, convergence in O(component diameter)
+    * rounds. The driver loop tests convergence with a `count` ACTION
+    * per round (the standard iterative-Spark pattern — a scalar per
+    * round crosses to the driver, never data) and each round is one
+    * join + one hash agg on the PAIR graph, which is orders of
+    * magnitude smaller than the corpus. At 100 TB scale this is
+    * GraphX/Pregel's connected-components shape on a frame; near-dup
+    * diameters are small (dup clusters are dense), so rounds stay few.
+    *
+    * The oracle is DuckDB's RECURSIVE CTE computing min reachable
+    * label over the same pair graph — transitive closure, a genuinely
+    * independent formulation of connectivity (no iteration-count
+    * parameter to accidentally share). Output: one row per clustered
+    * doc group — representative (min doc_id), size, '|'-joined members.
+    */
+  val q72DupClusters = Q(
+    "q72_dup_clusters",
+    (s, dir) => {
+      val pairs = LlmOps.q32NearDupPairs.fn(s, dir)
+        .select(col("id_a"), col("id_b")).persist()
+      val edges = pairs.select(col("id_a").as("v"), col("id_b").as("u"))
+        .union(pairs.select(col("id_b").as("v"), col("id_a").as("u")))
+        .persist()
+      var labels = edges.select(col("v")).distinct()
+        .withColumn("lbl", col("v")).persist()
+      var changed = 1L
+      while (changed > 0) {
+        val nbr = edges.as("e")
+          .join(labels.as("l"), col("e.u") === col("l.v"))
+          .select(col("e.v").as("v"), col("l.lbl").as("lbl"))
+        val next = labels.select(col("v"), col("lbl")).union(nbr)
+          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+          .persist()
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.v") === col("o.v"))
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        labels.unpersist()
+        labels = next
+      }
+      labels.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(sort_array(collect_list(col("v"))), "|").as("members"))
+        .orderBy(col("cluster_id"))
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(toks)-2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents)
+        WHERE len(toks) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      e AS (
+        SELECT id_a AS v, id_b AS u FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(v, u) AS (
+        SELECT v, u FROM e
+        UNION
+        SELECT r.v, e.u FROM reach r JOIN e ON e.v = r.u),
+      lbl AS (
+        SELECT v, LEAST(v, MIN(u)) AS lbl FROM reach GROUP BY v)
+      SELECT lbl AS cluster_id, COUNT(*) AS n_docs,
+        array_to_string(list_sort(array_agg(v)), '|') AS members
+      FROM lbl GROUP BY lbl ORDER BY cluster_id""".stripMargin),
+    "near-dup cluster resolution: Pregel-style min-label propagation over the q32 pair graph (O(diameter) rounds, each one join + agg on the tiny pair frame) vs a DuckDB recursive-CTE transitive closure — completes pairs -> clusters -> representative dedup")
+
   val all: Seq[Q] = Seq(
-    q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact)
+    q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
+    q71CmsHeavyHitters, q72DupClusters)
 }

@@ -90,6 +90,42 @@ class TrainingOpsSpec extends SparkSpec {
     assert(lifts === lifts.sorted(Ordering[Double].reverse))
   }
 
+  test("q71 CMS never underestimates, and the matrix is partition-independent") {
+    val out = TrainingOps.q71CmsHeavyHitters.fn(spark, sf).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0L,
+        s"CMS underestimated '${r.getString(0)}': ${r.getLong(2)} < ${r.getLong(1)}")
+      assert(r.getLong(2) - r.getLong(1) === r.getLong(3))
+    }
+    // order-independence: the counter matrix is a commutative monoid, so
+    // a re-run (different task scheduling/partition order) is identical
+    val again = TrainingOps.q71CmsHeavyHitters.fn(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("q72 clusters are consistent with the q32 pair graph") {
+    val pairs = LlmOps.q32NearDupPairs.fn(spark, sf)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val clusters = TrainingOps.q72DupClusters.fn(spark, sf).collect()
+    val memberOf = clusters.flatMap { r =>
+      r.getString(2).split('|').map(_.toLong -> r.getLong(0))
+    }.toMap
+    // every edge's endpoints land in the same cluster (transitivity held)
+    pairs.foreach { case (a, b) =>
+      assert(memberOf(a) === memberOf(b), s"pair ($a,$b) split across clusters")
+    }
+    // representative is the min member; sizes match the member lists
+    clusters.foreach { r =>
+      val ms = r.getString(2).split('|').map(_.toLong)
+      assert(ms.min === r.getLong(0))
+      assert(ms.length.toLong === r.getLong(1))
+    }
+    // clusters partition the node set exactly
+    assert(memberOf.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("q70 redaction removes exactly the injected spans (char accounting)") {
     val rs = TrainingOps.q70PiiRedact.fn(spark, sf).collect()
     rs.foreach { r =>
