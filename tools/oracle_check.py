@@ -45,7 +45,13 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
-    for name in sorted(oracle):
+    # A filtered Verify run (SPARK_GRAFT_ONLY) dumps a subset but writes
+    # the FULL oracle_sql.json; check dir existence BEFORE running the
+    # oracle SQL — some oracles (q32's O(n^2) pair join) are hours at
+    # sf0.1 and must not run when their result wasn't even dumped.
+    import os
+    dumped = {n for n in oracle if os.path.isdir(f"{out_dir}/{n}")}
+    for name in sorted(dumped):
         sql = oracle[name]
         try:
             want = con.execute(sql)
