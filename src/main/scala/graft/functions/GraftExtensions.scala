@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.rollingHashF)
     ext.injectFunction(GraftFunctions.minhash64F)
     ext.injectFunction(GraftFunctions.parsePageF)
+    ext.injectFunction(GraftFunctions.zorder2F)
   }
 }
 
@@ -86,10 +87,21 @@ object GraftFunctions {
       ParsePageExpr(children.head)
     })
 
+  private[functions] val zorder2F
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder2"),
+    new ExpressionInfo(classOf[ZOrder2Expr].getName, null, "zorder2"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"zorder2 expects 2 arguments, got ${children.size}")
+      ZOrder2Expr(children.head, children(1))
+    })
+
   /** Idempotent imperative registration on a live session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(dotF, simhashF, md5LongsF, rollingHashF, minhash64F, parsePageF).foreach {
+    Seq(dotF, simhashF, md5LongsF, rollingHashF, minhash64F, parsePageF,
+      zorder2F).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id))
           registry.registerFunction(id, info, builder)
@@ -133,4 +145,11 @@ object GraftFunctions {
   def parsePage(html: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       ParsePageExpr(org.apache.spark.sql.GraftColumnBridge.expression(html)))
+
+  /** Column-API handle for [[ZOrder2Expr]]. */
+  def zorder2(x: Column, y: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ZOrder2Expr(
+        org.apache.spark.sql.GraftColumnBridge.expression(x),
+        org.apache.spark.sql.GraftColumnBridge.expression(y)))
 }

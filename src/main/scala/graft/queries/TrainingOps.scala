@@ -588,7 +588,52 @@ object TrainingOps {
       FROM m ORDER BY doc_id""".stripMargin),
     "Gopher-style repetition filter: top-token/top-bigram/duplicate-token fractions per doc + keep verdict — zero-shuffle per-row map, exact-int ratios; the within-doc complement to corpus-level dedup")
 
+  // ---------------------------------------------------------------------
+  // q74 — Z-order (Morton) clustering key
+  // ---------------------------------------------------------------------
+
+  /** Z-order clustering keys over (user, value-bucket) — the
+    * computation behind [[graft.ops.ZOrderLayout]]'s multi-dimensional
+    * file layout (Delta/Iceberg `OPTIMIZE ZORDER BY` re-expressed as a
+    * write pattern; see that object's scaladoc for WHY at 100 TB).
+    * This query pins the BIT MATH: the native
+    * [[graft.functions.ZOrder2Expr]] computes the Morton code with
+    * magic-mask parallel spreads in whole-stage codegen, while the
+    * DuckDB oracle interleaves all 32 bits the naive way — an unrolled
+    * Σᵢ ((x≫i)&1)≪2i + ((y≫i)&1)≪(2i+1) — so the two engines agree
+    * integer-for-integer through completely different formulations.
+    * ZOrderSpec adds the layout-level pruning property (balanced
+    * per-file bounding boxes vs an x-sorted control).
+    */
+  val q74Zorder = Q(
+    "q74_zorder",
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val xd = (col("user_id") % 65536).cast("int")
+      val yd = floor(col("value")).cast("int") % 65536
+      T.events(s, dir)
+        .filter(col("event_id") < 500)
+        .select(col("event_id"), xd.as("xd"), yd.as("yd"))
+        .withColumn("z", graft.functions.GraftFunctions.zorder2(col("xd"), col("yd")))
+        .orderBy(col("event_id"))
+    },
+    Some {
+      val terms = (0 until 16).map(i =>
+        s"(((CAST(xd AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+          s"(((CAST(yd AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""
+      WITH d AS (
+        SELECT event_id,
+          CAST(user_id % 65536 AS INTEGER) AS xd,
+          CAST(FLOOR(value) AS INTEGER) % 65536 AS yd
+        FROM events WHERE event_id < 500)
+      SELECT event_id, xd, yd, CAST($terms AS BIGINT) AS z
+      FROM d ORDER BY event_id""".stripMargin
+    },
+    "Z-order (Morton) clustering key: native magic-mask interleave expression (codegen) vs a naive 32-term unrolled bit oracle; the compute half of ZOrderLayout's multi-dim file-skipping layout")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
-    q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter)
+    q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder)
 }
