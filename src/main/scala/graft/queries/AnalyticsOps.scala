@@ -424,8 +424,87 @@ object AnalyticsOps {
       FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
     "malformed-record tolerance: PERMISSIVE from_json nulls (never throws) + quarantine counts, vs an independent json_valid() oracle")
 
+  /** ANALYZE-style column profiling — the first query an ops team runs
+    * on a new 100 TB table: per-column row/null/distinct counts and
+    * min/max, the stats that drive CBO estimates, partition design, and
+    * data-quality alerting. The Spark side is ONE scan: a single agg
+    * computes every column's stats (Catalyst plans the multi-column
+    * count-distinct via Expand — one logical pass, no per-column jobs),
+    * then `stack` unpivots to a row per column. The DuckDB oracle is
+    * the opposite formulation — one SELECT per column UNION ALL'd — so
+    * the check crosses both engines AND both shapes. min/max are
+    * emitted as strings for type-uniformity; doubles go through
+    * DECIMAL(18,2) first (raw-column decimal cast, exact at this data's
+    * scale) because double→string shortest-repr formatting is not
+    * cross-engine-stable.
+    *
+    * At scale: per-column exact count-distinct is the expensive part
+    * (Expand multiplies rows by #distinct-aggs before the shuffle);
+    * the sketch path swaps in q63's KMV (mergeable, bounded) per column
+    * when estimates suffice — same output schema, documented trade.
+    */
+  val q75ColumnProfile = Q(
+    "q75_column_profile",
+    (s, dir) => {
+      val dec = (c: String) => col(c).cast(graft.Qdsl.D2)
+      val profiled = T.orders(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        // o_orderkey
+        count(col("o_orderkey")).as("nn_key"),
+        countDistinct(col("o_orderkey")).as("nd_key"),
+        min(col("o_orderkey")).cast("string").as("mn_key"),
+        max(col("o_orderkey")).cast("string").as("mx_key"),
+        // o_totalprice
+        count(col("o_totalprice")).as("nn_price"),
+        countDistinct(col("o_totalprice")).as("nd_price"),
+        min(dec("o_totalprice")).cast("string").as("mn_price"),
+        max(dec("o_totalprice")).cast("string").as("mx_price"),
+        // o_orderstatus
+        count(col("o_orderstatus")).as("nn_status"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        min(col("o_orderstatus")).as("mn_status"),
+        max(col("o_orderstatus")).as("mx_status"),
+        // o_orderdate
+        count(col("o_orderdate")).as("nn_date"),
+        countDistinct(col("o_orderdate")).as("nd_date"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mn_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mx_date"))
+      profiled.select(expr(
+        """stack(4,
+          |  'o_orderkey',   n_rows, n_rows - nn_key,    nd_key,    mn_key,    mx_key,
+          |  'o_totalprice', n_rows, n_rows - nn_price,  nd_price,  mn_price,  mx_price,
+          |  'o_orderstatus',n_rows, n_rows - nn_status, nd_status, mn_status, mx_status,
+          |  'o_orderdate',  n_rows, n_rows - nn_date,   nd_date,   mn_date,   mx_date)
+          |  AS (col_name, n_rows, n_null, n_distinct, min_s, max_s)""".stripMargin))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      SELECT 'o_orderdate' AS col_name, COUNT(*) AS n_rows,
+        COUNT(*) - COUNT(o_orderdate) AS n_null,
+        COUNT(DISTINCT o_orderdate) AS n_distinct,
+        strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_s,
+        strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+        COUNT(DISTINCT o_orderkey),
+        CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        COUNT(DISTINCT o_totalprice),
+        CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+        CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+      FROM orders
+      ORDER BY col_name""".stripMargin),
+    "ANALYZE-style column profile: one-scan multi-column stats (Expand-planned count-distincts) unpivoted via stack, vs a per-column UNION ALL oracle — different engines AND different shapes; decimal-routed min/max strings for cross-engine stability")
+
   val all: Seq[Q] = Seq(
     q49Sessionize, q50Pivot, q51TopkPerGroup, q52Percentiles,
     q53FullOuter, q54RangeJoin, q55AsofJoin, q56BagSetOps, q57MapFuncs,
-    q58RangeFrame, q59SqlEntry, q65CorruptJson)
+    q58RangeFrame, q59SqlEntry, q65CorruptJson, q75ColumnProfile)
 }

@@ -29,6 +29,13 @@ class PlanAuditSpec extends SparkSpec {
         "partitioner samples its child, re-executing everything below it")
   }
 
+  test("q75 profiles every column in ONE scan (Expand-planned multi-distinct)") {
+    val plan = executedPlan(AnalyticsOps.q75ColumnProfile)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"column profile must read the table once, saw $scans scans:\n$plan")
+    assert(plan.contains("Expand"), s"multi-column count-distinct should plan via Expand:\n$plan")
+  }
+
   test("q34 broadcasts the query side, not the corpus") {
     val plan = executedPlan(LlmOps.q34TopkCosine)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
