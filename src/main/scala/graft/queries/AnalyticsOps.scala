@@ -503,8 +503,51 @@ object AnalyticsOps {
       ORDER BY col_name""".stripMargin),
     "ANALYZE-style column profile: one-scan multi-column stats (Expand-planned count-distincts) unpivoted via stack, vs a per-column UNION ALL oracle — different engines AND different shapes; decimal-routed min/max strings for cross-engine stability")
 
+  /** Offset + distribution window functions — the slice of the window
+    * surface q15/q16/q58 (ranking, ROWS, RANGE frames) don't touch:
+    * `lag`/`lead` (previous/next order price along each customer's
+    * order history) and `ntile`/`percent_rank`/`cume_dist` (position of
+    * each order in its customer's price distribution). Every window
+    * orders by a TOTAL key (date/price + orderkey tiebreak) so offsets
+    * and peer groups are deterministic; percent_rank = (rank−1)/(n−1)
+    * and cume_dist = rank/n are exact-int divisions — bit-identical.
+    * One shuffle on o_custkey serves all five functions (same
+    * partition key, two sort orders within it).
+    */
+  val q76WindowOffsets = Q(
+    "q76_window_offsets",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val dist = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T.orders(s, dir)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(hist).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(hist).as("next_price"),
+          ntile(4).over(dist).as("price_quartile"),
+          percent_rank().over(dist).as("pr"),
+          cume_dist().over(dist).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        lag(o_totalprice, 1) OVER h AS prev_price,
+        lead(o_totalprice, 1) OVER h AS next_price,
+        CAST(ntile(4) OVER d AS INTEGER) AS price_quartile,
+        percent_rank() OVER d AS pr,
+        cume_dist() OVER d AS cd
+      FROM orders WHERE o_custkey < 100
+      WINDOW h AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             d AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""".stripMargin),
+    "offset + distribution windows (lag/lead, ntile/percent_rank/cume_dist): total-ordered windows for deterministic offsets, exact-int rank divisions; one o_custkey shuffle serves all five functions")
+
   val all: Seq[Q] = Seq(
     q49Sessionize, q50Pivot, q51TopkPerGroup, q52Percentiles,
     q53FullOuter, q54RangeJoin, q55AsofJoin, q56BagSetOps, q57MapFuncs,
-    q58RangeFrame, q59SqlEntry, q65CorruptJson, q75ColumnProfile)
+    q58RangeFrame, q59SqlEntry, q65CorruptJson, q75ColumnProfile,
+    q76WindowOffsets)
 }
