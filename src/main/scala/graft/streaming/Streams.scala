@@ -122,6 +122,23 @@ object Streams {
     * time are dropped (the reference has no late-data concept at all;
     * this is the capability it lacks, SURVEY.md §2.9).
     */
+  /** Stream-static enrichment join — the most common production
+    * streaming shape (the reference's analogue: each fetched page is
+    * looked up against MySQL dimension rows before insert,
+    * categorizer.py:150-188, done row-by-row on the driver there).
+    * The static side is a plain DataFrame; Catalyst plans a BROADCAST
+    * hash join per micro-batch, so the stream side never shuffles and
+    * the state store is not involved at all — enrichment is stateless.
+    * The static frame is re-resolved each batch (a reloaded dimension
+    * table picks up changes at batch granularity); a LARGE static side
+    * would instead be a shuffled stream-static join, same semantics.
+    * Unmatched stream rows are kept with null dimension columns
+    * (left_outer): an enrichment miss must never DROP a fact at scale —
+    * it quarantines like q65's corrupt rows.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+
   def hourlyCounts(events: DataFrame, delay: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", delay)

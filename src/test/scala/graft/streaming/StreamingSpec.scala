@@ -16,6 +16,29 @@ class StreamingSpec extends SparkSpec {
   private def ts(hhmm: String): Timestamp =
     Timestamp.valueOf(s"2024-03-01 $hhmm:00")
 
+
+  test("enrich joins each micro-batch against the static dimension, keeping misses") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val dim = Seq(("en.wikipedia.org", "wiki"), ("example.com", "other"))
+      .toDF("domain", "kind")
+    val in = MemoryStream[(String, String)]
+    val q = Streams.enrich(in.toDF().toDF("url", "domain"), dim, "domain")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("u1", "en.wikipedia.org"), ("u2", "unknown.net"))
+      q.processAllAvailable()
+      in.addData(("u3", "example.com"))
+      q.processAllAvailable()
+      val rows = s.table("enrich_out").select("url", "kind").as[(String, String)]
+        .collect().toMap
+      // matches enriched, the miss KEPT with a null kind (never dropped)
+      assert(rows === Map("u1" -> "wiki", "u2" -> null, "u3" -> "other"))
+    } finally q.stop()
+  }
+
   test("dedupUrls emits each URL once across micro-batches (Redis-set semantics)") {
     val s = spark
     import s.implicits._
