@@ -633,7 +633,74 @@ object TrainingOps {
     },
     "Z-order (Morton) clustering key: native magic-mask interleave expression (codegen) vs a naive 32-term unrolled bit oracle; the compute half of ZOrderLayout's multi-dim file-skipping layout")
 
+  // ---------------------------------------------------------------------
+  // q77 — eval-set decontamination (n-gram overlap)
+  // ---------------------------------------------------------------------
+
+  /** Benchmark decontamination — the asymmetric cousin of dedup every
+    * LLM data pipeline runs before training (cf. the 13-gram overlap
+    * filters described in GPT-3, Brown et al. 2020 §C, and PaLM): find
+    * training documents sharing any 5-token shingle with a (small) eval
+    * probe set, so test data can be quarantined from the training
+    * corpus. Here docs 0-9 stand in for the eval set; output is the
+    * per-document contamination report (distinct shared shingles, doc
+    * shingle count, share fraction as an exact-int division).
+    *
+    * Scale shape — what makes this NOT q32: the probe side is tiny
+    * relative to a 100 TB corpus, so its distinct shingle set is
+    * BROADCAST and the corpus side does one explode → broadcast-hash
+    * semi-probe → per-doc count, with no corpus self-join and no
+    * corpus-side shuffle except the final per-doc agg (keyed on
+    * doc_id, pre-aggregated map-side). A probe set too big to
+    * broadcast falls back to a shuffled join keyed on a shingle HASH
+    * (16 bytes, not the text), same semantics.
+    */
+  val q77Decontaminate = Q(
+    "q77_decontaminate",
+    (s, dir) => {
+      val grams5 = "array_distinct(transform(sequence(1, size(ts) - 4), " +
+        "i -> concat_ws(' ', element_at(ts,i), element_at(ts,i+1), " +
+        "element_at(ts,i+2), element_at(ts,i+3), element_at(ts,i+4))))"
+      val g = T.documentsSpread(s, dir)
+        .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 5)
+        .select(col("doc_id"), expr(grams5).as("grams"))
+      val evalGrams = g.filter(col("doc_id") < 10)
+        .select(explode(col("grams")).as("g")).distinct()
+      val train = g.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), size(col("grams")).as("n_grams"),
+          explode(col("grams")).as("g"))
+      train.join(broadcast(evalGrams), "g")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("doc_id"), col("n_shared"), col("n_grams"),
+          (col("n_shared").cast("double") / col("n_grams")).as("share_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(ts) - 4),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                 ts[i+3] || ' ' || ts[i+4])) AS grams
+        FROM d WHERE len(ts) >= 5),
+      ev AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id < 10),
+      tr AS (
+        SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gr
+        FROM g WHERE doc_id >= 10)
+      SELECT tr.doc_id, COUNT(*) AS n_shared,
+        CAST(tr.n_grams AS INTEGER) AS n_grams,
+        CAST(COUNT(*) AS DOUBLE) / tr.n_grams AS share_frac
+      FROM tr JOIN ev ON tr.gr = ev.gr
+      GROUP BY tr.doc_id, tr.n_grams ORDER BY tr.doc_id""".stripMargin),
+    "eval-set decontamination: 5-gram overlap of the corpus against a broadcast probe-shingle set — one explode + broadcast semi-probe + doc_id agg, no corpus self-join; the asymmetric dedup every training pipeline runs before training")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
-    q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder)
+    q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
+    q77Decontaminate)
 }

@@ -141,6 +141,13 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.exists(!_.getBoolean(5)), "no doc rejected — thresholds never fire")
   }
 
+  test("q77 broadcasts the probe-shingle side, never the corpus") {
+    val plan = TrainingOps.q77Decontaminate.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q70 redaction removes exactly the injected spans (char accounting)") {
     val rs = TrainingOps.q70PiiRedact.fn(spark, sf).collect()
     rs.foreach { r =>
