@@ -699,8 +699,64 @@ object TrainingOps {
       GROUP BY tr.doc_id, tr.n_grams ORDER BY tr.doc_id""".stripMargin),
     "eval-set decontamination: 5-gram overlap of the corpus against a broadcast probe-shingle set — one explode + broadcast semi-probe + doc_id agg, no corpus self-join; the asymmetric dedup every training pipeline runs before training")
 
+  // ---------------------------------------------------------------------
+  // q78 — token-budget sequence packing (shard planning)
+  // ---------------------------------------------------------------------
+
+  /** Training-shard planning: assign documents to fixed-token-budget
+    * shards (budget 4096 here) in a deterministic order, and report
+    * each shard's fill — the packing step between "curated corpus" and
+    * "training shards" (the streaming-order analogue of sequence
+    * packing). A doc goes to the shard where its first token lands:
+    * shard = ⌊(prefix_sum − n) / B⌋ over the doc_id order — pure
+    * integer arithmetic, so assignment is reproducible like q67's
+    * split (same principle: layout must be a function of the data, not
+    * of the run).
+    *
+    * Scale shape: the prefix sum runs PER SOURCE (window partitioned
+    * by the sharding domain), so it parallelizes across the keyed
+    * shuffle instead of serializing the corpus through one global
+    * running-sum task — a GLOBAL pack at 100 TB would instead do
+    * per-partition sums + a broadcast offset join (two passes), noted
+    * here; per-domain packing is what pipelines actually ship (shards
+    * don't mix sources).
+    */
+  val q78TokenPacking = Q(
+    "q78_token_packing",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.documentsSpread(s, dir)
+        .select(col("source"), col("doc_id"),
+          expr(s"size(filter($toksSql, t -> t <> ''))").as("n"))
+        .withColumn("shard_id",
+          ((sum(col("n")).over(w) - col("n")) / 4096).cast("bigint"))
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("bigint").as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("shard_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, doc_id,
+          len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n
+        FROM documents),
+      a AS (
+        SELECT source, doc_id, n,
+          (SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n) // 4096 AS shard_id
+        FROM d)
+      SELECT source, shard_id, COUNT(*) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS n_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM a GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin),
+    "token-budget shard packing: per-source integer prefix-sum assignment (reproducible, parallel across the sharding domain) + shard fill report; global-pack fallback = per-partition sums + broadcast offsets")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
-    q77Decontaminate)
+    q77Decontaminate, q78TokenPacking)
 }
