@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minhash64F)
     ext.injectFunction(GraftFunctions.parsePageF)
     ext.injectFunction(GraftFunctions.zorder2F)
+    ext.injectFunction(GraftFunctions.ngramsF)
   }
 }
 
@@ -87,6 +88,16 @@ object GraftFunctions {
       ParsePageExpr(children.head)
     })
 
+  private[functions] val ngramsF
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngrams"),
+    new ExpressionInfo(classOf[NGramsExpr].getName, null, "ngrams"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"ngrams expects 2 arguments, got ${children.size}")
+      NGramsExpr(children.head, children(1))
+    })
+
   private[functions] val zorder2F
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("zorder2"),
@@ -101,7 +112,7 @@ object GraftFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(dotF, simhashF, md5LongsF, rollingHashF, minhash64F, parsePageF,
-      zorder2F).foreach {
+      zorder2F, ngramsF).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id))
           registry.registerFunction(id, info, builder)
@@ -145,6 +156,13 @@ object GraftFunctions {
   def parsePage(html: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       ParsePageExpr(org.apache.spark.sql.GraftColumnBridge.expression(html)))
+
+  /** Column-API handle for [[NGramsExpr]]. */
+  def ngrams(arr: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      NGramsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(arr),
+        org.apache.spark.sql.catalyst.expressions.Literal(n)))
 
   /** Column-API handle for [[ZOrder2Expr]]. */
   def zorder2(x: Column, y: Column): Column =

@@ -38,22 +38,23 @@ object LlmOps {
     */
   private val toksE = "split(lower(text), ' ')"
 
-  /** Distinct 3-word shingles (requires >= 3 tokens; callers filter). */
-  private def shinglesE(t: String): String =
-    s"array_distinct(transform(sequence(1, size($t)-2), " +
-      s"i -> concat(element_at($t,i),' ',element_at($t,i+1),' ',element_at($t,i+2))))"
-
-  /** documents with a distinct-shingle-set column `sh`. Reads the
+  /** documents with a distinct-3-shingle-set column `sh`. Reads the
     * hash-distributed scan ([[graft.Tables.documentsSpread]]) so the
     * shingling + downstream sketching parallelize — the single-row-group
     * testdata would otherwise pin the whole shingle/minhash stage to one
-    * task.
+    * task. Shingles come from the native codegen
+    * [[graft.functions.NGramsExpr]] (byte-identical to the interpreted
+    * `transform(sequence)+concat` HOF chain it replaced — parity pinned
+    * in FunctionPropertySpec; the DuckDB oracles keep their independent
+    * `list_transform(generate_series)` formulation).
     */
   private[queries] def shingled(s: SparkSession, dir: String): DataFrame =
     T.documentsSpread(s, dir)
       .select(col("doc_id"), expr(toksE).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(shinglesE("toks")).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.GraftFunctions.ngrams(col("toks"), 3))
+          .as("sh"))
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))

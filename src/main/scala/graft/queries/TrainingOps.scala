@@ -543,9 +543,8 @@ object TrainingOps {
           max(col("c")).as("top_c"),
           count(lit(1)).as("n_distinct"))
       val biStats = base
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ts) - 1), " +
-            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("b"))
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.ngrams(col("ts"), 2)).as("b"))
         .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi_c"))
       tokStats.join(biStats, "doc_id")
@@ -658,13 +657,15 @@ object TrainingOps {
   val q77Decontaminate = Q(
     "q77_decontaminate",
     (s, dir) => {
-      val grams5 = "array_distinct(transform(sequence(1, size(ts) - 4), " +
-        "i -> concat_ws(' ', element_at(ts,i), element_at(ts,i+1), " +
-        "element_at(ts,i+2), element_at(ts,i+3), element_at(ts,i+4))))"
+      // native codegen shingling — the interpreted HOF formulation
+      // (transform(sequence)+concat_ws lambdas) measured ~10 s of this
+      // query's sf0.1 scan; byte-identical output (NGramsExpr doc)
       val g = T.documentsSpread(s, dir)
         .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
         .filter(size(col("ts")) >= 5)
-        .select(col("doc_id"), expr(grams5).as("grams"))
+        .select(col("doc_id"),
+          array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 5))
+            .as("grams"))
       val evalGrams = g.filter(col("doc_id") < 10)
         .select(explode(col("grams")).as("g")).distinct()
       val train = g.filter(col("doc_id") >= 10)

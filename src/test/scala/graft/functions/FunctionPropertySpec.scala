@@ -45,6 +45,27 @@ class FunctionPropertySpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("property: ngrams is byte-identical to the interpreted HOF chain, all n and lengths") {
+    val s = spark
+    import s.implicits._
+    val tokGen: Gen[List[String]] =
+      Gen.chooseNum(0, 9).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "bb", "ccc", "spark", "x1", "_")))
+    for (n <- 2 to 5) {
+      // (sequence(1, 0) DESCENDS in Spark, so short arrays need the guard)
+      val hof = s"case when size(ts) >= $n then " +
+        s"transform(sequence(1, size(ts) - ${n - 1}), " +
+        s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(ts, i + $j)").mkString(", ")})) " +
+        s"else array() end"
+      val rows = samples(tokGen).toDF("ts")
+        .select(GraftFunctions.ngrams(col("ts"), n).as("native"), expr(hof).as("hofv"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n mismatch")
+      }
+    }
+  }
+
   private val strListGen: Gen[List[String]] =
     Gen.listOfN(12, Gen.oneOf(
       Gen.alphaNumStr.map(_.take(20)),
