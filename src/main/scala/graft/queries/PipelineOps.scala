@@ -665,8 +665,93 @@ object PipelineOps {
       ORDER BY c.source""".stripMargin),
     "KMV cardinality sketch vs exact distinct: k=64 minimum md5-hashes per source, (k-1)·2^60/h_k estimate — engine-exact sketch internals (unlike HLL), bounded-memory top-k shuffle shape")
 
+  /** KMV sketch MERGE — the property q63 uses but doesn't exhibit: the
+    * union vocabulary's cardinality estimated from the per-source
+    * sketches ALONE (k = 16 here so the ESTIMATION branch actually fires on
+    * this small vocabulary; k smallest distinct of the union of each
+    * source's k minima), never re-reading the tokens. This is the fleet pattern
+    * that makes sketches the 100 TB answer: per-day / per-partition /
+    * per-source sketches (k longs each) merge associatively into the
+    * global answer — re-aggregation without re-scanning.
+    *
+    * The merge LAW is surfaced in the output: `est_merged` (from the
+    * per-source sketch union) and `est_direct` (a sketch built over all
+    * hashes globally) are equal BY CONSTRUCTION — every global k-th
+    * minimum is inside its own source's k minima — and both engines
+    * compute both paths, so the gate pins the identity, not just the
+    * numbers.
+    */
+  val q79KmvMerge = Q(
+    "q79_kmv_merge",
+    (s, dir) => {
+      import graft.functions.KMinDistinctAggregator
+      val k = 16
+      val toks = T.documentsSpread(s, dir)
+        .select(col("source"), explode(expr(toksSql)).as("t"))
+        .filter(col("t") =!= "")
+        .distinct()
+      val hashed = toks.select(col("source"),
+        expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)").as("h"))
+      import s.implicits._
+      def estimate(mins: org.apache.spark.sql.Column) =
+        when(size(mins) < k, size(mins).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+            / element_at(mins, k))
+      val perSource = hashed.as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new KMinDistinctAggregator(k).toColumn.name("mins"))
+        .toDF("source", "mins")
+      val merged = perSource.select(explode(col("mins")).as("h")).as[Long]
+        .select(new KMinDistinctAggregator(k).toColumn.name("mins"))
+        .toDF("mins").select(estimate(col("mins")).as("est_merged"))
+      val direct = hashed.select(col("h")).as[Long]
+        .select(new KMinDistinctAggregator(k).toColumn.name("mins"))
+        .toDF("mins").select(estimate(col("mins")).as("est_direct"))
+      val counts = toks.agg(
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("t")).as("n_exact"))
+      counts.crossJoin(merged).crossJoin(direct)
+        .select(col("n_sources"), col("n_exact"),
+          col("est_merged"), col("est_direct"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT DISTINCT source, t
+        FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+              FROM documents)
+        WHERE t <> ''),
+      hashed AS (
+        SELECT DISTINCT source, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        FROM toks),
+      per AS (
+        SELECT source, h,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hashed),
+      uni AS (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM per WHERE rn <= 16)),
+      gkth AS (SELECT h FROM uni WHERE rn = 16),
+      nu AS (SELECT COUNT(*) AS c FROM uni),
+      dall AS (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM hashed)),
+      dkth AS (SELECT h FROM dall WHERE rn = 16),
+      nd AS (SELECT COUNT(*) FILTER (rn <= 16) AS c FROM dall),
+      agg AS (
+        SELECT COUNT(DISTINCT source) AS n_sources,
+          COUNT(DISTINCT t) AS n_exact
+        FROM toks)
+      SELECT agg.n_sources, agg.n_exact,
+        CASE WHEN nu.c < 16 THEN CAST(nu.c AS DOUBLE)
+             ELSE 15.0 * 1152921504606846976.0 / gkth.h END AS est_merged,
+        CASE WHEN nd.c < 16 THEN CAST(nd.c AS DOUBLE)
+             ELSE 15.0 * 1152921504606846976.0 / dkth.h END AS est_direct
+      FROM agg CROSS JOIN nu CROSS JOIN nd
+      LEFT JOIN gkth ON TRUE LEFT JOIN dkth ON TRUE""".stripMargin),
+    "KMV sketch merge: union-vocabulary estimate from per-source 16-long sketches alone (k smallest distinct of the minima union), next to the direct global sketch — equal by the merge law, both paths gated in both engines; re-aggregation without re-scanning")
+
   val all: Seq[Q] = Seq(
     q42SimhashHammingDup, q43AnnHyperplaneLsh, q44BlockedNearDup,
     q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload,
-    q60AnnIvf, q63KmvDistinct)
+    q60AnnIvf, q63KmvDistinct, q79KmvMerge)
 }
