@@ -32,6 +32,20 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("df.sample(seed) is partition-dependent — the negative that motivates q67's hash split") {
+    // Same seed, different physical layout → a DIFFERENT sample. This is
+    // why reproducible pipelines key membership on a content/id hash
+    // (q67) instead of seeded sampling: rand(seed) is seeded PER
+    // PARTITION, so cluster size or upstream layout changes the sample.
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"))
+    val a = docs.sample(0.3, seed = 42).collect().map(_.getLong(0)).toSet
+    val b = docs.repartition(7, col("doc_id")).sample(0.3, seed = 42)
+      .collect().map(_.getLong(0)).toSet
+    assert(a !== b,
+      "expected seeded sample to differ across layouts; if this ever fails, " +
+        "the motivation comment in q67 needs revisiting")
+  }
+
   test("q67 covers every doc exactly once (splits partition the corpus)") {
     val total = TrainingOps.q67HashSplit.fn(spark, sf)
       .agg(sum(col("n_docs"))).collect().head.getLong(0)
