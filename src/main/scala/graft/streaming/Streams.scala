@@ -139,6 +139,37 @@ object Streams {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Stream-STREAM join — attribute each purchase to a same-user click
+    * at most `within` before it (the streaming twin of q55's as-of
+    * semantics, restricted to a bounded lookback as streaming
+    * requires). Both sides carry watermarks and the join condition
+    * bounds event-time distance, which is what lets the state store
+    * EVICT: a buffered click older than the watermark minus `within`
+    * can never match a future purchase and is dropped — without the
+    * time bound, stream-stream join state grows forever. State
+    * shuffles once keyed on user_id, the same shape as every stateful
+    * op here. Inner join ⇒ append mode; results for a micro-batch
+    * emit as soon as both sides' watermarks pass.
+    *
+    * Expected columns: clicks(user_id, click_id, ts),
+    * purchases(user_id, purchase_id, ts).
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      within: String = "30 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", within)
+    val p = purchases
+      .select(col("user_id"), col("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", within)
+    c.join(p,
+      c("user_id") === p("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $within"))
+      .select(c("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   def hourlyCounts(events: DataFrame, delay: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", delay)

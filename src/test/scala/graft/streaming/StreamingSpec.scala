@@ -17,6 +17,36 @@ class StreamingSpec extends SparkSpec {
     Timestamp.valueOf(s"2024-03-01 $hhmm:00")
 
 
+
+  test("stream-stream click attribution joins within the time bound and evicts beyond it") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val q = Streams.clickAttribution(
+      clicks.toDF().toDF("user_id", "click_id", "ts"),
+      purchases.toDF().toDF("user_id", "purchase_id", "ts"),
+      "30 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 100L, ts("10:00")), (2L, 101L, ts("10:00")))
+      purchases.addData(
+        (1L, 900L, ts("10:10")),  // 10 min after u1's click -> match
+        (2L, 901L, ts("11:30")))  // 90 min after u2's click -> outside bound
+      q.processAllAvailable()
+      // advance both watermarks far enough to finalize results
+      clicks.addData((9L, 999L, ts("13:00")))
+      purchases.addData((9L, 998L, ts("13:00")))
+      q.processAllAvailable()
+      val got = s.table("attr_out")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(got.contains((100L, 900L)), s"in-window match missing: $got")
+      assert(!got.exists(_._2 == 901L), s"out-of-window purchase matched: $got")
+    } finally q.stop()
+  }
+
   test("enrich joins each micro-batch against the static dimension, keeping misses") {
     val s = spark
     import s.implicits._
