@@ -756,8 +756,52 @@ object TrainingOps {
       FROM a GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin),
     "token-budget shard packing: per-source integer prefix-sum assignment (reproducible, parallel across the sharding domain) + shard fill report; global-pack fallback = per-partition sums + broadcast offsets")
 
+  // ---------------------------------------------------------------------
+  // q80 — reproducible per-group eval carve-out
+  // ---------------------------------------------------------------------
+
+  /** Fixed-quota eval-set selection: the 3 docs per language whose
+    * md5(doc_id) sorts first — the per-group QUOTA form of q67's
+    * hash-membership principle (q67 gives proportional splits; an eval
+    * set usually wants exactly-k per stratum). Selection is a pure
+    * function of the data — stable across runs, partitioning, and
+    * cluster size (the property the df.sample(seed) negative test in
+    * TrainingOpsSpec shows seeded sampling lacks) — and documents the
+    * deterministic tie-break (hash, then doc_id).
+    *
+    * Scale: one shuffle keyed on lang; with a bounded quota the window
+    * form is fine, and the bounded-memory path for huge groups is
+    * q51's TopKAggregator keyed on the hash (k rows per group per
+    * partition shuffle), same contract.
+    */
+  val q80EvalCarveout = Q(
+    "q80_eval_carveout",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      T.documentsSpread(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("lang"), col("rank"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some("""
+      SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id,
+        CAST(n_chars AS BIGINT) AS n_chars
+      FROM (
+        SELECT lang, doc_id, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        FROM documents)
+      WHERE rank <= 3 ORDER BY lang, rank""".stripMargin),
+    "reproducible per-language eval carve-out: exactly-k-per-stratum by md5(doc_id) order — quota form of q67's hash membership, stable under any partitioning; TopKAggregator is the bounded-memory path for huge strata")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
-    q77Decontaminate, q78TokenPacking)
+    q77Decontaminate, q78TokenPacking, q80EvalCarveout)
 }
