@@ -63,6 +63,19 @@ class FunctionsSpec extends SparkSpec {
     assert(out === Seq(32.0, -2.0, 1e-9 * 1e9 + 1e9 * 1e-9 - 1.0))
   }
 
+  test("SQL registration: zorder2 and ngrams resolve in SQL text") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    val r = Seq(1).toDF("x")
+      .select(expr("zorder2(3, 5)").as("z"),
+        expr("ngrams(array('a','b','c'), 2)").as("g"))
+      .collect().head
+    // x=3 (bits 0,1 -> even positions 0,2), y=5 (bits 0,2 -> odd positions 1,5)
+    assert(r.getLong(0) === ((1L << 0) | (1L << 2) | (1L << 1) | (1L << 5)))
+    assert(r.getSeq[String](1) === Seq("a b", "b c"))
+  }
+
   test("simhash_bits equals the CASE-chain majority-vote formulation") {
     val s = spark
     import s.implicits._
