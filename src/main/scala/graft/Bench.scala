@@ -85,11 +85,19 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // The driver records only the LAST ~2000 chars of output and parses
+    // the JSON line out of that tail (BENCH_r04 came back `parsed:null`
+    // because 80 full-length query names at 9-decimal precision pushed
+    // the line past the window and its head got truncated). Keep the
+    // line compact: short keys (q01..q80 — the registry prefix is
+    // unique) and ms-precision values. ~1.1 KB for 80 queries.
+    val qs = results.map { case (k, v) =>
+      s"${jstr(k.takeWhile(_ != '_'))}:${math.rint(v * 1000) / 1000}"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -747,8 +747,9 @@ object TrainingOps {
         FROM documents),
       a AS (
         SELECT source, doc_id, n,
-          (SUM(n) OVER (PARTITION BY source ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - n) // 4096 AS shard_id
+          CAST((SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n) // 4096
+               AS BIGINT) AS shard_id
         FROM d)
       SELECT source, shard_id, COUNT(*) AS n_docs,
         CAST(SUM(n) AS BIGINT) AS n_tokens,
