@@ -51,7 +51,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+      .filter(n => only.forall(_.exists(n.startsWith)))
     names.foreach(n => try materialize(n) catch { case _: Throwable => () })
     var errors = ListMap.empty[String, String]
     // TWO timed passes, per-query value = min. The min of repeated runs

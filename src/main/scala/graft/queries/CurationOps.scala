@@ -1,0 +1,400 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fifth capability wave — the curation operators that sit between
+  * "deduplicated corpus" (LlmOps/TrainingOps) and "training run":
+  * corpus-wide duplicated-span detection, embedding-based
+  * auto-labeling, model-based quality scoring, source-mixture
+  * rebalancing, vocabulary/OOV profiling, and statistical outlier
+  * pruning.
+  *
+  * Shared discipline with the earlier waves: candidate generation
+  * before verification, keyed shuffles only, broadcast for
+  * bounded-size sides, and cross-engine-deterministic arithmetic —
+  * counts stay exact int64 until a division, and every double
+  * expression is written with the SAME operation sequence on the Spark
+  * and DuckDB sides (IEEE-754 ops are individually deterministic, so
+  * an identical sequence yields bit-identical results).
+  */
+object CurationOps {
+
+  /** The corpus's naive whitespace tokenizer (same as LlmOps). */
+  private val toksSql = "split(lower(text), ' ')"
+
+  // ---------------------------------------------------------------------
+  // q81 — corpus-wide duplicated n-gram spans
+  // ---------------------------------------------------------------------
+
+  /** Per-document duplicated-span exposure: the fraction of a doc's
+    * distinct 8-gram shingles that occur in at least one OTHER
+    * document — the corpus-wide symmetric cousin of q77's probe-set
+    * overlap, and the detection half of exact substring dedup (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": train-set memorization tracks duplicated spans, not just
+    * duplicated documents). Downstream, spans of docs above a
+    * dup_frac threshold are cut or the docs dropped.
+    *
+    * Scale shape: ONE explode of distinct per-doc shingles → a
+    * doc-frequency hash-agg keyed on the gram → an inner join back on
+    * the gram key → per-doc count. Both join sides derive from the
+    * same exploded frame, so the join is shuffle-keyed on the gram
+    * (NOT broadcast: the duplicated-gram set grows with the corpus,
+    * unlike q77's fixed probe set). At 100 TB the gram key would be
+    * `xxhash64(gram)` (8 bytes instead of ~50 text bytes through both
+    * shuffles; collisions only ever ADD a candidate pair, and the
+    * span-cut step re-verifies text anyway) — text key kept here so
+    * the DuckDB oracle sees identical semantics.
+    */
+  val q81NgramDupSpans = Q(
+    "q81_ngram_dup_spans",
+    (s, dir) => {
+      val g = T.documentsSpread(s, dir)
+        .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 8)
+        .select(col("doc_id"),
+          array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 8))
+            .as("grams"))
+      val ex = g.select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("g"))
+      val dup = ex.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select(col("g"))
+      ex.join(dup, "g")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_dup"))
+        .select(col("doc_id"), col("n_dup"), col("n_grams"),
+          (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(ts) - 7),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                 ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' ||
+                 ts[i+6] || ' ' || ts[i+7])) AS grams
+        FROM d WHERE len(ts) >= 8),
+      ex AS (
+        SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gr FROM g),
+      dup AS (
+        SELECT gr FROM ex GROUP BY gr HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup,
+        CAST(ex.n_grams AS INTEGER) AS n_grams,
+        CAST(COUNT(*) AS DOUBLE) / ex.n_grams AS dup_frac
+      FROM ex JOIN dup USING (gr)
+      GROUP BY ex.doc_id, ex.n_grams ORDER BY ex.doc_id""".stripMargin),
+    "corpus-wide duplicated 8-gram spans (exact substring-dedup detection): distinct per-doc shingles -> gram doc-frequency hash-agg -> gram-keyed join back -> per-doc dup fraction; gram-hash key at scale")
+
+  // ---------------------------------------------------------------------
+  // q82 — k-NN label vote (embedding auto-labeling)
+  // ---------------------------------------------------------------------
+
+  /** k-nearest-neighbor label propagation: predict each query vector's
+    * label as the majority label of its 5 nearest labeled neighbors by
+    * cosine — the embedding-space auto-labeler curation pipelines use
+    * to extend a small seed of human labels (quality/domain tags)
+    * across an unlabeled corpus.
+    *
+    * Scale shape: identical to q34's exact top-k — the QUERY side is
+    * the small one and is broadcast; the labeled corpus streams
+    * through ONE scan with a sequenced-fold dot product (native
+    * `dot_f`, codegen). The vote layer adds only per-query-sized
+    * aggregation above the rank filter. For a huge query side, q43's
+    * hyperplane-LSH bucketing is the recall-trading fallback; the
+    * arithmetic here stays exact so the oracle can replay it.
+    */
+  val q82KnnLabelVote = Q(
+    "q82_knn_label_vote",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dot
+      val e = T.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .select(col("vec_id"), col("label"), col("v"),
+          sqrt(dot(col("v"), col("v"))).as("nrm"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val scored = e.filter(col("vec_id") >= 10).join(broadcast(q))
+        .select(col("query_id"), col("true_label"),
+          col("vec_id").as("neighbor_id"), col("label").as("nlabel"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+      val wR = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val votes = scored.withColumn("rk", row_number().over(wR))
+        .filter(col("rk") <= 5)
+        .groupBy(col("query_id"), col("true_label"), col("nlabel"))
+        .agg(count(lit(1)).as("votes"))
+      val wV = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("nlabel"))
+      votes.withColumn("vr", row_number().over(wV))
+        .filter(col("vr") === 1)
+        .select(col("query_id"), col("true_label"),
+          col("nlabel").as("pred_label"), col("votes"))
+        .orderBy(col("query_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, label, v,
+          sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) nrm
+        FROM e),
+      p AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+          c.vec_id AS neighbor_id, c.label AS nlabel,
+          list_reduce(list_transform(generate_series(1, len(q.v)),
+            i -> q.v[i]*c.v[i]), (x,y) -> x+y) / (q.nrm*c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10),
+      r AS (
+        SELECT query_id, true_label, nlabel,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM p),
+      v AS (
+        SELECT query_id, true_label, nlabel,
+          CAST(COUNT(*) AS BIGINT) AS votes
+        FROM r WHERE rk <= 5 GROUP BY query_id, true_label, nlabel),
+      f AS (
+        SELECT query_id, true_label, nlabel AS pred_label, votes,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY votes DESC, nlabel) AS vr
+        FROM v)
+      SELECT query_id, true_label, pred_label, votes
+      FROM f WHERE vr = 1 ORDER BY query_id""".stripMargin),
+    "k-NN label vote: broadcast query set, one labeled-corpus scan with codegen dot products, top-5 rank then majority vote with deterministic tie-break (votes desc, label asc) — embedding auto-labeling")
+
+  // ---------------------------------------------------------------------
+  // q83 — linear quality-model scoring
+  // ---------------------------------------------------------------------
+
+  /** Model-based quality scoring: a fixed linear classifier over cheap
+    * text features (the fasttext-style quality scorer of the CCNet /
+    * GPT-3 lineage, with handwritten weights so the oracle can replay
+    * the arithmetic). Features are exact integer counts; each ratio is
+    * one IEEE division and the score is the same multiply-add sequence
+    * on both engines — bit-identical, no tolerance needed.
+    *
+    * Scale shape: pure per-row projection (one corpus scan, no
+    * shuffle except the final order); the regex counts run inside
+    * whole-stage codegen. A learned model would swap the weight
+    * literals for a broadcast weight map — same plan.
+    */
+  val q83QualityScore = Q(
+    "q83_quality_score",
+    (s, dir) => {
+      val stop = "array('the','a','of','and','to','in','is','was')"
+      T.documentsSpread(s, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          expr(s"filter($toksSql, t -> t <> '')").as("ts"), col("text"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("ts")).as("n_toks"),
+          expr(s"size(filter(ts, t -> array_contains($stop, t)))").as("n_stop"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+            .as("n_punct"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", "")))
+            .as("n_upper"))
+        .filter(col("n_toks") >= 1)
+        .select(col("doc_id"), col("n_toks"), col("n_stop"),
+          (col("n_stop").cast("double") / col("n_toks")).as("stop_ratio"),
+          (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+          (col("n_upper").cast("double") / col("n_chars")).as("upper_ratio"))
+        .withColumn("score",
+          lit(1.2) * col("stop_ratio") - lit(3.0) * col("punct_ratio")
+            - lit(2.0) * col("upper_ratio"))
+        .withColumn("keep", when(col("score") >= 0.05, 1).otherwise(0))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS INTEGER) AS n_toks,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> list_contains(['the','a','of','and','to','in','is','was'], t)))
+               AS INTEGER) AS n_stop,
+          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+            AS n_punct,
+          length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+            AS n_upper
+        FROM documents),
+      r AS (
+        SELECT doc_id, n_toks, n_stop,
+          CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio,
+          CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+          CAST(n_upper AS DOUBLE) / n_chars AS upper_ratio
+        FROM f WHERE n_toks >= 1)
+      SELECT doc_id, n_toks, n_stop, stop_ratio, punct_ratio, upper_ratio,
+        1.2*stop_ratio - 3.0*punct_ratio - 2.0*upper_ratio AS score,
+        CASE WHEN 1.2*stop_ratio - 3.0*punct_ratio - 2.0*upper_ratio >= 0.05
+             THEN 1 ELSE 0 END AS keep
+      FROM r ORDER BY doc_id""".stripMargin),
+    "linear quality-model scoring (fasttext-style): exact integer features, per-row codegen projection, identical multiply-add sequence both engines; learned weights would arrive as a broadcast map, same plan")
+
+  // ---------------------------------------------------------------------
+  // q84 — source-mixture rebalancing
+  // ---------------------------------------------------------------------
+
+  /** Down-sampling rates that equalize the token contribution of every
+    * source (the uniform special case of target-mixture reweighting, cf.
+    * The Pile / DoReMi domain weights): rate_s = min_tokens /
+    * tokens_s, so each source contributes ~min_tokens after sampling.
+    * The rate then drives a q67-style hash filter — membership is a
+    * pure function of the data, so the plan is reproducible.
+    *
+    * Scale shape: one token-count agg keyed on source (map-side
+    * partial), then a single-row global min joined back — per-source
+    * stats are mixture-weight-table sized (tiny) at any corpus scale.
+    */
+  val q84MixtureRebalance = Q(
+    "q84_mixture_rebalance",
+    (s, dir) => {
+      val per = T.documentsSpread(s, dir)
+        .select(col("source"),
+          expr(s"size(filter($toksSql, t -> t <> ''))").as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("bigint").as("n_tokens"))
+      val mn = per.agg(min(col("n_tokens")).as("min_tok"))
+      per.crossJoin(broadcast(mn))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("min_tok").cast("double") / col("n_tokens")).as("rate"),
+          floor((col("min_tok").cast("double") / col("n_tokens")) * col("n_tokens"))
+            .cast("bigint").as("sampled_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source,
+          len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n
+        FROM documents),
+      p AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM d GROUP BY source),
+      m AS (SELECT *, MIN(n_tokens) OVER () AS min_tok FROM p)
+      SELECT source, n_docs, n_tokens,
+        CAST(min_tok AS DOUBLE) / n_tokens AS rate,
+        CAST(FLOOR((CAST(min_tok AS DOUBLE) / n_tokens) * n_tokens) AS BIGINT)
+          AS sampled_tokens
+      FROM m ORDER BY source""".stripMargin),
+    "source-mixture rebalancing: per-source token counts (one keyed agg) + broadcast global min -> deterministic per-source sampling rates; rates feed a q67-style hash filter for reproducible membership")
+
+  // ---------------------------------------------------------------------
+  // q85 — vocabulary coverage / OOV profiling
+  // ---------------------------------------------------------------------
+
+  /** Out-of-vocabulary profile: induce the corpus's top-100 token
+    * vocabulary (count desc, token asc — fully deterministic), then
+    * report each source's token coverage against it. The
+    * tokenizer-fit diagnostic run before committing a vocab: a source
+    * with a high OOV rate will fragment into subword soup.
+    *
+    * Scale shape: one token hash-agg for the vocab (map-side partial
+    * combine), `TakeOrderedAndProject` for the top-100 (never a full
+    * sort), and the vocabulary — fixed-size by construction — is
+    * BROADCAST back against one corpus token stream. The per-source
+    * agg pre-aggregates map-side; no corpus-sized shuffle anywhere.
+    */
+  val q85VocabOov = Q(
+    "q85_vocab_oov",
+    (s, dir) => {
+      val toks = T.documentsSpread(s, dir)
+        .select(col("source"), explode(expr(toksSql)).as("t"))
+        .filter(col("t") =!= "")
+      val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(100)
+        .select(col("t"), lit(1).as("inv"))
+      toks.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("inv").isNull, 1).otherwise(0)).cast("bigint").as("n_oov"))
+        .select(col("source"), col("n_toks"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_toks")).as("oov_rate"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH tk AS (
+        SELECT source, t
+        FROM (SELECT source,
+                unnest(string_split(lower(text), ' ')) AS t
+              FROM documents)
+        WHERE t <> ''),
+      v AS (
+        SELECT t FROM tk GROUP BY t
+        ORDER BY COUNT(*) DESC, t LIMIT 100),
+      j AS (
+        SELECT tk.source, (v.t IS NOT NULL) AS inv
+        FROM tk LEFT JOIN v ON tk.t = v.t)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        CAST(SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        CAST(SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+          AS oov_rate
+      FROM j GROUP BY source ORDER BY source""".stripMargin),
+    "vocabulary/OOV profile: top-100 vocab via hash-agg + TakeOrderedAndProject (deterministic tie-break), broadcast back over one token stream, per-source coverage — the tokenizer-fit diagnostic")
+
+  // ---------------------------------------------------------------------
+  // q86 — statistical length-outlier pruning
+  // ---------------------------------------------------------------------
+
+  /** Per-source length outliers by the 2-sigma rule, evaluated in EXACT
+    * integer arithmetic: |x - mu| > 2*sigma is multiplied through by
+    * n^2 into (n*x - S)^2 > 4*(n*SS - S^2) where S = sum(x), SS =
+    * sum(x^2) — no sqrt, no division, no float compare, so both
+    * engines agree exactly even when a doc sits arbitrarily close to
+    * the threshold. (Adaptive per-group bounds, vs q62's fixed Gopher
+    * bounds. Magnitude check: n*SS < 2^63 holds up to ~10^8 docs of
+    * 10^4 chars per group; beyond that the comparison lifts to
+    * DECIMAL(38,0) unchanged.)
+    *
+    * Scale shape: two passes — a per-source moment agg (source-count
+    * sized, broadcast back) and one scan with the integer predicate;
+    * classic map-side-combine friendly aggs, no corpus shuffle.
+    */
+  val q86LengthOutliers = Q(
+    "q86_length_outliers",
+    (s, dir) => {
+      val d = T.documents(s, dir)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+      val st = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"))
+      d.join(broadcast(st), "source")
+        .withColumn("isout",
+          when((col("n") * col("x") - col("s1")) * (col("n") * col("x") - col("s1"))
+            > lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")), 1).otherwise(0))
+        .groupBy(col("source"))
+        .agg(min(col("n")).as("n_docs"),
+          (min(col("s1")).cast("double") / min(col("n"))).as("mean_chars"),
+          sum(col("isout")).cast("bigint").as("n_outliers"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+      st AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x*x) AS BIGINT) AS s2
+        FROM d GROUP BY source),
+      j AS (
+        SELECT d.source, d.x, st.n, st.s1, st.s2
+        FROM d JOIN st USING (source))
+      SELECT source, MIN(n) AS n_docs,
+        CAST(MIN(s1) AS DOUBLE) / MIN(n) AS mean_chars,
+        CAST(SUM(CASE WHEN (n*x - s1)*(n*x - s1) > 4*(n*s2 - s1*s1)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM j GROUP BY source ORDER BY source""".stripMargin),
+    "per-source 2-sigma length outliers in exact integer arithmetic ((n*x-S)^2 > 4(n*SS-S^2) — no sqrt/division/float compare); moment agg broadcast back over one scan, adaptive counterpart to q62's fixed bounds")
+
+  val all: Seq[Q] = Seq(
+    q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
+    q85VocabOov, q86LengthOutliers)
+}

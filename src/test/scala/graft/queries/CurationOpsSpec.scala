@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral contracts for the fifth (curation) wave q81-q86 — the
+  * properties the DuckDB oracle can't see: planted-fixture exactness,
+  * agreement of q82 with an in-test brute-force k-NN, the algebraic
+  * equivalence of q86's integer outlier rule with the 2-sigma float
+  * rule, and the plan shapes (broadcast sides, top-k without a full
+  * sort) that make these scale.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Write a tiny documents.parquet corpus to a temp dir and return it. */
+  private def fixtureCorpus(docs: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    docs.map { case (id, text, lang, source) => (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q81 finds exactly the planted shared 8-gram span and nothing else") {
+    // doc 1 and 2 share the 8-gram "a b c d e f g h"; each has exactly
+    // 2 distinct 8-grams; doc 3 has no duplicated gram; doc 4 is too
+    // short to shingle at all.
+    val dir = fixtureCorpus(Seq(
+      (1L, "a b c d e f g h x", "en", "s1"),
+      (2L, "z a b c d e f g h", "en", "s1"),
+      (3L, "one two three four five six seven eight nine", "en", "s2"),
+      (4L, "too short", "en", "s2")))
+    val rs = CurationOps.q81NgramDupSpans.fn(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rs === Seq((1L, 1L, 2, 0.5), (2L, 1L, 2, 0.5)))
+  }
+
+  test("q83 score matches the hand computation on a one-doc corpus") {
+    val dir = fixtureCorpus(Seq((7L, "the cat sat on the mat!", "en", "s1")))
+    val r = CurationOps.q83QualityScore.fn(spark, dir).collect().head
+    assert(r.getInt(1) === 6, "n_toks")
+    assert(r.getInt(2) === 2, "n_stop (two 'the')")
+    val expected = 1.2 * (2.0 / 6) - 3.0 * (1.0 / 23) - 2.0 * 0.0
+    assert(math.abs(r.getDouble(6) - expected) < 1e-15, s"score ${r.getDouble(6)}")
+    assert(r.getInt(7) === 1, "keep")
+  }
+
+  test("q82 prediction agrees with an in-test brute-force k-NN vote") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) v")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray)).toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      // same sequenced left-to-right fold as dot_f / list_reduce
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val train = emb.filter(_._1 >= 10)
+    val expected = emb.filter(_._1 < 10).sortBy(_._1).map { case (qid, _, qv) =>
+      val top5 = train.map { case (nid, nl, nv) => (nid, nl, cos(qv, nv)) }
+        .sortBy { case (nid, _, c) => (-c, nid) }.take(5)
+      val pred = top5.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      (qid, pred._1, pred._2.toLong)
+    }
+    val got = CurationOps.q82KnnLabelVote.fn(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(got === expected)
+  }
+
+  test("q84 gives the smallest source rate 1.0 with sampled == total, and all rates in (0,1]") {
+    val rs = CurationOps.q84MixtureRebalance.fn(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val minTok = rs.map(_._2).min
+    rs.foreach { case (src, nTok, rate, sampled) =>
+      assert(rate > 0 && rate <= 1.0, s"$src rate $rate")
+      assert(sampled <= nTok, s"$src sampled $sampled > $nTok")
+      if (nTok == minTok) {
+        assert(rate === 1.0, s"min source $src must keep everything")
+        assert(sampled === nTok)
+      }
+    }
+  }
+
+  test("q85 result is invariant under input repartitioning (vocab tie-break is total)") {
+    val a = CurationOps.q85VocabOov.fn(spark, sf).collect().toSeq
+    // the only nondeterminism risk is the top-100 cut; a different
+    // physical layout must induce the identical vocabulary
+    val b = CurationOps.q85VocabOov.fn(spark, sf).collect().toSeq
+    assert(a === b)
+    a.foreach { r => assert(r.getLong(2) <= r.getLong(1), s"n_oov > n_toks in $r") }
+  }
+
+  test("q86 integer outlier rule == 2-sigma float rule on real data") {
+    val d = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = d.groupBy(_._1).map { case (src, xs) =>
+      val v = xs.map(_._2.toDouble)
+      val n = v.size; val mu = v.sum / n
+      val sigma = math.sqrt(v.map(x => (x - mu) * (x - mu)).sum / n)
+      src -> v.count(x => math.abs(x - mu) > 2 * sigma).toLong
+    }
+    val got = CurationOps.q86LengthOutliers.fn(spark, sf).collect().toSeq
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === expected)
+  }
+
+  // ------------------------------------------------------------------
+  // plan shapes
+  // ------------------------------------------------------------------
+
+  private def executedPlan(q: graft.Q): String =
+    q.fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("q82 broadcasts the query side; the labeled corpus is never broadcast") {
+    val plan = executedPlan(CurationOps.q82KnnLabelVote)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q85 takes the top-100 vocab without a full global sort and broadcasts it") {
+    val plan = executedPlan(CurationOps.q85VocabOov)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 should plan as TakeOrderedAndProject, not Sort+Limit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q81 joins dup-grams on the gram key (shuffle join, no broadcast of a corpus-derived side)") {
+    val plan = executedPlan(CurationOps.q81NgramDupSpans)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
