@@ -189,31 +189,37 @@ object CurationOps {
     * whole-stage codegen. A learned model would swap the weight
     * literals for a broadcast weight map — same plan.
     */
+  /** The q83 feature/score frame (doc_id .. score), shared with q89's
+    * survivorship ranking so both run the identical arithmetic.
+    */
+  private def qualityScored(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val stop = "array('the','a','of','and','to','in','is','was')"
+    T.documentsSpread(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        expr(s"filter($toksSql, t -> t <> '')").as("ts"), col("text"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("ts")).as("n_toks"),
+        expr(s"size(filter(ts, t -> array_contains($stop, t)))").as("n_stop"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .as("n_punct"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", "")))
+          .as("n_upper"))
+      .filter(col("n_toks") >= 1)
+      .select(col("doc_id"), col("n_toks"), col("n_stop"),
+        (col("n_stop").cast("double") / col("n_toks")).as("stop_ratio"),
+        (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+        (col("n_upper").cast("double") / col("n_chars")).as("upper_ratio"))
+      .withColumn("score",
+        lit(1.2) * col("stop_ratio") - lit(3.0) * col("punct_ratio")
+          - lit(2.0) * col("upper_ratio"))
+  }
+
   val q83QualityScore = Q(
     "q83_quality_score",
-    (s, dir) => {
-      val stop = "array('the','a','of','and','to','in','is','was')"
-      T.documentsSpread(s, dir)
-        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-          expr(s"filter($toksSql, t -> t <> '')").as("ts"), col("text"))
-        .select(col("doc_id"), col("n_chars"),
-          size(col("ts")).as("n_toks"),
-          expr(s"size(filter(ts, t -> array_contains($stop, t)))").as("n_stop"),
-          (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
-            .as("n_punct"),
-          (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", "")))
-            .as("n_upper"))
-        .filter(col("n_toks") >= 1)
-        .select(col("doc_id"), col("n_toks"), col("n_stop"),
-          (col("n_stop").cast("double") / col("n_toks")).as("stop_ratio"),
-          (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
-          (col("n_upper").cast("double") / col("n_chars")).as("upper_ratio"))
-        .withColumn("score",
-          lit(1.2) * col("stop_ratio") - lit(3.0) * col("punct_ratio")
-            - lit(2.0) * col("upper_ratio"))
+    (s, dir) =>
+      qualityScored(s, dir)
         .withColumn("keep", when(col("score") >= 0.05, 1).otherwise(0))
-        .orderBy(col("doc_id"))
-    },
+        .orderBy(col("doc_id")),
     Some("""
       WITH f AS (
         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
@@ -394,7 +400,240 @@ object CurationOps {
       FROM j GROUP BY source ORDER BY source""".stripMargin),
     "per-source 2-sigma length outliers in exact integer arithmetic ((n*x-S)^2 > 4(n*SS-S^2) — no sqrt/division/float compare); moment agg broadcast back over one scan, adaptive counterpart to q62's fixed bounds")
 
+  // ---------------------------------------------------------------------
+  // q87 — SemDeDup: cluster-then-dedup embedding near-duplicates
+  // ---------------------------------------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs, SemDeDup-style (Abbas et
+    * al. 2023): assign every vector to its nearest codebook centroid
+    * (q60's IVF cells, reused verbatim), then compare pairs ONLY
+    * within a cell — the cluster-then-dedup shape that makes
+    * embedding dedup tractable, because the O(n^2) pair space drops to
+    * O(sum of cell^2) and each cell's pair join is an equi-join on
+    * cent_id. Pairs at cosine >= 0.35 are reported (this synthetic
+    * corpus's "semantic duplicate" band; real corpora use ~0.95+).
+    *
+    * Scale shape: centroid assignment broadcasts the K=16 codebook
+    * over one corpus scan; the within-cell pair join shuffles on
+    * cent_id only. At 100 TB, K grows to ~sqrt(n) cells (SemDeDup used
+    * 50k), keeping cells bounded; a skewed hot cell would be salted or
+    * sub-clustered — the join stays keyed either way. Cross-cell
+    * near-dups are the recall trade documented by the paper.
+    */
+  val q87EmbedCellDedup = Q(
+    "q87_embed_cell_dedup",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dot
+      val n = T.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
+        .persist()
+      val cents = n.filter(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cent_id"))
+      val assign = n.join(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cos"))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id"))
+      val m = assign.join(n, "vec_id")
+      m.as("a").join(m.as("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.cent_id").as("cent_id"),
+          col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+        .filter(col("cosine") >= 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+          sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) nrm
+        FROM e),
+      c AS (
+        SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+        FROM n WHERE vec_id BETWEEN 100 AND 115),
+      sim AS (
+        SELECT n.vec_id, c.cent_id,
+          list_reduce(list_transform(generate_series(1, len(n.v)),
+            i -> n.v[i]*c.cv[i]), (x,y) -> x+y) / (n.nrm*c.cn) AS cos
+        FROM n, c),
+      assign AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT vec_id, cent_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cent_id) rn
+          FROM sim) WHERE rn = 1),
+      m AS (
+        SELECT a.vec_id, a.cent_id, n.v, n.nrm
+        FROM assign a JOIN n USING (vec_id))
+      SELECT a.cent_id, a.vec_id AS id_a, b.vec_id AS id_b,
+        list_reduce(list_transform(generate_series(1, len(a.v)),
+          i -> a.v[i]*b.v[i]), (x,y) -> x+y) / (a.nrm*b.nrm) AS cosine
+      FROM m a JOIN m b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(generate_series(1, len(a.v)),
+          i -> a.v[i]*b.v[i]), (x,y) -> x+y) / (a.nrm*b.nrm) >= 0.35
+      ORDER BY id_a, id_b""".stripMargin),
+    "SemDeDup embedding near-dup: broadcast K=16 codebook assignment (q60's cells), within-cell pair join keyed on cent_id (O(sum cell^2), never O(n^2)), exact sequenced-fold cosines; K scales ~sqrt(n), hot cells salt/sub-cluster")
+
+  // ---------------------------------------------------------------------
+  // q88 — corpus length histogram
+  // ---------------------------------------------------------------------
+
+  /** Per-source document-length histogram (256-char bins, top bin
+    * open) — the profiling readout curation dashboards plot before and
+    * after every filter stage. Pure integer binning, one map-side
+    * combinable agg; at any corpus scale the result is
+    * sources x 10 rows.
+    */
+  val q88LengthHistogram = Q(
+    "q88_length_histogram",
+    (s, dir) =>
+      T.documents(s, dir)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+        .withColumn("bin", least(lit(9L), expr("x div 256")))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("bin")),
+    Some("""
+      SELECT source, LEAST(9, CAST(n_chars AS BIGINT) // 256) AS bin,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source, bin ORDER BY source, bin""".stripMargin),
+    "per-source length histogram: integer 256-char bins (top bin open), one map-side-combinable agg, sources x 10 output at any scale — the before/after profiling readout of every filter stage")
+
+  // ---------------------------------------------------------------------
+  // q89 — quality-ranked near-dup survivorship
+  // ---------------------------------------------------------------------
+
+  /** Which near-duplicates actually get DROPPED: for every doc in a
+    * q32 near-dup pair, it loses each pairing whose partner has the
+    * higher quality score (q83's scorer, tie broken to the lower
+    * doc_id) — the survivor-selection step that turns a pair list into
+    * a delete list, keeping the best-quality copy of each duplicated
+    * cluster's content. Output: the losing docs with their score and
+    * how many partners beat them.
+    *
+    * Scale shape: the pair frame is tiny relative to the corpus (it
+    * already passed the >= 0.8 Jaccard gate), so the score join is two
+    * hash joins keyed on doc_id against a frame the optimizer is free
+    * to broadcast; the scorer itself is q83's single-scan projection.
+    */
+  val q89NeardupPrune = Q(
+    "q89_neardup_prune",
+    (s, dir) => {
+      val pairs = LlmOps.q32NearDupPairs.fn(s, dir).select(col("id_a"), col("id_b"))
+      val e = pairs.select(col("id_a").as("me"), col("id_b").as("other"))
+        .union(pairs.select(col("id_b").as("me"), col("id_a").as("other")))
+      val sc = qualityScored(s, dir).select(col("doc_id"), col("score"))
+      e.join(sc.select(col("doc_id").as("me"), col("score").as("my_score")), "me")
+        .join(sc.select(col("doc_id").as("other"), col("score").as("other_score")), "other")
+        .filter(col("other_score") > col("my_score") ||
+          (col("other_score") === col("my_score") && col("other") < col("me")))
+        .groupBy(col("me").as("doc_id"))
+        .agg(min(col("my_score")).as("score"), count(lit(1)).as("n_lost"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(toks)-2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents)
+        WHERE len(toks) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      f AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS INTEGER) AS n_toks,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> list_contains(['the','a','of','and','to','in','is','was'], t)))
+               AS INTEGER) AS n_stop,
+          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+            AS n_punct,
+          length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+            AS n_upper
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+          1.2*(CAST(n_stop AS DOUBLE) / n_toks)
+            - 3.0*(CAST(n_punct AS DOUBLE) / n_chars)
+            - 2.0*(CAST(n_upper AS DOUBLE) / n_chars) AS score
+        FROM f WHERE n_toks >= 1),
+      ed AS (
+        SELECT id_a AS me, id_b AS other FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs)
+      SELECT ed.me AS doc_id, MIN(rm.score) AS score,
+        CAST(COUNT(*) AS BIGINT) AS n_lost
+      FROM ed
+      JOIN r rm ON rm.doc_id = ed.me
+      JOIN r ro ON ro.doc_id = ed.other
+      WHERE ro.score > rm.score
+         OR (ro.score = rm.score AND ed.other < ed.me)
+      GROUP BY ed.me ORDER BY doc_id""".stripMargin),
+    "near-dup survivorship: q32's pair list + q83's quality scorer -> the delete list (each doc loses to higher-scored partners, ties to lower doc_id); two doc_id-keyed hash joins on the tiny post-gate pair frame")
+
+  // ---------------------------------------------------------------------
+  // q90 — cross-source contamination matrix
+  // ---------------------------------------------------------------------
+
+  /** How much content leaks BETWEEN sources: for every source pair,
+    * the number of distinct 8-gram shingles present in both — the
+    * source-level contamination matrix that tells a pipeline whether
+    * "independent" feeds are re-crawling each other (and therefore
+    * whether per-source dedup is enough). Symmetric, reported once per
+    * unordered pair.
+    *
+    * Scale shape: one explode to the DISTINCT (source, gram) frame
+    * (vocabulary-of-grams sized, far below corpus size), then a
+    * self-equi-join keyed on the gram and a sources^2-sized agg. A
+    * gram shared by many sources fans out at most (n_sources choose
+    * 2); at 100 TB the gram key becomes xxhash64 like q81.
+    */
+  val q90SourceLeakage = Q(
+    "q90_source_leakage",
+    (s, dir) => {
+      val sg = T.documentsSpread(s, dir)
+        .select(col("source"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 8)
+        .select(col("source"),
+          explode(array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 8)))
+            .as("g"))
+        .distinct()
+      sg.as("a").join(sg.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT DISTINCT source,
+          unnest(list_distinct(list_transform(generate_series(1, len(ts) - 7),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                 ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' ||
+                 ts[i+6] || ' ' || ts[i+7]))) AS gr
+        FROM d WHERE len(ts) >= 8)
+      SELECT a.source AS src_a, b.source AS src_b,
+        CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM g a JOIN g b ON a.gr = b.gr AND a.source < b.source
+      GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin),
+    "cross-source contamination matrix: distinct (source, 8-gram) frame -> gram-keyed self-join -> sources^2 agg; tells the pipeline whether per-source dedup suffices; gram-hash key at scale like q81")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
-    q85VocabOov, q86LengthOutliers)
+    q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
+    q89NeardupPrune, q90SourceLeakage)
 }
