@@ -545,9 +545,85 @@ object AnalyticsOps {
       ORDER BY o_custkey, o_orderkey""".stripMargin),
     "offset + distribution windows (lag/lead, ntile/percent_rank/cume_dist): total-ordered windows for deterministic offsets, exact-int rank divisions; one o_custkey shuffle serves all five functions")
 
+  // ---------------------------------------------------------------------
+  // q91/q92 — binned range joins (the scale path q54 only documents)
+  // ---------------------------------------------------------------------
+
+  /** Point-in-interval range join against a LARGE interval table (500
+    * data-derived intervals — too big to call "a literal band table"),
+    * executed as [[graft.ops.RangeJoin.binnedPointJoin]]: quantize the
+    * value axis into width-8 bins, explode each interval to the <= 2
+    * bins it touches, hash-equi-join on the bin id, re-check the exact
+    * range. Same answer as the naive non-equi join (the oracle IS the
+    * naive join — DuckDB plans it as an IEJoin), but the Spark plan is
+    * a shuffle-partitionable hash join instead of a
+    * broadcast-nested-loop O(n*m) scan — the difference between a band
+    * lookup and a dead executor at 100 TB.
+    */
+  val q91RangeBinned = Q(
+    "q91_range_binned",
+    (s, dir) => {
+      val ev = T.events(s, dir)
+      val ivl = ev.filter(col("event_id") < 500)
+        .select(col("event_id").as("ivl_id"), col("value").as("lo"),
+          (col("value") + (col("user_id") % 5) + 1).as("hi"))
+      graft.ops.RangeJoin
+        .binnedPointJoin(ev.select(col("value")), "value", ivl, "lo", "hi", 8.0)
+        .groupBy(col("ivl_id"))
+        .agg(count(lit(1)).as("n"), graft.Qdsl.dsum(col("value")).as("sum_value"))
+        .orderBy(col("ivl_id"))
+    },
+    Some("""
+      WITH ivl AS (
+        SELECT event_id AS ivl_id, value AS lo,
+          value + (user_id % 5) + 1 AS hi
+        FROM events WHERE event_id < 500)
+      SELECT ivl_id, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN ivl ON e.value >= ivl.lo AND e.value < ivl.hi
+      GROUP BY ivl_id ORDER BY ivl_id""".stripMargin),
+    "binned range join: 500 data-derived intervals explode to width-8 bins -> hash equi-join on bin id + exact re-check; identical semantics to the oracle's naive non-equi join, but shuffle-partitionable (q54's documented scale path, demonstrated)")
+
+  /** Interval-overlap self-join through the same binning: two
+    * data-derived interval sets, pairs overlapping half-open — the
+    * genomics/session-overlap shape. Each pair may share up to 2 bins,
+    * so the binned join dedups candidate pairs before the per-a
+    * overlap count. The oracle is again the direct inequality join.
+    */
+  val q92OverlapBinned = Q(
+    "q92_overlap_binned",
+    (s, dir) => {
+      val ev = T.events(s, dir)
+      def ivls(pred: org.apache.spark.sql.Column, prefix: String) =
+        ev.filter(pred)
+          .select(col("event_id").as(s"${prefix}_id"), col("value").as(s"${prefix}_lo"),
+            (col("value") + (col("user_id") % 5) + 1).as(s"${prefix}_hi"))
+      val a = ivls(col("event_id") < 300, "a")
+      val b = ivls(col("event_id") >= 300 && col("event_id") < 600, "b")
+      graft.ops.RangeJoin
+        .binnedOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+          Seq("a_id", "b_id"), 8.0)
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("a_id"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT event_id AS a_id, value AS a_lo,
+          value + (user_id % 5) + 1 AS a_hi
+        FROM events WHERE event_id < 300),
+      b AS (
+        SELECT event_id AS b_id, value AS b_lo,
+          value + (user_id % 5) + 1 AS b_hi
+        FROM events WHERE event_id >= 300 AND event_id < 600)
+      SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+      FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+      GROUP BY a_id ORDER BY a_id""".stripMargin),
+    "binned interval-overlap join: both interval sets explode to bins, hash join on bin id, candidate-pair dedup, exact overlap predicate — the session/region overlap shape, shuffle-partitionable where the naive plan is O(n*m)")
+
   val all: Seq[Q] = Seq(
     q49Sessionize, q50Pivot, q51TopkPerGroup, q52Percentiles,
     q53FullOuter, q54RangeJoin, q55AsofJoin, q56BagSetOps, q57MapFuncs,
     q58RangeFrame, q59SqlEntry, q65CorruptJson, q75ColumnProfile,
-    q76WindowOffsets)
+    q76WindowOffsets, q91RangeBinned, q92OverlapBinned)
 }
