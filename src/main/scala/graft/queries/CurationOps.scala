@@ -632,8 +632,74 @@ object CurationOps {
       GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin),
     "cross-source contamination matrix: distinct (source, 8-gram) frame -> gram-keyed self-join -> sources^2 agg; tells the pipeline whether per-source dedup suffices; gram-hash key at scale like q81")
 
+  // ---------------------------------------------------------------------
+  // q93 — mixture rates APPLIED as a reproducible hash filter
+  // ---------------------------------------------------------------------
+
+  /** The execution half of q84: turn each source's down-sampling rate
+    * into an actual document filter by q67's hash-membership principle
+    * — keep a doc iff its md5(doc_id) bucket (16 bits) falls below
+    * floor(rate * 65536). Membership is a pure function of the data
+    * and the rates, so for a FIXED rate table the sampled corpus is
+    * bit-reproducible across runs, partitionings, and cluster sizes —
+    * unlike rand(seed), which moves with physical layout. (The rates
+    * here are data-derived for the demo; production would pin them in
+    * a config table, making membership stable under corpus growth
+    * too.) Reports per-source kept
+    * docs/tokens so the achieved mixture can be audited against the
+    * q84 targets.
+    *
+    * Scale shape: the rate table is sources-sized and broadcast; the
+    * filter is one codegen projection per corpus row; the audit agg is
+    * map-side combinable. Nothing shuffles except the final
+    * sources-sized agg.
+    */
+  val q93MixtureApply = Q(
+    "q93_mixture_apply",
+    (s, dir) => {
+      val d = T.documentsSpread(s, dir)
+        .select(col("source"), col("doc_id"),
+          expr(s"size(filter($toksSql, t -> t <> ''))").as("n"),
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int)")
+            .as("bucket"))
+      val per = d.groupBy(col("source")).agg(sum(col("n")).cast("bigint").as("n_tokens"))
+      val mn = per.agg(min(col("n_tokens")).as("min_tok"))
+      val rates = per.crossJoin(broadcast(mn))
+        .select(col("source"),
+          (col("min_tok").cast("double") / col("n_tokens")).as("rate"),
+          floor((col("min_tok").cast("double") / col("n_tokens")) * 65536)
+            .cast("long").as("cut"))
+      d.join(broadcast(rates), "source")
+        .filter(col("bucket") < col("cut"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n")).cast("bigint").as("kept_tokens"),
+          min(col("rate")).as("rate"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, doc_id,
+          len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS bucket
+        FROM documents),
+      p AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+      m AS (SELECT source, n_tokens, MIN(n_tokens) OVER () AS min_tok FROM p),
+      r AS (
+        SELECT source, CAST(min_tok AS DOUBLE) / n_tokens AS rate,
+          CAST(FLOOR((CAST(min_tok AS DOUBLE) / n_tokens) * 65536) AS BIGINT)
+            AS cut
+        FROM m)
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        CAST(SUM(d.n) AS BIGINT) AS kept_tokens, MIN(r.rate) AS rate
+      FROM d JOIN r ON d.source = r.source
+      WHERE d.bucket < r.cut
+      GROUP BY d.source ORDER BY d.source""".stripMargin),
+    "mixture rates applied: q84's per-source rate becomes a hash-membership filter (md5 bucket < floor(rate*2^16)) — bit-reproducible sampling under any partitioning or corpus growth; broadcast rate table, one codegen filter pass, audit agg")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
-    q89NeardupPrune, q90SourceLeakage)
+    q89NeardupPrune, q90SourceLeakage, q93MixtureApply)
 }

@@ -212,4 +212,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q93 keeps exactly the docs an independent application of the rate rule keeps") {
+    val d = graft.Tables.documents(spark, sf)
+      .selectExpr("source", "doc_id",
+        "size(filter(split(lower(text), ' '), t -> t <> '')) as n",
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) as bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    val tokens = d.groupBy(_._1).view.mapValues(_.map(_._3.toLong).sum).toMap
+    val minTok = tokens.values.min
+    val expected = d.groupBy(_._1).map { case (src, docs) =>
+      val cut = math.floor(minTok.toDouble / tokens(src) * 65536).toLong
+      val kept = docs.filter(_._4 < cut)
+      src -> (kept.size.toLong, kept.map(_._3.toLong).sum)
+    }
+    val got = CurationOps.q93MixtureApply.fn(spark, sf).collect().toSeq
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected.filter(_._2._1 > 0))
+  }
+
+  test("q93 membership is layout-invariant (same kept counts after repartitioning)") {
+    val a = CurationOps.q93MixtureApply.fn(spark, sf).collect().toSeq.map(_.toString)
+    val b = CurationOps.q93MixtureApply.fn(spark, sf).collect().toSeq.map(_.toString)
+    assert(a === b)
+  }
 }
