@@ -469,8 +469,72 @@ object LlmOps {
     },
     "SimHash document fingerprint: near-dup docs land on near-identical fingerprints; integer majority vote, engine-exact")
 
+  // ---------------------------------------------------------------------
+  // Asymmetric containment (near-superset) dedup
+  // ---------------------------------------------------------------------
+
+  /** Directed containment pairs: (a, b) where >= 90% of a's distinct
+    * 3-shingles also appear in b — the doc-INSIDE-doc detector
+    * (quotes, mirrored excerpts, boilerplate-wrapped copies) that
+    * symmetric Jaccard misses: a short doc fully quoted inside a long
+    * one has high containment but low Jaccard, so q32/q33 never
+    * surface it. Directional by construction (containment divides by
+    * |a| only), and containment >= jaccard always, so this is a strict
+    * superset detector of the q32 family at equal thresholds.
+    *
+    * Scale shape: q32's rarest-first prefix filter, applied on the
+    * CONTAINED side only — if b holds >= ceil(0.9|a|) of a's shingles,
+    * at most |a| - ceil(0.9|a|) can miss, so a's first
+    * |a| - ceil(0.9|a|) + 1 shingles (rarest first) must hit b. The
+    * index side must stay FULL (a superset b has no prefix bound — the
+    * asymmetry of the problem), so candidates are
+    * prefix(a) ⋈ full(b) on the shingle key, then one exact verify
+    * per candidate. Oracle = the naive all-pairs containment join
+    * (O(n^2) in DuckDB, so sf0.01-gated like q32's).
+    */
+  val q94ContainmentDedup = Q(
+    "q94_containment_dedup",
+    (s, dir) => {
+      val sh = shingled(s, dir).persist()
+      val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+      val wDf = Window.partitionBy(col("shingle"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+      val prefixA = inv.withColumn("df", count(lit(1)).over(wDf))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("n") - ceil(col("n") * 0.9).cast("int") + 1)
+        .select(col("doc_id").as("id_a"), col("shingle"))
+      val cands = prefixA
+        .join(inv.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      cands.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+            / size(col("sh_a"))).as("containment"))
+        .filter(col("containment") >= 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(toks)-2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents)
+        WHERE len(toks) >= 3)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+          AS containment
+      FROM s a JOIN s b ON a.doc_id <> b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.9
+      ORDER BY id_a, id_b""".stripMargin),
+    "directed containment dedup (doc-inside-doc): contained-side-only prefix filter (index side must stay full — the problem's asymmetry), shingle-keyed candidate join, exact verify; catches quoted/excerpted copies Jaccard misses")
+
   val all: Seq[Q] = Seq(
     q29ExactDedup, q30TokenFreq, q31DocDistinctTokens,
     q32NearDupPairs, q33MinhashLshDup, q34TopkCosine,
-    q35LangQuality, q36Simhash, q61SentimentLexicon, q62QualityFilter)
+    q35LangQuality, q36Simhash, q61SentimentLexicon, q62QualityFilter,
+    q94ContainmentDedup)
 }

@@ -236,4 +236,21 @@ class CurationOpsSpec extends SparkSpec {
     val b = CurationOps.q93MixtureApply.fn(spark, sf).collect().toSeq.map(_.toString)
     assert(a === b)
   }
+
+  test("q94 prefix-filtered containment equals the brute-force all-pairs computation") {
+    val sh = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "array_distinct(transform(sequence(1, size(split(lower(text), ' ')) - 2), " +
+        "i -> concat_ws(' ', element_at(split(lower(text), ' '), i), " +
+        "element_at(split(lower(text), ' '), i+1), element_at(split(lower(text), ' '), i+2)))) sh")
+      .where("size(split(lower(text), ' ')) >= 3")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toSeq
+    val expected = (for {
+      (a, sa) <- sh; (b, sb) <- sh
+      if a != b
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.9
+    } yield (a, b)).sorted
+    val got = LlmOps.q94ContainmentDedup.fn(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got === expected)
+  }
 }
