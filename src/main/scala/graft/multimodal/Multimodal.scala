@@ -146,6 +146,57 @@ object Multimodal {
     }
   }
 
+  /** The resize seam — same contract as [[MediaDecoder]]: constructed
+    * once per partition, thread-confined, payload-in/payload-out with
+    * the header rewritten to the target geometry.
+    */
+  trait MediaResizer extends Serializable {
+    def resize(m: Media, targetW: Int, targetH: Int): Media
+  }
+
+  /** Deterministic stand-in for a codec-backed resizer: keeps the GRFT
+    * header shape, rewrites width/height, and "resamples" the body to
+    * targetW*targetH*channels bytes by nearest-neighbor striding over
+    * the original body — pure index arithmetic, so tests can predict
+    * every output byte. A real implementation swaps in an image
+    * library at this seam; nothing above it changes.
+    */
+  final class FakeResizer extends MediaResizer {
+    def resize(m: Media, targetW: Int, targetH: Int): Media = {
+      val p = m.payload
+      require(p.length >= HeaderLen && p(0) == 'G' && p(1) == 'R',
+        s"not a GRFT payload: media_id=${m.media_id}")
+      val channels = p(7) & 0xff
+      val srcBody = p.length - HeaderLen
+      val dstBody = targetW * targetH * math.max(channels, 1)
+      val out = new Array[Byte](HeaderLen + dstBody)
+      System.arraycopy(p, 0, out, 0, HeaderLen)
+      out(3) = ((targetW >> 8) & 0xff).toByte; out(4) = (targetW & 0xff).toByte
+      out(5) = ((targetH >> 8) & 0xff).toByte; out(6) = (targetH & 0xff).toByte
+      var i = 0
+      while (i < dstBody) {
+        // nearest-neighbor: integer-scaled source index, clamped
+        val src = if (dstBody <= 1) 0 else (i.toLong * srcBody / dstBody).toInt
+        out(HeaderLen + i) = if (srcBody == 0) 0 else p(HeaderLen + math.min(src, srcBody - 1))
+        i += 1
+      }
+      Media(m.media_id, m.kind, out)
+    }
+  }
+
+  /** Batched resize stage (mapInPandas-analog, like [[extractFeatures]]):
+    * one resizer per partition, iterator-in/iterator-out, payloads stay
+    * opaque binary to Spark on both sides — so the stage pipelines and
+    * spills without interpreting a byte.
+    */
+  def resizeAll(media: Dataset[Media], targetW: Int, targetH: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val resizer: MediaResizer = new FakeResizer // per-partition init
+      rows.map(m => resizer.resize(m, targetW, targetH))
+    }
+  }
+
   /** binaryFile ingest for a real on-disk media corpus: one row per
     * file with (path, modificationTime, length, content), partitions
     * sized by spark.sql.files.maxPartitionBytes — the scale-safe

@@ -90,4 +90,32 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(widths === Set(32, 64))
   }
+
+  test("resizeAll rewrites geometry, sizes the body exactly, and resamples predictably") {
+    val out = resizeAll(mediaDs, 16, 8).collect().map(m => m.media_id -> m).toMap
+    val src = mediaDs.collect().map(m => m.media_id -> m).toMap
+    out.foreach { case (id, m) =>
+      val p = m.payload
+      val channels = p(7) & 0xff
+      val w = ((p(3) & 0xff) << 8) | (p(4) & 0xff)
+      val h = ((p(5) & 0xff) << 8) | (p(6) & 0xff)
+      assert((w, h) === (16, 8), s"media $id header not rewritten")
+      assert(p.length === HeaderLen + 16 * 8 * math.max(channels, 1),
+        s"media $id body not exactly targetW*targetH*channels")
+      // nearest-neighbor arithmetic is fully predictable
+      val sp = src(id).payload
+      val srcBody = sp.length - HeaderLen
+      val dstBody = p.length - HeaderLen
+      (0 until dstBody).foreach { i =>
+        val j = math.min((i.toLong * srcBody / dstBody).toInt, srcBody - 1)
+        assert(p(HeaderLen + i) === sp(HeaderLen + j), s"media $id byte $i")
+      }
+    }
+    // and the native metadata decode agrees with the rewritten headers
+    val meta = resizeAll(mediaDs, 16, 8).toDF()
+      .select(metaColumns(col("payload")).as("m"))
+      .selectExpr("m.width", "m.height").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(meta === Set((16, 8)))
+  }
 }
