@@ -698,8 +698,54 @@ object CurationOps {
       GROUP BY d.source ORDER BY d.source""".stripMargin),
     "mixture rates applied: q84's per-source rate becomes a hash-membership filter (md5 bucket < floor(rate*2^16)) — bit-reproducible sampling under any partitioning or corpus growth; broadcast rate table, one codegen filter pass, audit agg")
 
+  // ---------------------------------------------------------------------
+  // q95 — salted hot-key join, oracle-gated
+  // ---------------------------------------------------------------------
+
+  /** [[graft.ops.SkewJoin.saltedJoin]] promoted into the correctness
+    * gate: join the corpus to a per-language weight table on `lang` —
+    * a genuinely skewed key ('en' alone is ~44% of the corpus — the
+    * canonical hot key a plain shuffle join serializes onto one task
+    * at 100 TB) — salted 8 ways, then aggregate. The oracle is the
+    * PLAIN join in DuckDB, so the driver hash-compare proves the
+    * salting transformation is result-invariant on real data (every
+    * fact row meets exactly one dim copy), which is SkewJoin's whole
+    * contract. Weighted sums run in exact decimal (Qdsl d2) so the
+    * agg is bit-identical cross-engine.
+    *
+    * Plan caveat: a 5-row dim is auto-broadcast, so THIS instance
+    * never shuffles the fact side; the salted spread of a
+    * broadcast-ineligible dim (the case salting exists for) is pinned
+    * under autoBroadcastJoinThreshold=-1 in SkewJoinSpec. The gate
+    * here is semantics, not the plan.
+    */
+  val q95SaltedJoin = Q(
+    "q95_salted_join",
+    (s, dir) => {
+      import s.implicits._
+      val dim = Seq(("en", 1.0), ("zh", 0.95), ("es", 0.9), ("de", 0.85), ("fr", 0.8))
+        .toDF("lang", "weight")
+      val fact = T.documentsSpread(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      graft.ops.SkewJoin.saltedJoin(fact, dim, "lang", col("doc_id"), 8)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.Qdsl.d2(col("weight")) * col("n_chars")).cast("double")
+            .as("weighted_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH dim(lang, weight) AS (VALUES
+        ('en', 1.0), ('zh', 0.95), ('es', 0.9), ('de', 0.85), ('fr', 0.8))
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CAST(weight AS DECIMAL(18,2)) * n_chars) AS DOUBLE)
+          AS weighted_chars
+      FROM documents d JOIN dim ON d.lang = dim.lang
+      GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+    "salted hot-key join in the correctness gate: 8-way salt on a 44%-hot language key, oracle = the PLAIN join — the driver hash-compare proves salting is result-invariant; the plan-level spread is pinned in SkewJoinSpec")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
-    q89NeardupPrune, q90SourceLeakage, q93MixtureApply)
+    q89NeardupPrune, q90SourceLeakage, q93MixtureApply, q95SaltedJoin)
 }
