@@ -1,0 +1,132 @@
+package graft.curation
+
+import graft.{Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation pipeline — the registry's curation
+  * operators composed into the single job a training-data team actually
+  * runs, in the canonical order (each stage's rationale lives on the
+  * corresponding oracle query):
+  *
+  *   1. quality gate        — q83's linear scorer, keep score >= 0.05
+  *   2. exact dedup         — q29's md5(text) groups, min-doc_id survivor
+  *   3. near-dup prune      — q32 pairs + q89's lose-to-higher-score rule
+  *   4. decontamination     — q77's 5-gram overlap vs the eval probe set
+  *   5. mixture rebalance   — q84 rates applied via q93's hash filter
+  *   6. shard packing       — q78's per-source token prefix-sum
+  *   7. parquet shards      — partitioned by (source, shard_id)
+  *
+  * Stage order matters and is the industry-standard one: dedup before
+  * decontamination (fewer docs to shingle), every filter before
+  * mixture rebalancing (rates must reflect the CLEAN corpus or the
+  * mixture under-delivers), packing last (shards are immutable
+  * artifacts). Every stage is a pure function of the input corpus —
+  * no rand(), no timestamps — so the pipeline is bit-reproducible:
+  * re-running on the same input yields byte-identical shard
+  * assignments (CurateSpec pins this).
+  *
+  * Scale notes: stages communicate by doc_id (joins on the key, never
+  * row position); the only corpus-sized shuffles are the ones the
+  * underlying queries document (gram explode for decontamination,
+  * md5-keyed dedup); the eval probe set, rate table, and pair list are
+  * broadcast-sized. The write partitions by (source, shard_id), so
+  * downstream training readers prune to their shard without listing
+  * the corpus.
+  */
+object Curate {
+
+  private val toksSql = "split(lower(text), ' ')"
+
+  final case class Report(
+      nInput: Long, nQuality: Long, nExactDedup: Long, nNearDedup: Long,
+      nDecontaminated: Long, nSampled: Long, nShards: Long, nTokens: Long)
+
+  /** Run the full pipeline; write shards under `outDir`; return the
+    * per-stage funnel. `evalIds` marks the held-out eval docs used as
+    * the decontamination probe set (they never enter the corpus).
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      tokenBudget: Long = 4096L, evalIdBelow: Long = 10L): Report = {
+    val docs = T.documentsSpread(spark, sfDir)
+      .filter(col("doc_id") >= evalIdBelow)
+    val nInput = docs.count()
+
+    // 1. quality gate (q83 arithmetic, shared helper)
+    val scored = graft.queries.CurationOps.qualityScored(spark, sfDir)
+      .filter(col("doc_id") >= evalIdBelow)
+      .select(col("doc_id"), col("score"))
+    val quality = docs.join(scored.filter(col("score") >= 0.05), "doc_id")
+    val nQuality = quality.count()
+
+    // 2. exact dedup: min doc_id survives its md5(text) group (q29)
+    val wHash = Window.partitionBy(md5(col("text")))
+    val exact = quality.withColumn("__keep", col("doc_id") === min(col("doc_id")).over(wHash))
+      .filter(col("__keep")).drop("__keep")
+    val nExact = exact.count()
+
+    // 3. near-dup prune: q32's pair list, q89's survivor rule
+    val pairs = graft.queries.LlmOps.q32NearDupPairs.fn(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+    val e = pairs.select(col("id_a").as("me"), col("id_b").as("other"))
+      .union(pairs.select(col("id_b").as("me"), col("id_a").as("other")))
+    val losers = e
+      .join(scored.select(col("doc_id").as("me"), col("score").as("my_score")), "me")
+      .join(scored.select(col("doc_id").as("other"), col("score").as("other_score")), "other")
+      .filter(col("other_score") > col("my_score") ||
+        (col("other_score") === col("my_score") && col("other") < col("me")))
+      .select(col("me").as("doc_id")).distinct()
+    val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
+    val nNear = nearDeduped.count()
+
+    // 4. decontamination: drop docs sharing any 5-gram with the eval set (q77)
+    val grams = (df: DataFrame) => df
+      .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 5))).as("g"))
+    val probe = grams(T.documents(spark, sfDir).filter(col("doc_id") < evalIdBelow))
+      .select(col("g")).distinct()
+    val contaminated = grams(nearDeduped).join(broadcast(probe), "g")
+      .select(col("doc_id")).distinct()
+    val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val nClean = clean.count()
+
+    // 5. mixture rebalance on the CLEAN corpus (q84 rates, q93 filter)
+    val withTok = clean.withColumn("n_tok",
+      expr(s"size(filter($toksSql, t -> t <> ''))"))
+    val per = withTok.groupBy(col("source")).agg(sum(col("n_tok")).cast("bigint").as("n_tokens"))
+    val mn = per.agg(min(col("n_tokens")).as("min_tok"))
+    val rates = per.crossJoin(broadcast(mn))
+      .select(col("source"),
+        floor((col("min_tok").cast("double") / col("n_tokens")) * 65536)
+          .cast("long").as("cut"))
+    val sampled = withTok
+      .withColumn("__bucket",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int)"))
+      .join(broadcast(rates), "source")
+      .filter(col("__bucket") < col("cut"))
+      .drop("__bucket", "cut")
+    val nSampled = sampled.count()
+
+    // 6. shard packing (q78: per-source integer prefix sums)
+    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = sampled.withColumn("shard_id",
+      ((sum(col("n_tok")).over(wPack) - col("n_tok")) / tokenBudget).cast("bigint"))
+
+    // 7. immutable shard artifacts, prunable by (source, shard_id)
+    packed
+      .select(col("source"), col("shard_id"), col("doc_id"), col("text"),
+        col("lang"), col("n_tok"))
+      .write.mode("overwrite").partitionBy("source", "shard_id")
+      .parquet(s"$outDir/shards")
+
+    val written = spark.read.parquet(s"$outDir/shards")
+    val nShards = written.select(col("source"), col("shard_id")).distinct().count()
+    val nTokens = Option(written.agg(sum(col("n_tok"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    Report(nInput, nQuality, nExact, nNear, nClean, nSampled, nShards, nTokens)
+  }
+}

@@ -190,9 +190,10 @@ object CurationOps {
     * literals for a broadcast weight map — same plan.
     */
   /** The q83 feature/score frame (doc_id .. score), shared with q89's
-    * survivorship ranking so both run the identical arithmetic.
+    * survivorship ranking and the [[graft.curation.Curate]] pipeline so
+    * all three run the identical arithmetic.
     */
-  private def qualityScored(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def qualityScored(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val stop = "array('the','a','of','and','to','in','is','was')"
     T.documentsSpread(s, dir)
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
