@@ -53,6 +53,37 @@ class RangeJoinSpec extends SparkSpec {
     assert(res(8.0) === res(64.0))
   }
 
+  test("property: binned == naive on generated data (negatives, empties, boundary values)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    def samples[A](g: Gen[A], n: Int, salt: Long): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(salt + i)))
+    // values straddle zero and land on exact bin boundaries (multiples of
+    // the widths under test); intervals include zero-length (lo == hi,
+    // matches nothing half-open) and reversed (hi < lo) degenerates
+    val valGen = Gen.oneOf(
+      Gen.chooseNum(-100.0, 100.0),
+      Gen.chooseNum(-12, 12).map(_ * 8.0),
+      Gen.chooseNum(-12, 12).map(_ * 2.0))
+    val ivlGen = for {
+      lo <- valGen
+      len <- Gen.oneOf(Gen.const(0.0), Gen.chooseNum(-5.0, 40.0))
+    } yield (lo, lo + len)
+    val facts = samples(valGen, 300, 0xACE0L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("f_id", "value")
+    val ivls = samples(ivlGen, 60, 0xBEEFL).zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi) }.toDF("i_id", "i_lo", "i_hi")
+    val naive = facts.join(ivls, col("value") >= col("i_lo") && col("value") < col("i_hi"))
+      .select(col("f_id"), col("i_id")).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    Seq(2.0, 8.0, 512.0).foreach { w =>
+      val binned = RangeJoin.binnedPointJoin(facts, "value", ivls, "i_lo", "i_hi", w)
+        .select(col("f_id"), col("i_id")).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(binned === naive, s"divergence at bin width $w")
+    }
+  }
+
   test("the binned plan is a hash equi-join on the bin id, not a nested loop") {
     val ivl = intervals(0, 200, "i")
     val plan = RangeJoin
