@@ -745,8 +745,72 @@ object CurationOps {
       GROUP BY d.lang ORDER BY d.lang""".stripMargin),
     "salted hot-key join in the correctness gate: 8-way salt on a 44%-hot language key, oracle = the PLAIN join — the driver hash-compare proves salting is result-invariant; the plan-level spread is pinned in SkewJoinSpec")
 
+  // ---------------------------------------------------------------------
+  // q96 — corpus novelty curve (saturation diagnostic)
+  // ---------------------------------------------------------------------
+
+  /** How much genuinely NEW content each ingest batch contributes: per
+    * batch (doc_id % 10 stands in for crawl order), the fraction of
+    * its distinct 8-grams whose FIRST appearance is that batch — the
+    * saturation curve that tells a pipeline when further crawling of a
+    * source stops adding information (novelty falling toward the
+    * near-dup floor means you are re-crawling, not growing). Gram-level
+    * cousin of q68's doc-level incremental dedup.
+    *
+    * Scale shape: one explode to the distinct (batch, gram) frame,
+    * one gram-keyed min-agg for first appearance, one join back on the
+    * gram and a batches-sized agg — the same two keyed shuffles as
+    * q81, and the same xxhash64-key reduction applies at 100 TB. In
+    * production the "first seen" side is the incremental state (a
+    * bucketed gram→first_batch table), so each new batch joins against
+    * state instead of recomputing history.
+    */
+  val q96NoveltyCurve = Q(
+    "q96_novelty_curve",
+    (s, dir) => {
+      val g = T.documentsSpread(s, dir)
+        .select((col("doc_id") % 10).as("batch"),
+          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 8)
+        .select(col("batch"),
+          explode(array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 8)))
+            .as("g"))
+        .distinct()
+      val first = g.groupBy(col("g")).agg(min(col("batch")).as("first_batch"))
+      g.join(first, "g")
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_batch") === col("batch"), 1).otherwise(0))
+            .cast("bigint").as("n_new"))
+        .select(col("batch"), col("n_grams"), col("n_new"),
+          (col("n_new").cast("double") / col("n_grams")).as("novelty_rate"))
+        .orderBy(col("batch"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id % 10 AS batch,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT DISTINCT batch,
+          unnest(list_distinct(list_transform(generate_series(1, len(ts) - 7),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                 ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' ||
+                 ts[i+6] || ' ' || ts[i+7]))) AS gr
+        FROM d WHERE len(ts) >= 8),
+      f AS (SELECT gr, MIN(batch) AS first_batch FROM g GROUP BY gr)
+      SELECT g.batch, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        CAST(SUM(CASE WHEN f.first_batch = g.batch THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+        CAST(SUM(CASE WHEN f.first_batch = g.batch THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*) AS novelty_rate
+      FROM g JOIN f ON g.gr = f.gr
+      GROUP BY g.batch ORDER BY g.batch""".stripMargin),
+    "corpus novelty/saturation curve: per ingest batch, the fraction of distinct 8-grams first seen in that batch — distinct (batch,gram) explode, gram-keyed first-appearance agg, join-back; incremental gram->first_batch state at scale")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
-    q89NeardupPrune, q90SourceLeakage, q93MixtureApply, q95SaltedJoin)
+    q89NeardupPrune, q90SourceLeakage, q93MixtureApply, q95SaltedJoin,
+    q96NoveltyCurve)
 }

@@ -237,6 +237,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("q96 novelty: batch 0 is all-new and batch news sum to the distinct gram count") {
+    val rs = CurationOps.q96NoveltyCurve.fn(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val b0 = rs.find(_._1 == 0L).get
+    assert(b0._4 === 1.0, "every gram in the first batch is by definition new")
+    val totalDistinct = graft.Tables.documents(spark, sf)
+      .selectExpr("explode(array_distinct(transform(sequence(1, size(filter(split(lower(text), ' '), t -> t <> '')) - 7), " +
+        "i -> concat_ws(' ', slice(filter(split(lower(text), ' '), t -> t <> ''), i, 8))))) g")
+      .where("size(filter(split(lower(text), ' '), t -> t <> '')) >= 8")
+      .select(col("g")).distinct().count()
+    assert(rs.map(_._3).sum === totalDistinct,
+      "per-batch new grams must partition the distinct gram universe")
+  }
+
   test("q94 prefix-filtered containment equals the brute-force all-pairs computation") {
     val sh = graft.Tables.documents(spark, sf)
       .selectExpr("doc_id", "array_distinct(transform(sequence(1, size(split(lower(text), ' ')) - 2), " +
