@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.parsePageF)
     ext.injectFunction(GraftFunctions.zorder2F)
     ext.injectFunction(GraftFunctions.ngramsF)
+    // whole-plan rewrite: naive non-equi range joins → binned hash
+    // joins; inert unless spark.graft.binnedRangeJoin.width is set
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
   }
 }
 
