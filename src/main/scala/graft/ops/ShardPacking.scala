@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-pass, deterministic token-budget shard assignment — the scale
+  * form of the running-sum pack (reference behavior: downloader/
+  * converter write one artifact per page in crawl order; packing is
+  * the corpus-scale analogue of that ordered materialization).
+  *
+  * Semantics: within each `source`, documents are taken in `order`
+  * order and a document goes to the shard where its FIRST token lands:
+  * shard_id = (prefix_sum − n) div budget. Pure integer arithmetic —
+  * the assignment is a function of the data alone, so it is
+  * bit-reproducible across runs, partitioning, and cluster size
+  * (same contract as the hash-membership splits in q67/q93).
+  *
+  * Why two passes: the one-window form
+  * `Window.partitionBy(source).orderBy(order).rowsBetween(unbounded,
+  * current)` funnels each source's ENTIRE corpus through one window
+  * task — with a handful of big sources at 100 TB that single task is
+  * the job. Instead we exploit that a prefix sum decomposes over any
+  * ordered partition of the key space:
+  *
+  *   pass 1  group by (source, block) where block = order div
+  *           blockSpan — per-block token subtotals, a plain hash agg
+  *           (map-side combined, parallel over the corpus);
+  *   offsets an exclusive running sum of the subtotals per source —
+  *           a window over BLOCK AGGREGATES, i.e. corpus_rows /
+  *           (blockSpan × density) rows, not corpus rows;
+  *   pass 2  running sum within (source, block) ordered by `order`,
+  *           seeded by the block's offset — each window task handles
+  *           at most one block span, bounded by blockSpan regardless
+  *           of how big the source is.
+  *
+  * offset(source, b) + run(source, b, row) is exactly the global
+  * per-source prefix sum, so shard ids are bit-identical to the
+  * one-window form (ShardPackingSpec pins equality at several
+  * blockSpans, including the degenerate one-block case).
+  *
+  * The offsets table is broadcast: its size is #distinct (source,
+  * block), one row per blockSpan of key space — at 100 TB pick
+  * blockSpan so this stays in the 10⁵–10⁷ row range (e.g. 10⁶ ids per
+  * block); if a deployment cannot broadcast it, the same join works
+  * as a shuffle hash join on (source, block) unchanged.
+  *
+  * `order` must be numeric and unique per row within a source (doc_id
+  * here); `n` is the per-row token count.
+  */
+object ShardPacking {
+
+  def assignShards(
+      df: DataFrame,
+      source: String,
+      order: String,
+      n: String,
+      budget: Long,
+      blockSpan: Long = 1L << 20,
+      shardCol: String = "shard_id"): DataFrame = {
+    require(budget > 0 && blockSpan > 0, "budget and blockSpan must be positive")
+    val base = df.withColumn("__blk", expr(s"`$order` div ${blockSpan}L").cast("bigint"))
+
+    // pass 1: per-(source, block) subtotals, then the exclusive prefix
+    // sum of SUBTOTALS per source. The window here runs over block
+    // aggregates only — tiny — so the single-task-per-source shape is
+    // applied to a frame that is blockSpan× smaller than the corpus.
+    val wOff = Window.partitionBy(col(source)).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(source), col("__blk"))
+      .agg(sum(col(n).cast("long")).as("__blk_tok"))
+      .withColumn("__off", coalesce(sum(col("__blk_tok")).over(wOff), lit(0L)))
+      .select(col(source), col("__blk"), col("__off"))
+
+    // pass 2: bounded running sum inside each block, seeded by the
+    // block offset. Parallelism = #blocks, not #sources.
+    val wIn = Window.partitionBy(col(source), col("__blk")).orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq(source, "__blk"))
+      .withColumn("__run", sum(col(n).cast("long")).over(wIn))
+      .withColumn(shardCol,
+        expr(s"(__off + __run - cast(`$n` as bigint)) div ${budget}L").cast("bigint"))
+      .drop("__blk", "__off", "__run")
+  }
+}
