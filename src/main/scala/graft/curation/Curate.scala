@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *   3. near-dup prune      — q32 pairs + q89's lose-to-higher-score rule
   *   4. decontamination     — q77's 5-gram overlap vs the eval probe set
   *   5. mixture rebalance   — q84 rates applied via q93's hash filter
-  *   6. shard packing       — q78's per-source token prefix-sum
+  *   6. shard packing       — q78's two-pass prefix-sum (ops.ShardPacking)
   *   7. parquet shards      — partitioned by (source, shard_id)
   *
   * Stage order matters and is the industry-standard one: dedup before
@@ -110,11 +110,10 @@ object Curate {
       .drop("__bucket", "cut")
     val nSampled = sampled.count()
 
-    // 6. shard packing (q78: per-source integer prefix sums)
-    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = sampled.withColumn("shard_id",
-      ((sum(col("n_tok")).over(wPack) - col("n_tok")) / tokenBudget).cast("bigint"))
+    // 6. shard packing (q78's two-pass block-decomposed prefix sum —
+    // no single-task-per-source window; see ops.ShardPacking)
+    val packed = graft.ops.ShardPacking
+      .assignShards(sampled, "source", "doc_id", "n_tok", tokenBudget)
 
     // 7. immutable shard artifacts, prunable by (source, shard_id)
     packed

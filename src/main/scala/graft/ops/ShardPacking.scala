@@ -36,8 +36,12 @@ import org.apache.spark.sql.functions._
   *
   * offset(source, b) + run(source, b, row) is exactly the global
   * per-source prefix sum, so shard ids are bit-identical to the
-  * one-window form (ShardPackingSpec pins equality at several
-  * blockSpans, including the degenerate one-block case).
+  * one-window INTEGER-div form (ShardPackingSpec pins equality at
+  * several blockSpans, including blockSpan=1 and the degenerate
+  * one-block case). Note the arithmetic here is pure `div` — a
+  * floating-point `/`-then-cast variant agrees only below ~2^53
+  * cumulative tokens, which is why q78 and Curate stage 6 route
+  * through this object rather than keeping their own `/` windows.
   *
   * The offsets table is broadcast: its size is #distinct (source,
   * block), one row per blockSpan of key space — at 100 TB pick
@@ -46,7 +50,12 @@ import org.apache.spark.sql.functions._
   * as a shuffle hash join on (source, block) unchanged.
   *
   * `order` must be numeric and unique per row within a source (doc_id
-  * here); `n` is the per-row token count.
+  * here); `n` is the per-row token count. Null contract: `source`,
+  * `order` and `n` must be non-null — a null source/order key would
+  * silently vanish at the inner offsets join (null keys never match)
+  * and a null `n` would poison the running sum, so both are rejected
+  * up front with an explicit plan-level guard (`assert_true`), which
+  * fails the job instead of losing rows.
   */
 object ShardPacking {
 
@@ -59,7 +68,25 @@ object ShardPacking {
       blockSpan: Long = 1L << 20,
       shardCol: String = "shard_id"): DataFrame = {
     require(budget > 0 && blockSpan > 0, "budget and blockSpan must be positive")
-    val base = df.withColumn("__blk", expr(s"`$order` div ${blockSpan}L").cast("bigint"))
+    val reserved = Seq("__blk", "__off", "__run")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not contain reserved temp columns ${reserved.mkString(", ")}")
+    // Fail fast on contract violations instead of silently dropping rows
+    // at the offsets join. The guard is woven into the `source` join key
+    // itself (not a standalone column): Catalyst pushes the inner join's
+    // isnotnull(source) filter BELOW any guard column, so a detached
+    // assert would be pruned away with the row it was meant to catch —
+    // wrapping the key means even that pushed-down null filter must
+    // evaluate the assert. Codegen'd no-op on valid data.
+    val guarded = when(
+      assert_true(
+        col(source).isNotNull && col(order).isNotNull && col(n).isNotNull,
+        lit(s"ShardPacking: null $source/$order/$n violates the non-null contract"))
+        .isNull,
+      col(source))
+    val base = df
+      .withColumn(source, guarded)
+      .withColumn("__blk", expr(s"`$order` div ${blockSpan}L").cast("bigint"))
 
     // pass 1: per-(source, block) subtotals, then the exclusive prefix
     // sum of SUBTOTALS per source. The window here runs over block

@@ -714,25 +714,25 @@ object TrainingOps {
     * split (same principle: layout must be a function of the data, not
     * of the run).
     *
-    * Scale shape: the prefix sum runs PER SOURCE (window partitioned
-    * by the sharding domain), so it parallelizes across the keyed
-    * shuffle instead of serializing the corpus through one global
-    * running-sum task — a GLOBAL pack at 100 TB would instead do
-    * per-partition sums + a broadcast offset join (two passes), noted
-    * here; per-domain packing is what pipelines actually ship (shards
-    * don't mix sources).
+    * Scale shape: routed through [[graft.ops.ShardPacking]]'s two-pass
+    * block-decomposed prefix sum — per-(source, block) subtotals (a
+    * plain parallel hash agg), an exclusive running sum over the tiny
+    * block-aggregate frame, then a bounded in-block window — so no
+    * single task ever sees more than `blockSpan` rows of one source.
+    * The naive `Window.partitionBy(source).orderBy(doc_id)` form this
+    * replaced serialized each source's ENTIRE corpus through one
+    * window task; ShardPackingSpec pins bit-equality of the two forms.
+    * Arithmetic is pure integer `div` (not `/`-then-cast, which
+    * diverges above ~2^53 cumulative tokens).
     */
   val q78TokenPacking = Q(
     "q78_token_packing",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      T.documentsSpread(s, dir)
+      val docs = T.documentsSpread(s, dir)
         .select(col("source"), col("doc_id"),
           expr(s"size(filter($toksSql, t -> t <> ''))").as("n"))
-        .withColumn("shard_id",
-          ((sum(col("n")).over(w) - col("n")) / 4096).cast("bigint"))
+      graft.ops.ShardPacking
+        .assignShards(docs, "source", "doc_id", "n", budget = 4096L)
         .groupBy(col("source"), col("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n")).cast("bigint").as("n_tokens"),
@@ -755,7 +755,7 @@ object TrainingOps {
         CAST(SUM(n) AS BIGINT) AS n_tokens,
         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       FROM a GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin),
-    "token-budget shard packing: per-source integer prefix-sum assignment (reproducible, parallel across the sharding domain) + shard fill report; global-pack fallback = per-partition sums + broadcast offsets")
+    "token-budget shard packing via the two-pass block-decomposed prefix sum (ops.ShardPacking): reproducible integer-div assignment, no single-task-per-source window, + shard fill report")
 
   // ---------------------------------------------------------------------
   // q80 — reproducible per-group eval carve-out
