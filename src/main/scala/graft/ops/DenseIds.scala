@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe dense surrogate-key minting: global `row_number() OVER
+  * (ORDER BY key)` semantics without the global window's
+  * single-partition sort (the MySQL AUTO_INCREMENT stand-in the
+  * Categorize pipeline needs, reference categorizer.py:48-68 — ids
+  * dense, deterministic, ordered by the natural key).
+  *
+  * Two passes, the zipWithIndex decomposition in pure DataFrame form:
+  *
+  *   1. `repartitionByRange(p, key)` splits the key space into p
+  *      ordered ranges (explicit p, so AQE cannot coalesce it back to
+  *      one partition); per-range row counts are a tiny p-row frame,
+  *      and an exclusive running sum over it (a window over p rows,
+  *      not the corpus) yields each range's global offset;
+  *   2. `row_number()` within each range, keyed by the range id, plus
+  *      the broadcast offset — every window task handles one range,
+  *      so parallelism is p regardless of corpus size.
+  *
+  * Ids are invariant to WHERE the range boundaries fall (any
+  * order-preserving split yields the same global numbering), so the
+  * only determinism requirement is that the two plan branches reading
+  * the ranged frame see the SAME boundaries: they do, because Spark's
+  * range sampler is seeded per partition index (deterministic for a
+  * given input plan), and both branches share one scan.
+  *
+  * `key` values must be non-null and unique (the caller dedupes —
+  * `dropDuplicates`/`distinct` upstream); ties would make row_number
+  * nondeterministic. DenseIdsSpec pins equality with the global-window
+  * form across partition counts, offsets, and the empty frame.
+  */
+object DenseIds {
+
+  def assign(
+      df: DataFrame,
+      key: String,
+      idCol: String = "id",
+      offset: Long = 0L,
+      partitions: Int = 0): DataFrame = {
+    val reserved = Seq("__pid", "__cnt", "__off")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not contain reserved temp columns ${reserved.mkString(", ")}")
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+    val ranged = df.repartitionByRange(p, col(key))
+      .withColumn("__pid", spark_partition_id())
+
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(key))
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(idCol,
+        row_number().over(wIn).cast("long") + col("__off") + lit(offset))
+      .drop("__pid", "__off")
+  }
+}

@@ -1,7 +1,6 @@
 package graft.wiki
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's flagship Categorizer pipeline (categorizer.py:124-191)
@@ -59,12 +58,14 @@ object Categorize {
     *  - insert-if-absent (the reference's SELECT-then-INSERT per row,
     *    enforced by UNIQUE constraints) → LEFT-ANTI join against the
     *    existing dimension (O-16/O-18);
-    *  - MySQL AUTO_INCREMENT ids → `row_number()` over the natural key,
-    *    offset by the existing max id, so re-running is idempotent AND
-    *    deterministic (unlike monotonically_increasing_id). The global
-    *    window is a single-partition sort of the NEW keys only — new
-    *    dimension deltas are small; at 100 TB-of-new-keys swap to a
-    *    two-pass zipWithIndex-style assignment, same contract;
+    *  - MySQL AUTO_INCREMENT ids → dense row numbers over the natural
+    *    key via [[graft.ops.DenseIds]] (range-split counts → broadcast
+    *    offsets → per-range row_number), offset by the existing max id,
+    *    so re-running is idempotent AND deterministic (unlike
+    *    monotonically_increasing_id) — and a fresh load of 100 TB of
+    *    new keys never funnels through one global-sort task (the
+    *    `Window.orderBy(key)` form this replaced did; DenseIdsSpec
+    *    pins id-equality of the two forms);
     *  - the M2M wiring loop → explode (O-25) + two equi-joins on the
     *    natural keys (O-17); dims are small → broadcast-eligible.
     *
@@ -79,12 +80,9 @@ object Categorize {
       .select(explode(col("categories")).as("name"))
       .distinct()
 
-    val (pageBase, catBase, maxPageId, maxCatId) = existing match {
-      case Some(m) =>
-        (Some(m.pages), Some(m.categories),
-          coalesce(max(col("id")), lit(0L)),
-          coalesce(max(col("id")), lit(0L)))
-      case None => (None, None, lit(0L), lit(0L))
+    val (pageBase, catBase) = existing match {
+      case Some(m) => (Some(m.pages), Some(m.categories))
+      case None    => (None, None)
     }
 
     val freshPages = pageBase.fold(newPagesRaw)(ex =>
@@ -92,18 +90,22 @@ object Categorize {
     val freshCats = catBase.fold(newCatsRaw)(ex =>
       newCatsRaw.join(ex.select("name"), Seq("name"), "left_anti"))
 
-    val pageOffset = pageBase.fold(lit(0L))(ex =>
-      lit(ex.agg(maxPageId.as("m")).first().getLong(0)))
-    val catOffset = catBase.fold(lit(0L))(ex =>
-      lit(ex.agg(maxCatId.as("m")).first().getLong(0)))
+    // Both dimensions' max ids in ONE driver action (a cross join of two
+    // single-row aggs), not one .first() per table.
+    val (pageOffset, catOffset) = (pageBase, catBase) match {
+      case (Some(p), Some(c)) =>
+        val r = p.agg(coalesce(max(col("id")), lit(0L)).as("mp"))
+          .crossJoin(c.agg(coalesce(max(col("id")), lit(0L)).as("mc")))
+          .first()
+        (r.getLong(0), r.getLong(1))
+      case _ => (0L, 0L)
+    }
 
-    val wPage = Window.orderBy(col("file_name"))
-    val wCat = Window.orderBy(col("name"))
-    val pagesNew = freshPages
-      .withColumn("id", (row_number().over(wPage).cast("long") + pageOffset))
+    val pagesNew = graft.ops.DenseIds
+      .assign(freshPages, "file_name", offset = pageOffset)
       .select("id", "file_name", "word_count", "last_edited_date")
-    val catsNew = freshCats
-      .withColumn("id", (row_number().over(wCat).cast("long") + catOffset))
+    val catsNew = graft.ops.DenseIds
+      .assign(freshCats, "name", offset = catOffset)
       .select("id", "name")
 
     val pages = pageBase.fold(pagesNew)(_.unionByName(pagesNew))
@@ -140,13 +142,70 @@ object Categorize {
     * (categorizer.py:82-87 sketches exactly this URL/props shape and
     * save_to_sql falls back to the ORM loop instead). One
     * `df.write.jdbc` per table, pages/categories before the bridge for
-    * FK ordering. The sandbox ships no JDBC driver or server, so this
-    * path is exercised by a plan-construction test only (see
-    * JdbcSinkSpec and README).
+    * FK ordering. Bulk-append form — for the reference's
+    * insert-if-absent semantics against a live database use
+    * [[syncToJdbc]]. JdbcSinkSpec exercises both against embedded
+    * Derby (write → read-back → re-run idempotence), plus the
+    * driver-resolution failure path for an unreachable server.
     */
   def saveToJdbc(m: Model, url: String, props: java.util.Properties): Unit = {
-    m.pages.write.mode("append").jdbc(url, "pages", props)
-    m.categories.write.mode("append").jdbc(url, "categories", props)
+    // Explicit VARCHAR for the natural keys (matching the reference's
+    // String(255) columns, categorizer.py:44-58): without it several
+    // dialects (Derby included) create text as CLOB/TEXT, which breaks
+    // pushed-down equality predicates and indexing on the key.
+    m.pages.write.mode("append")
+      .option("createTableColumnTypes", "file_name VARCHAR(255)")
+      .jdbc(url, "pages", props)
+    m.categories.write.mode("append")
+      .option("createTableColumnTypes", "name VARCHAR(255)")
+      .jdbc(url, "categories", props)
     m.pageCategories.write.mode("append").jdbc(url, "page_categories", props)
+  }
+
+  /** Read a prior run's dimensions back from the database; None on a
+    * fresh database (create-on-demand, categorizer.py:71-73). The
+    * schema fetch is eager, so table absence surfaces here, not at
+    * first action.
+    */
+  def loadFromJdbc(spark: SparkSession, url: String,
+      props: java.util.Properties): Option[Model] =
+    try {
+      val m = Model(
+        spark.read.jdbc(url, "pages", props),
+        spark.read.jdbc(url, "categories", props),
+        spark.read.jdbc(url, "page_categories", props))
+      m.pages.schema; m.categories.schema; m.pageCategories.schema
+      Some(m)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The reference's full save_to_sql contract against a LIVE database
+    * (categorizer.py:150-188): its per-row SELECT-then-INSERT under
+    * UNIQUE constraints is exactly insert-if-absent — here: load the
+    * existing dimensions, normalize against them (anti-join dedup +
+    * max-id-offset surrogate keys), and append ONLY the delta rows, so
+    * re-running on the same input writes nothing (idempotent) and new
+    * input continues ids from the database's max (AUTO_INCREMENT
+    * semantics). Set-based: three delta anti-joins instead of the
+    * reference's per-row round-trips — the driver bottleneck SURVEY.md
+    * §3.1 calls out.
+    */
+  def syncToJdbc(spark: SparkSession, processed: DataFrame, url: String,
+      props: java.util.Properties): Model = {
+    val existing = loadFromJdbc(spark, url, props)
+    val m = normalize(processed, existing)
+    val delta = existing match {
+      case None => m
+      case Some(ex) => Model(
+        m.pages.join(ex.pages.select(col("file_name")),
+          Seq("file_name"), "left_anti")
+          .select("id", "file_name", "word_count", "last_edited_date"),
+        m.categories.join(ex.categories.select(col("name")),
+          Seq("name"), "left_anti")
+          .select("id", "name"),
+        m.pageCategories.join(ex.pageCategories,
+          Seq("page_id", "category_id"), "left_anti"))
+    }
+    saveToJdbc(delta, url, props)
+    m
   }
 }
