@@ -440,8 +440,9 @@ object AnalyticsOps {
     *
     * At scale: per-column exact count-distinct is the expensive part
     * (Expand multiplies rows by #distinct-aggs before the shuffle);
-    * the sketch path swaps in q63's KMV (mergeable, bounded) per column
-    * when estimates suffice — same output schema, documented trade.
+    * the sketch path is REGISTERED as [[q97SketchProfile]] — q63's KMV
+    * per column, no Expand (PlanAuditSpec pins both plans) — when
+    * estimates suffice.
     */
   val q75ColumnProfile = Q(
     "q75_column_profile",
@@ -502,6 +503,108 @@ object AnalyticsOps {
       FROM orders
       ORDER BY col_name""".stripMargin),
     "ANALYZE-style column profile: one-scan multi-column stats (Expand-planned count-distincts) unpivoted via stack, vs a per-column UNION ALL oracle — different engines AND different shapes; decimal-routed min/max strings for cross-engine stability")
+
+  // ---------------------------------------------------------------------
+  // q97 — sketched column profile (the q75 scale path, registered)
+  // ---------------------------------------------------------------------
+
+  /** q75's profile with the cardinalities SKETCHED: the Expand that
+    * multiplies every row ×(#distinct-aggs) before q75's shuffle — its
+    * one non-100×-scale plan property — is gone. Shape: format each
+    * column to an ORDER-FAITHFUL string (zero-padded ints/decimals,
+    * ISO timestamps) so one string min/max per column is the typed
+    * min/max; `stack` to a (col_name, v) frame; then a single
+    * col_name-keyed pass computes counts + min/max, and q63's KMV
+    * aggregator ([[graft.functions.KMinDistinctAggregator]], k=64
+    * minima of md5-derived 60-bit hashes) estimates n_distinct with
+    * bounded memory — each map partition carries ≤ k hashes per column
+    * through the shuffle, vs Expand's row-multiplication.
+    *
+    * Status (3 distinct values < k) exercises the degenerate-exact
+    * branch; key/price/date (15k distincts at sf0.01) exercise the
+    * estimator. Engine-exact like q63: the k-th minimum hash is an
+    * integer both engines agree on, so the DuckDB oracle reproduces
+    * the ESTIMATE bit-for-bit — the gate pins the sketch, not a
+    * tolerance.
+    */
+  val q97SketchProfile = Q(
+    "q97_sketch_profile",
+    (s, dir) => {
+      import graft.functions.KMinDistinctAggregator
+      val k = 64
+      val unp = T.orders(s, dir)
+        .select(
+          lpad(col("o_orderkey").cast("string"), 12, "0").as("v_key"),
+          lpad(col("o_totalprice").cast(graft.Qdsl.D2).cast("string"), 21, "0")
+            .as("v_price"),
+          col("o_orderstatus").as("v_status"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("v_date"))
+        .select(expr(
+          """stack(4,
+            |  'o_orderkey',    v_key,
+            |  'o_totalprice',  v_price,
+            |  'o_orderstatus', v_status,
+            |  'o_orderdate',   v_date) AS (col_name, v)""".stripMargin))
+      val stats = unp.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          min(col("v")).as("min_s"), max(col("v")).as("max_s"))
+      val hashed = unp.filter(col("v").isNotNull).distinct()
+        .select(col("col_name"),
+          expr("cast(conv(substring(md5(v), 1, 15), 16, 10) as bigint)").as("h"))
+      val sketch = {
+        import s.implicits._
+        hashed.as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(new KMinDistinctAggregator(k).toColumn.name("mins"))
+          .toDF("col_name", "mins")
+      }
+      stats.join(sketch, "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          when(size(col("mins")) < k, size(col("mins")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+              / element_at(col("mins"), k))
+            .as("nd_est"),
+          col("min_s"), col("max_s"))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS v_key,
+          lpad(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 21, '0')
+            AS v_price,
+          o_orderstatus AS v_status,
+          strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS v_date
+        FROM orders),
+      unp AS (
+        SELECT 'o_orderkey' AS col_name, v_key AS v FROM base
+        UNION ALL SELECT 'o_totalprice', v_price FROM base
+        UNION ALL SELECT 'o_orderstatus', v_status FROM base
+        UNION ALL SELECT 'o_orderdate', v_date FROM base),
+      stats AS (
+        SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+          MIN(v) AS min_s, MAX(v) AS max_s
+        FROM unp GROUP BY col_name),
+      hashed AS (
+        SELECT DISTINCT col_name, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+        FROM unp WHERE v IS NOT NULL),
+      kth AS (
+        SELECT col_name, h AS hk FROM (
+          SELECT col_name, h,
+            ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY h) AS rn
+          FROM hashed) WHERE rn = 64),
+      nh AS (SELECT col_name, COUNT(*) AS n_hashes FROM hashed GROUP BY col_name)
+      SELECT s.col_name, s.n_rows, s.n_null,
+        CASE WHEN nh.n_hashes < 64 THEN CAST(nh.n_hashes AS DOUBLE)
+             ELSE 63.0 * 1152921504606846976.0 / kth.hk END AS nd_est,
+        s.min_s, s.max_s
+      FROM stats s
+      JOIN nh ON nh.col_name = s.col_name
+      LEFT JOIN kth ON kth.col_name = s.col_name
+      ORDER BY s.col_name""".stripMargin),
+    "sketched column profile: q75 with KMV (k=64) cardinality estimates over an order-faithful string unpivot — no Expand row multiplication, bounded-memory per-column sketches, engine-exact estimate pinned by the oracle")
 
   /** Offset + distribution window functions — the slice of the window
     * surface q15/q16/q58 (ranking, ROWS, RANGE frames) don't touch:
@@ -625,5 +728,5 @@ object AnalyticsOps {
     q49Sessionize, q50Pivot, q51TopkPerGroup, q52Percentiles,
     q53FullOuter, q54RangeJoin, q55AsofJoin, q56BagSetOps, q57MapFuncs,
     q58RangeFrame, q59SqlEntry, q65CorruptJson, q75ColumnProfile,
-    q76WindowOffsets, q91RangeBinned, q92OverlapBinned)
+    q76WindowOffsets, q91RangeBinned, q92OverlapBinned, q97SketchProfile)
 }

@@ -36,6 +36,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Expand"), s"multi-column count-distinct should plan via Expand:\n$plan")
   }
 
+  test("q97 sketch profile plans NO Expand (the q75 scale trade, delivered)") {
+    val plan = executedPlan(AnalyticsOps.q97SketchProfile)
+    assert(!plan.contains("Expand"),
+      s"KMV profile must not multiply rows via Expand:\n$plan")
+  }
+
   test("q34 broadcasts the query side, not the corpus") {
     val plan = executedPlan(LlmOps.q34TopkCosine)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
