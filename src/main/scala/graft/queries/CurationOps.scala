@@ -760,10 +760,11 @@ object CurationOps {
     * Scale shape: one explode to the distinct (batch, gram) frame,
     * one gram-keyed min-agg for first appearance, one join back on the
     * gram and a batches-sized agg — the same two keyed shuffles as
-    * q81, and the same xxhash64-key reduction applies at 100 TB. In
-    * production the "first seen" side is the incremental state (a
-    * bucketed gram→first_batch table), so each new batch joins against
-    * state instead of recomputing history.
+    * q81, and the same xxhash64-key reduction applies at 100 TB. The
+    * production form — each batch joined against an incremental
+    * gram→first_batch state table instead of recomputing history — is
+    * registered as [[q98IncrementalNovelty]]; CurationOpsSpec pins the
+    * two forms equal.
     */
   val q96NoveltyCurve = Q(
     "q96_novelty_curve",
@@ -808,9 +809,69 @@ object CurationOps {
       GROUP BY g.batch ORDER BY g.batch""".stripMargin),
     "corpus novelty/saturation curve: per ingest batch, the fraction of distinct 8-grams first seen in that batch — distinct (batch,gram) explode, gram-keyed first-appearance agg, join-back; incremental gram->first_batch state at scale")
 
+  // ---------------------------------------------------------------------
+  // q98 — incremental gram-state novelty (the q96 production form)
+  // ---------------------------------------------------------------------
+
+  /** q96's novelty curve computed the way a production pipeline runs
+    * it: batches arrive ONE AT A TIME and join against a persistent
+    * gram→first_batch state table — history is never recomputed. Per
+    * batch: (1) the batch's distinct grams left-join the state (the
+    * membership probe; in production the state is a parquet table
+    * BUCKETED on the gram key, so this join is bucket-co-located and
+    * shuffles only the new batch); (2) one aggregate reads the probed
+    * frame for (n_grams, n_new); (3) the unseen grams append to the
+    * state with first_batch = this batch. The probed frame is
+    * `localCheckpoint`ed once per batch — that single materialization
+    * serves both the aggregate and the state update, and truncates
+    * lineage so state never accumulates a 10-batch plan tree (the
+    * q72-loop lesson).
+    *
+    * The result is a lazy union of ten 1-row aggregates over the
+    * checkpointed probes; the oracle is IDENTICAL to q96's (the whole
+    * point: incremental ≡ recompute-all-history, which CurationOpsSpec
+    * also pins engine-side at a second scale factor).
+    */
+  val q98IncrementalNovelty = Q(
+    "q98_incremental_novelty",
+    (s, dir) => {
+      import s.implicits._
+      val grams = T.documentsSpread(s, dir)
+        .select((col("doc_id") % 10).as("batch"),
+          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 8)
+        .select(col("batch"),
+          explode(array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 8)))
+            .as("g"))
+        .distinct()
+        .persist()
+      var state = Seq.empty[(String, Long)].toDF("g", "first_batch")
+      val curves = (0L until 10L).map { b =>
+        val probed = grams.filter(col("batch") === b).select(col("g"))
+          .join(state, Seq("g"), "left")
+          .localCheckpoint()
+        state = state.unionByName(
+          probed.filter(col("first_batch").isNull)
+            .select(col("g"), lit(b).as("first_batch")))
+          .repartition(8, col("g"))
+          .localCheckpoint()
+        probed.agg(
+          lit(b).as("batch"),
+          count(lit(1)).as("n_grams"),
+          coalesce(sum(when(col("first_batch").isNull, 1L).otherwise(0L)), lit(0L))
+            .cast("bigint").as("n_new"))
+      }
+      curves.reduce(_ unionByName _)
+        .select(col("batch"), col("n_grams"), col("n_new"),
+          (col("n_new").cast("double") / col("n_grams")).as("novelty_rate"))
+        .orderBy(col("batch"))
+    },
+    q96NoveltyCurve.oracle,
+    "incremental novelty: per-batch probe of a persistent gram->first_batch state table (bucket-co-located join at scale), one checkpoint per batch serving both the count aggregate and the state append — identical answer to q96's recompute-all form, same oracle")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
     q89NeardupPrune, q90SourceLeakage, q93MixtureApply, q95SaltedJoin,
-    q96NoveltyCurve)
+    q96NoveltyCurve, q98IncrementalNovelty)
 }

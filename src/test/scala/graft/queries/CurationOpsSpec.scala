@@ -278,6 +278,17 @@ class CurationOpsSpec extends SparkSpec {
       "per-batch new grams must partition the distinct gram universe")
   }
 
+  test("q98 batch-at-a-time incremental state ≡ q96 all-at-once, engine-side") {
+    // The oracle already pins q98 against q96's SQL at sf0.01; this
+    // pins the equivalence Spark-side at a second scale factor, row by
+    // row including the derived rate.
+    val all = CurationOps.q96NoveltyCurve.fn(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val inc = CurationOps.q98IncrementalNovelty.fn(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(inc === all)
+  }
+
   test("q94 prefix-filtered containment equals the brute-force all-pairs computation") {
     val sh = graft.Tables.documents(spark, sf)
       .selectExpr("doc_id", "array_distinct(transform(sequence(1, size(split(lower(text), ' ')) - 2), " +
