@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables => T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Fourth capability wave — corpus-curation operators a training-data
@@ -446,35 +447,58 @@ object TrainingOps {
     * parameter to accidentally share). Output: one row per clustered
     * doc group — representative (min doc_id), size, '|'-joined members.
     */
+  /** The min-label propagation loop, extracted so it runs on ANY edge
+    * list (TrainingOpsSpec drives it with a long-diameter path graph;
+    * q72 feeds it the q32 pair graph). Every `checkpointEvery` rounds
+    * the label frame is `localCheckpoint`ed instead of persisted:
+    * without it the logical plan deepens by one join per round and a
+    * long-diameter component pays plan-compilation cost quadratic in
+    * rounds (and eventually overflows the optimizer). The predecessor
+    * is unpersisted only after the successor has materialized (the
+    * convergence aggregate is eager), the same discipline Crawl's BFS
+    * uses.
+    *
+    * Returns one row per vertex: (v, lbl) with lbl = component min.
+    */
+  def minLabelClusters(pairs: DataFrame, checkpointEvery: Int = 3): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val edges = pairs.select(col("id_a").as("v"), col("id_b").as("u"))
+      .union(pairs.select(col("id_b").as("v"), col("id_a").as("u")))
+      .persist()
+    def lblSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("lbl"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var labels = edges.select(col("v")).distinct()
+      .withColumn("lbl", col("v")).persist()
+    var prevSum = lblSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged) {
+      val nbr = edges.as("e")
+        .join(labels.as("l"), col("e.u") === col("l.v"))
+        .select(col("e.v").as("v"), col("l.lbl").as("lbl"))
+      val merged = labels.select(col("v"), col("lbl")).union(nbr)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+      round += 1
+      val next =
+        if (round % checkpointEvery == 0) merged.localCheckpoint()
+        else merged.persist()
+      val s = lblSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels.unpersist()
+      labels = next
+    }
+    labels
+  }
+
   val q72DupClusters = Q(
     "q72_dup_clusters",
     (s, dir) => {
       val pairs = LlmOps.q32NearDupPairs.fn(s, dir)
         .select(col("id_a"), col("id_b")).persist()
-      val edges = pairs.select(col("id_a").as("v"), col("id_b").as("u"))
-        .union(pairs.select(col("id_b").as("v"), col("id_a").as("u")))
-        .persist()
-      def lblSum(df: org.apache.spark.sql.DataFrame): Long =
-        Option(df.agg(sum(col("lbl"))).head.get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-      var labels = edges.select(col("v")).distinct()
-        .withColumn("lbl", col("v")).persist()
-      var prevSum = lblSum(labels)
-      var converged = false
-      while (!converged) {
-        val nbr = edges.as("e")
-          .join(labels.as("l"), col("e.u") === col("l.v"))
-          .select(col("e.v").as("v"), col("l.lbl").as("lbl"))
-        val next = labels.select(col("v"), col("lbl")).union(nbr)
-          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-          .persist()
-        val s = lblSum(next)
-        converged = s == prevSum
-        prevSum = s
-        labels.unpersist()
-        labels = next
-      }
-      labels.groupBy(col("lbl").as("cluster_id"))
+      minLabelClusters(pairs)
+        .groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
           array_join(sort_array(collect_list(col("v"))), "|").as("members"))
         .orderBy(col("cluster_id"))

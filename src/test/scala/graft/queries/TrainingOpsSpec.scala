@@ -12,6 +12,25 @@ class TrainingOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("minLabelClusters: long-diameter path graph converges across checkpoints with bounded lineage") {
+    import spark.implicits._
+    // Path 1-2-3-...-15: diameter 14, so the loop runs ~15 rounds and
+    // crosses the every-3-rounds localCheckpoint boundary repeatedly —
+    // the adversarial case for both convergence and lineage growth
+    // (dup clusters in real corpora are dense/short-diameter; a path is
+    // the worst case per round count).
+    val pairs = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = TrainingOps.minLabelClusters(pairs, checkpointEvery = 3)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == (1L to 15L).map(i => (i, 1L)),
+      "every vertex of the path must converge to the component min label 1")
+    // Lineage truncation: the final frame's plan must contain at most
+    // checkpointEvery-1 propagation joins above the last checkpoint's
+    // LogicalRDD scan — NOT one join per round (~15 without checkpoints).
+    val joins = "Join".r.findAllIn(labels.queryExecution.optimizedPlan.toString).length
+    assert(joins <= 3, s"expected checkpoint-truncated lineage, found $joins joins")
+  }
+
   test("q67 split assignment is a pure function of doc_id: invariant under repartitioning") {
     // The reproducibility contract: re-partitioning the input (what a
     // different cluster size does) must not move any doc between splits.
