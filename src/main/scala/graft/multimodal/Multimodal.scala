@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   * maxPartitionBytes` sizing partitions — the binary-safe version of the
   * wholetext scan (SURVEY.md §7 risk (e)).
   *
-  * This container has no image/audio codecs, so the concrete decoder is
-  * a DETERMINISTIC FAKE over a toy container format ("GRFT"); the
-  * Spark-side plumbing — schema, binary expressions, partitioning,
-  * batch shape — is real and is what the specs test.
+  * Two concrete decoders ship: [[ImageFileDecoder]] hand-parses REAL
+  * image bytes (binary PPM "P6" and uncompressed 24/32-bit BMP — both
+  * fully specified formats needing no codec library), and
+  * [[FakeDecoder]] parses the toy "GRFT" container for deterministic
+  * fixtures. Compressed formats (JPEG/PNG/audio/video) still need a
+  * codec at the [[MediaDecoder]] seam; nothing above the seam changes.
   */
 object Multimodal {
 
@@ -109,10 +111,18 @@ object Multimodal {
     * an actual codec (javax.imageio / ffmpeg bindings) — that seam is
     * the ONLY place pixels are touched.
     */
-  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] =
+    extractFeatures(media, () => new FakeDecoder)
+
+  /** As above with a caller-chosen decoder factory (invoked once per
+    * partition on the EXECUTOR — the factory, not the decoder, is what
+    * serializes with the closure).
+    */
+  def extractFeatures(media: Dataset[Media],
+      mkDecoder: () => MediaDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val decoder: MediaDecoder = new FakeDecoder // per-partition init
+      val decoder = mkDecoder() // per-partition init
       rows.map(m => decoder.decode(m))
     }
   }
@@ -143,6 +153,90 @@ object Multimodal {
       while (i < p.length) { sum += (p(i) & 0xff); i += 1 }
       MediaFeatures(m.media_id, m.kind, width, height, p(7) & 0xff,
         p.length.toLong, if (body == 0) 0.0 else sum.toDouble / body)
+    }
+  }
+
+  /** REAL image bytes, no codec library: binary PPM ("P6", RFC-free
+    * but fully specified by the Netpbm doc — ASCII header of
+    * width/height/maxval with #-comments, then raw RGB triplets) and
+    * uncompressed BMP (BITMAPFILEHEADER "BM" + BITMAPINFOHEADER;
+    * little-endian geometry at fixed offsets; 24/32-bit pixels;
+    * rows padded to 4 bytes, bottom-up unless height < 0). Both are
+    * byte-exact hand-parses — mean_byte covers PIXEL bytes only
+    * (header and BMP row padding excluded), so the feature is a
+    * property of the image, not of the container framing.
+    */
+  final class ImageFileDecoder extends MediaDecoder {
+    def decode(m: Media): MediaFeatures = {
+      val p = m.payload
+      if (p.length >= 2 && p(0) == 'P' && p(1) == '6') decodePpm(m)
+      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(m)
+      else throw new IllegalArgumentException(
+        s"unsupported image container (want P6 PPM or BM BMP): media_id=${m.media_id}")
+    }
+
+    private def decodePpm(m: Media): MediaFeatures = {
+      val p = m.payload
+      var i = 2
+      // Header tokenizer: whitespace-separated decimal fields, with
+      // '#'-to-end-of-line comments legal anywhere between fields.
+      def nextInt(): Int = {
+        while (i < p.length && (p(i) == ' ' || p(i) == '\t' || p(i) == '\n' || p(i) == '\r' || p(i) == '#')) {
+          if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+          else i += 1
+        }
+        var v = 0
+        val start = i
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
+        require(i > start, s"malformed PPM header: media_id=${m.media_id}")
+        v
+      }
+      val width = nextInt(); val height = nextInt(); val maxval = nextInt()
+      require(maxval > 0 && maxval < 256,
+        s"only 1-byte-sample PPM supported (maxval=$maxval): media_id=${m.media_id}")
+      i += 1 // exactly one whitespace byte separates header from raster
+      val expected = width.toLong * height * 3
+      require(p.length - i >= expected,
+        s"PPM raster truncated (${p.length - i} of $expected bytes): media_id=${m.media_id}")
+      var sum = 0L
+      var j = i
+      val end = i + expected.toInt
+      while (j < end) { sum += (p(j) & 0xff); j += 1 }
+      MediaFeatures(m.media_id, m.kind, width, height, 3,
+        p.length.toLong, if (expected == 0) 0.0 else sum.toDouble / expected)
+    }
+
+    private def decodeBmp(m: Media): MediaFeatures = {
+      val p = m.payload
+      require(p.length >= 54, s"BMP shorter than its headers: media_id=${m.media_id}")
+      def leU16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+      def leI32(off: Int): Int =
+        (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+          ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+      val dataOffset = leI32(10)
+      val width = leI32(18)
+      val rawHeight = leI32(22) // negative = top-down row order
+      val height = math.abs(rawHeight)
+      val bitCount = leU16(28)
+      require(bitCount == 24 || bitCount == 32,
+        s"only uncompressed 24/32-bit BMP supported (bitCount=$bitCount): media_id=${m.media_id}")
+      require(leI32(30) == 0, s"compressed BMP not supported: media_id=${m.media_id}")
+      val channels = bitCount / 8
+      val rowBytes = width * channels
+      val stride = (rowBytes + 3) & ~3 // rows pad to 4-byte boundaries
+      require(dataOffset.toLong + stride.toLong * height <= p.length,
+        s"BMP raster truncated: media_id=${m.media_id}")
+      var sum = 0L
+      var row = 0
+      while (row < height) {
+        var j = dataOffset + row * stride
+        val end = j + rowBytes // padding bytes excluded from the feature
+        while (j < end) { sum += (p(j) & 0xff); j += 1 }
+        row += 1
+      }
+      val n = rowBytes.toLong * height
+      MediaFeatures(m.media_id, m.kind, width, height, channels,
+        p.length.toLong, if (n == 0) 0.0 else sum.toDouble / n)
     }
   }
 

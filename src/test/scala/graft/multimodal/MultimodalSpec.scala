@@ -8,8 +8,10 @@ import java.nio.file.{Files, Paths}
 
 /** Binary-column plumbing: native header decode, frame sampling,
   * batched mapPartitions featurization, and the binaryFile ingest path.
-  * The decoder is the deterministic fake (no codecs in this container);
-  * everything around it is the real Spark surface.
+  * Fixture queries use the deterministic GRFT fake; ImageFileDecoder
+  * is additionally exercised on REAL image bytes (binary PPM, 24-bit
+  * BMP) hand-built in-test — the decode seam parses actual formats,
+  * not just the toy container.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -89,6 +91,63 @@ class MultimodalSpec extends SparkSpec {
     val widths = ds.toDF().select(metaColumns(col("payload"))("width").as("w"))
       .collect().map(_.getInt(0)).toSet
     assert(widths === Set(32, 64))
+  }
+
+  test("ImageFileDecoder decodes REAL binary-PPM bytes (header comments, exact mean)") {
+    // 2x2 P6 with a #comment in the header; pixels 0..11 → mean 5.5.
+    val header = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII")
+    val raster = (0 until 12).map(_.toByte).toArray
+    val ppm = header ++ raster
+    val f = new ImageFileDecoder().decode(Media(7L, "image", ppm))
+    assert(f.width == 2 && f.height == 2 && f.channels == 3)
+    assert(f.n_bytes == ppm.length.toLong)
+    assert(f.mean_byte == 5.5)
+  }
+
+  test("ImageFileDecoder decodes REAL 24-bit BMP bytes, excluding row padding") {
+    // 3x2 24-bit BMP: rowBytes=9, stride=12 (3 pad bytes/row). Pixel
+    // bytes all 10, pad bytes 255 — a padding leak would raise the mean.
+    val width = 3; val height = 2; val stride = 12
+    val dataOffset = 54
+    val size = dataOffset + stride * height
+    val p = new Array[Byte](size)
+    p(0) = 'B'; p(1) = 'M'
+    def putLe32(off: Int, v: Int): Unit = {
+      p(off) = (v & 0xff).toByte; p(off + 1) = ((v >> 8) & 0xff).toByte
+      p(off + 2) = ((v >> 16) & 0xff).toByte; p(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(2, size); putLe32(10, dataOffset)
+    putLe32(14, 40); putLe32(18, width); putLe32(22, height)
+    p(26) = 1 // planes
+    p(28) = 24 // bitCount
+    putLe32(30, 0) // BI_RGB
+    for (row <- 0 until height; j <- 0 until stride) {
+      p(dataOffset + row * stride + j) = if (j < width * 3) 10 else 0xff.toByte
+    }
+    val f = new ImageFileDecoder().decode(Media(8L, "image", p))
+    assert(f.width == 3 && f.height == 2 && f.channels == 3)
+    assert(f.mean_byte == 10.0, "row padding must not contaminate the pixel mean")
+  }
+
+  test("real-format decode runs through the batched Spark featurizer seam") {
+    val s = spark
+    import s.implicits._
+    val header = "P6 2 1 255\n".getBytes("US-ASCII")
+    val ppm = header ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    val ds = Seq(Media(21L, "ppm", ppm)).toDS().repartition(2)
+    val out = extractFeatures(ds, () => new ImageFileDecoder).collect().toSeq
+    assert(out == Seq(MediaFeatures(21L, "ppm", 2, 1, 3, ppm.length.toLong, 3.5)))
+  }
+
+  test("ImageFileDecoder rejects unknown containers and truncated rasters") {
+    val d = new ImageFileDecoder
+    intercept[IllegalArgumentException] {
+      d.decode(Media(31L, "x", Array[Byte]('G', 'R', 1, 0, 0)))
+    }
+    val truncated = "P6 4 4 255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    intercept[IllegalArgumentException] {
+      d.decode(Media(32L, "image", truncated))
+    }
   }
 
   test("resizeAll rewrites geometry, sizes the body exactly, and resamples predictably") {
