@@ -549,9 +549,13 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("n_rows"),
           (count(lit(1)) - count(col("v"))).as("n_null"),
           min(col("v")).as("min_s"), max(col("v")).as("max_s"))
-      val hashed = unp.filter(col("v").isNotNull).distinct()
+      // hash BEFORE distinct: the dedup shuffle then carries (col_name,
+      // int64) instead of (col_name, formatted string) — same distinct
+      // hash set (the oracle distincts the hash too), smaller exchange.
+      val hashed = unp.filter(col("v").isNotNull)
         .select(col("col_name"),
           expr("cast(conv(substring(md5(v), 1, 15), 16, 10) as bigint)").as("h"))
+        .distinct()
       val sketch = {
         import s.implicits._
         hashed.as[(String, Long)]

@@ -750,8 +750,46 @@ object PipelineOps {
       LEFT JOIN gkth ON TRUE LEFT JOIN dkth ON TRUE""".stripMargin),
     "KMV sketch merge: union-vocabulary estimate from per-source 16-long sketches alone (k smallest distinct of the minima union), next to the direct global sketch — equal by the merge law, both paths gated in both engines; re-aggregation without re-scanning")
 
+  // ---------------------------------------------------------------------
+  // q99 — engine-native HLL++ cardinality (approx_count_distinct)
+  // ---------------------------------------------------------------------
+
+  /** Spark's built-in HLL++ sketch (`approx_count_distinct`,
+    * Heule et al. 2013) over the same per-source vocabulary as q63,
+    * next to the exact count — the SURVEY §2.5 mention, registered.
+    * HLL++ is the default production choice when nothing outside Spark
+    * needs to read the sketch: codegen'd, partial-aggregated (each map
+    * task carries one fixed-size register array per group through the
+    * shuffle), relative error rsd=2% here.
+    *
+    * Unlike q63's KMV the sketch internals are ENGINE-PRIVATE — no
+    * other engine can reproduce the estimate, so this query has no
+    * DuckDB oracle (driver records the weaker rows-only check) and the
+    * real verification is engine-side: SketchSpec pins the estimate
+    * inside a 5·rsd envelope of the exact count per source, and q63's
+    * KMV remains the cross-engine-gated sketch. This split is the
+    * point: KMV when the sketch must interoperate, HLL++ when Spark
+    * owns both ends.
+    */
+  val q99HllDistinct = Q(
+    "q99_hll_distinct",
+    (s, dir) => {
+      val toks = T.documentsSpread(s, dir)
+        .select(col("source"), explode(expr(toksSql)).as("t"))
+        .filter(col("t") =!= "")
+      toks.groupBy(col("source"))
+        .agg(countDistinct(col("t")).as("n_exact"),
+          approx_count_distinct(col("t"), 0.02).as("hll_estimate"))
+        .select(col("source"), col("n_exact"), col("hll_estimate"),
+          (abs(col("hll_estimate") - col("n_exact")).cast("double")
+            / col("n_exact")).as("rel_err"))
+        .orderBy(col("source"))
+    },
+    None,
+    "engine-native HLL++ per-source vocabulary cardinality (approx_count_distinct, rsd=2%) vs exact — no cross-engine oracle possible (engine-private sketch); SketchSpec pins the error envelope; q63 KMV is the interoperable twin")
+
   val all: Seq[Q] = Seq(
     q42SimhashHammingDup, q43AnnHyperplaneLsh, q44BlockedNearDup,
     q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload,
-    q60AnnIvf, q63KmvDistinct, q79KmvMerge)
+    q60AnnIvf, q63KmvDistinct, q79KmvMerge, q99HllDistinct)
 }

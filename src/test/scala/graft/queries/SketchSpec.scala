@@ -23,6 +23,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q99 HLL++ estimate lands within 5·rsd of the exact count per source") {
+    // The engine-side gate for the oracle-less query: HLL++ with
+    // rsd=0.02 has standard error 2%; 5 sigma is a deterministic-given-
+    // data bound (the sketch is deterministic, this guards regressions
+    // in how we call it, e.g. a lossy pre-projection).
+    val rows = PipelineOps.q99HllDistinct.fn(spark, "/root/testdata/sf0.001")
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val relErr = r.getDouble(3)
+      assert(relErr <= 0.10,
+        s"source=${r.getString(0)} rel_err=$relErr exceeds the 5·rsd envelope")
+    }
+  }
+
   test("minhash64 sketch similarity tracks true Jaccard (the q33 LSH premise)") {
     val s = spark
     import s.implicits._
