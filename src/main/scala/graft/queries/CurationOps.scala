@@ -851,7 +851,13 @@ object CurationOps {
           explode(array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 8)))
             .as("g"))
         .distinct()
-        .persist()
+        // EAGER checkpoint, not lazy persist: the ten per-batch probe
+        // stages' scan sides are independent of the state chain, so in
+        // the one final job they all launch at once and would RACE to
+        // compute the explode+distinct before the cache populates
+        // (ShuffleAudit showed ~7× re-read). Materializing once up
+        // front makes every batch read the same stored partitions.
+        .localCheckpoint()
       var state = Seq.empty[(String, Long)].toDF("g", "first_batch")
       val curves = (0L until 10L).map { b =>
         val probed = grams.filter(col("batch") === b).select(col("g"))
