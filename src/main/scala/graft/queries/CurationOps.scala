@@ -834,6 +834,14 @@ object CurationOps {
     * batches, exactly the anti-pattern the production bucketed-table
     * append avoids; measured 6.5 s → the append form at sf0.1.
     *
+    * The state key is `xxhash64(g)` (8 bytes), not the ~70-byte gram
+    * string — the q81/q90 gram-key reduction applied to the one
+    * repeatedly-shuffled frame here. Distinctness and the per-batch
+    * counts stay at GRAM granularity (hashing happens after the
+    * (batch, gram) distinct), so only membership lookups ride the
+    * hash; the oracle equality with q96 pins that no collision
+    * perturbs the answer on the gate data (64-bit: ~1e-9 at 1M grams).
+    *
     * The result is a lazy union of ten 1-row aggregates over the
     * checkpointed probes; the oracle is IDENTICAL to q96's (the whole
     * point: incremental ≡ recompute-all-history, which CurationOpsSpec
@@ -857,17 +865,19 @@ object CurationOps {
         // compute the explode+distinct before the cache populates
         // (ShuffleAudit showed ~7× re-read). Materializing once up
         // front makes every batch read the same stored partitions.
+        .withColumn("gh", xxhash64(col("g")))
+        .drop("g")
         .localCheckpoint()
-      var state = Seq.empty[(String, Long)].toDF("g", "first_batch")
+      var state = Seq.empty[(Long, Long)].toDF("gh", "first_batch")
       val curves = (0L until 10L).map { b =>
-        val probed = grams.filter(col("batch") === b).select(col("g"))
-          .join(state, Seq("g"), "left")
+        val probed = grams.filter(col("batch") === b).select(col("gh"))
+          .join(state, Seq("gh"), "left")
           .localCheckpoint(eager = false) // the aggregate below materializes it
         // delta-append: a projection of the already-checkpointed probe —
         // no second materialization, no state rewrite.
         state = state.unionByName(
           probed.filter(col("first_batch").isNull)
-            .select(col("g"), lit(b).as("first_batch")))
+            .select(col("gh"), lit(b).as("first_batch")))
         probed.agg(
           lit(b).as("batch"),
           count(lit(1)).as("n_grams"),
