@@ -101,6 +101,41 @@ object Streams {
       }
   }
 
+  /** A distinct (gram-hash, ingest-batch) sighting — the unit the
+    * novelty curve counts (q96/q98; caller pre-distincts per batch and
+    * pre-hashes with `xxhash64`, the same key reduction q98 uses).
+    */
+  final case class GramEvent(gh: Long, batch: Long)
+
+  final case class GramNovelty(gh: Long, batch: Long, firstBatch: Long,
+      isNew: Boolean)
+
+  /** Streaming twin of q98's incremental gram-state novelty: the
+    * gram→first_batch table lives in the STATE STORE (one long per
+    * gram, hash-partitioned on the gram key — the same join shape as
+    * q98's probe, incremental across micro-batches instead of rounds).
+    * Each sighting emits whether its batch is the gram's first; the
+    * per-batch novelty curve is then a plain aggregation of the
+    * emitted events (n_grams = sightings, n_new = first-sightings),
+    * which StreamingSpec pins equal to batch q96 on the same corpus.
+    * Events for several ingest batches may share one micro-batch —
+    * within a group they are processed in batch order, so micro-batch
+    * boundaries never change which batch counts as first.
+    */
+  def noveltyTracker(grams: Dataset[GramEvent]): Dataset[GramNovelty] = {
+    import grams.sparkSession.implicits._
+    grams
+      .groupByKey(_.gh)
+      .flatMapGroupsWithState[Long, GramNovelty](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (gh: Long, events: Iterator[GramEvent], state: GroupState[Long]) =>
+          val evs = events.toSeq.sortBy(_.batch)
+          val first = state.getOption.getOrElse(evs.head.batch)
+          if (state.getOption.isEmpty) state.update(first)
+          evs.iterator.map(e => GramNovelty(gh, e.batch, first, e.batch == first))
+      }
+  }
+
   /** Streaming twin of the corpus dedup family (q29 exact, q36/q42
     * fingerprints): documents dedup-ed ON CONTENT as they arrive. The
     * state key is a fingerprint column the caller computes with the same

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.streaming.Streams.UrlEvent
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 import java.sql.Timestamp
 
@@ -264,6 +265,48 @@ class StreamingSpec extends SparkSpec {
       assert(sessions === Set(
         (ts("10:00"), 7L, 3L),  // merged across batches
         (ts("11:15"), 7L, 1L))) // split by the 40-min gap
+    } finally q.stop()
+  }
+
+  test("noveltyTracker (state-store gram table) equals batch q96 on the same corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // The same distinct (batch, gram) frame q96/q98 count, pre-hashed
+    // with the q98 key reduction, fed in THREE micro-batches split
+    // mid-curve so gram state must carry across micro-batch boundaries.
+    val events = graft.Tables.documentsSpread(s, "/root/testdata/sf0.001")
+      .select((col("doc_id") % 10).as("batch"),
+        expr("filter(split(lower(text), ' '), t -> t <> '')").as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("batch"),
+        explode(array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 8))).as("g"))
+      .distinct()
+      .select(xxhash64(col("g")).as("gh"), col("batch"))
+      .as[Streams.GramEvent].collect().toSeq
+    val in = MemoryStream[Streams.GramEvent]
+    val q = Streams.noveltyTracker(in.toDS())
+      .writeStream.format("memory").queryName("novelty_out")
+      .outputMode("update").start()
+    try {
+      in.addData(events.filter(_.batch <= 3))
+      q.processAllAvailable()
+      in.addData(events.filter(e => e.batch > 3 && e.batch <= 6))
+      q.processAllAvailable()
+      in.addData(events.filter(_.batch > 6))
+      q.processAllAvailable()
+      val streamed = s.table("novelty_out")
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("isNew"), 1L).otherwise(0L)).as("n_new"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      val batch = graft.queries.CurationOps.q96NoveltyCurve
+        .fn(s, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      assert(streamed === batch,
+        "stream-accumulated novelty must equal the batch recompute-all form")
     } finally q.stop()
   }
 
