@@ -289,6 +289,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(inc === all)
   }
 
+  test("q98's production claim: a BUCKETED gram state joins with no Exchange on the state side") {
+    // The q98 scaladoc asserts the production state is a parquet table
+    // bucketed on the gram key so the per-batch probe co-locates. Pin
+    // it: write a gram→first_batch state bucketed on gh, probe it with
+    // a batch frame, and assert the state-side scan feeds the join
+    // without an Exchange (only the incoming batch shuffles).
+    val s = spark
+    import s.implicits._
+    val state = (1L to 5000L).map(h => (h * 2654435761L, h % 7))
+      .toDF("gh", "first_batch")
+    graft.ops.Bucketing.writeBucketed(state, "b_gram_state", "gh", 8)
+    val bucketed = graft.ops.Bucketing.readBucketed(s, "b_gram_state")
+    val probe = (1L to 500L).map(h => h * 2654435761L).toDF("gh")
+    val joined = probe.hint("merge").join(bucketed, Seq("gh"), "left")
+    val plan = joined.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one exchange (the probe side), found $exchanges:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+  }
+
   test("q94 prefix-filtered containment equals the brute-force all-pairs computation") {
     val sh = graft.Tables.documents(spark, sf)
       .selectExpr("doc_id", "array_distinct(transform(sequence(1, size(split(lower(text), ' ')) - 2), " +
