@@ -275,15 +275,25 @@ object LlmOps {
     * doc keeps recall EXACTLY 1 for J >= t while shrinking the inverted
     * index ~5× at t=0.8 and collapsing hot-shingle candidate blowup.
     *
-    * The global order is ASCENDING DOCUMENT FREQUENCY (ties by shingle
-    * string) — the classic AllPairs/ppjoin ordering: a hot shingle sorts
-    * last and lands in (almost) no prefix, so the inverted index is built
-    * from each doc's rarest shingles and candidate fan-out per key stays
-    * ~1. Costs one counting pass (groupBy shingle) + one annotate join +
-    * one per-doc window — all keyed shuffles that scale linearly. A
-    * size-compatibility filter (J >= t ⇒ min(|A|,|B|) >= t·max(|A|,|B|))
-    * prunes cross-size candidates before the distinct. Candidates then
-    * get exact Jaccard on the persisted shingle frame.
+    * The global order is ASCENDING DOCUMENT FREQUENCY (ties by
+    * xxhash64 of the shingle) — the classic AllPairs/ppjoin ordering: a
+    * hot shingle sorts last and lands in (almost) no prefix, so the
+    * inverted index is built from each doc's rarest shingles and
+    * candidate fan-out per key stays ~1. Costs one counting pass
+    * (groupBy shingle key) + one annotate join + one per-doc window —
+    * all keyed shuffles that scale linearly. A size-compatibility
+    * filter (J >= t ⇒ min(|A|,|B|) >= t·max(|A|,|B|)) prunes
+    * cross-size candidates before the distinct. Candidates then get
+    * exact Jaccard on the persisted shingle frame.
+    *
+    * The inverted index carries `xxhash64(shingle)` (8 bytes), never
+    * the shingle string — the index exists only to generate candidate
+    * (doc, doc) pairs, and ANY consistent total order + equality key
+    * preserves recall=1 for the prefix argument (a hash collision can
+    * only ADD a candidate, which exact verification then rejects;
+    * colliding order ties are broken identically everywhere since the
+    * order IS the key). Both window shuffles and the self-join shrink
+    * by the shingle-string width.
     */
   val q32NearDupPairs = Q(
     "q32_near_dup_pairs",
@@ -291,18 +301,19 @@ object LlmOps {
       val sh = shingled(s, dir).persist()
       val inv0 = sh.select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shk"))
       // document frequency as a COUNT window over the inverted index —
-      // one shuffle keyed on shingle, replacing the groupBy + join-back
-      // pair (same df values, one fewer stage)
-      val wDf = Window.partitionBy(col("shingle"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+      // one shuffle keyed on the shingle key, replacing the groupBy +
+      // join-back pair (same df values, one fewer stage)
+      val wDf = Window.partitionBy(col("shk"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shk"))
       val prefix = inv0.withColumn("df", count(lit(1)).over(wDf))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= col("n") - ceil(col("n") * 0.8).cast("int") + 1)
-        .select(col("doc_id"), col("n"), col("shingle"))
+        .select(col("doc_id"), col("n"), col("shk"))
         .persist()
       val cands = prefix.as("x").join(prefix.as("y"),
-          col("x.shingle") === col("y.shingle") &&
+          col("x.shk") === col("y.shk") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n"), col("y.n")).cast("double") >=
             greatest(col("x.n"), col("y.n")) * 0.8)
