@@ -500,8 +500,11 @@ object LlmOps {
     * index side must stay FULL (a superset b has no prefix bound — the
     * asymmetry of the problem), so candidates are
     * prefix(a) ⋈ full(b) on the shingle key, then one exact verify
-    * per candidate. Oracle = the naive all-pairs containment join
-    * (O(n^2) in DuckDB, so sf0.01-gated like q32's).
+    * per candidate. Like q32 the index rides `xxhash64(shingle)` int64
+    * keys (collisions only add candidates; exact verification rejects
+    * them), so the df window, the prefix window, and the candidate
+    * join all shuffle 8-byte keys. Oracle = the naive all-pairs
+    * containment join (O(n^2) in DuckDB, so sf0.01-gated like q32's).
     */
   val q94ContainmentDedup = Q(
     "q94_containment_dedup",
@@ -509,14 +512,15 @@ object LlmOps {
       val sh = shingled(s, dir).persist()
       val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
-      val wDf = Window.partitionBy(col("shingle"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+        .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shk"))
+      val wDf = Window.partitionBy(col("shk"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shk"))
       val prefixA = inv.withColumn("df", count(lit(1)).over(wDf))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= col("n") - ceil(col("n") * 0.9).cast("int") + 1)
-        .select(col("doc_id").as("id_a"), col("shingle"))
+        .select(col("doc_id").as("id_a"), col("shk"))
       val cands = prefixA
-        .join(inv.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+        .join(inv.select(col("doc_id").as("id_b"), col("shk")), "shk")
         .filter(col("id_a") =!= col("id_b"))
         .select(col("id_a"), col("id_b")).distinct()
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
