@@ -46,11 +46,19 @@ object Curate {
   /** Run the full pipeline; write shards under `outDir`; return the
     * per-stage funnel. `evalIds` marks the held-out eval docs used as
     * the decontamination probe set (they never enter the corpus).
+    *
+    * Each stage's frame is persisted before its funnel count and
+    * released once the NEXT stage has materialized: without this,
+    * every count() re-executes the whole chain from the scan — six
+    * actions = O(stages²) corpus passes, invisible at fixture scale
+    * and ruinous at 100 TB. Storage held at any moment is at most two
+    * stages (current + successor), linear like the pipeline itself.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tokenBudget: Long = 4096L, evalIdBelow: Long = 10L): Report = {
     val docs = T.documentsSpread(spark, sfDir)
       .filter(col("doc_id") >= evalIdBelow)
+      .persist()
     val nInput = docs.count()
 
     // 1. quality gate (q83 arithmetic, shared helper)
@@ -58,13 +66,17 @@ object Curate {
       .filter(col("doc_id") >= evalIdBelow)
       .select(col("doc_id"), col("score"))
     val quality = docs.join(scored.filter(col("score") >= 0.05), "doc_id")
+      .persist()
     val nQuality = quality.count()
+    docs.unpersist()
 
     // 2. exact dedup: min doc_id survives its md5(text) group (q29)
     val wHash = Window.partitionBy(md5(col("text")))
     val exact = quality.withColumn("__keep", col("doc_id") === min(col("doc_id")).over(wHash))
       .filter(col("__keep")).drop("__keep")
+      .persist()
     val nExact = exact.count()
+    quality.unpersist()
 
     // 3. near-dup prune: q32's pair list, q89's survivor rule
     val pairs = graft.queries.LlmOps.q32NearDupPairs.fn(spark, sfDir)
@@ -78,7 +90,9 @@ object Curate {
         (col("other_score") === col("my_score") && col("other") < col("me")))
       .select(col("me").as("doc_id")).distinct()
     val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
+      .persist()
     val nNear = nearDeduped.count()
+    exact.unpersist()
 
     // 4. decontamination: drop docs sharing any 5-gram with the eval set (q77)
     val grams = (df: DataFrame) => df
@@ -91,7 +105,9 @@ object Curate {
     val contaminated = grams(nearDeduped).join(broadcast(probe), "g")
       .select(col("doc_id")).distinct()
     val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist()
     val nClean = clean.count()
+    nearDeduped.unpersist()
 
     // 5. mixture rebalance on the CLEAN corpus (q84 rates, q93 filter)
     val withTok = clean.withColumn("n_tok",
@@ -108,7 +124,9 @@ object Curate {
       .join(broadcast(rates), "source")
       .filter(col("__bucket") < col("cut"))
       .drop("__bucket", "cut")
+      .persist()
     val nSampled = sampled.count()
+    clean.unpersist()
 
     // 6. shard packing (q78's two-pass block-decomposed prefix sum —
     // no single-task-per-source window; see ops.ShardPacking)
@@ -122,6 +140,7 @@ object Curate {
       .write.mode("overwrite").partitionBy("source", "shard_id")
       .parquet(s"$outDir/shards")
 
+    sampled.unpersist()
     val written = spark.read.parquet(s"$outDir/shards")
     val nShards = written.select(col("source"), col("shard_id")).distinct().count()
     val nTokens = Option(written.agg(sum(col("n_tok"))).head.get(0))
