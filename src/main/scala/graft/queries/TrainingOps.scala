@@ -825,8 +825,69 @@ object TrainingOps {
       WHERE rank <= 3 ORDER BY lang, rank""".stripMargin),
     "reproducible per-language eval carve-out: exactly-k-per-stratum by md5(doc_id) order — quota form of q67's hash membership, stable under any partitioning; TopKAggregator is the bounded-memory path for huge strata")
 
+  // ---------------------------------------------------------------------
+  // q100 — fixed-token-window chunking with stride
+  // ---------------------------------------------------------------------
+
+  /** Split every document into overlapping fixed-token context windows
+    * (window = 64 tokens, stride = 48 → 16-token overlap) — the
+    * chunking pass that turns a raw corpus into training examples for a
+    * fixed-context model, and the op q78's shard packer consumes
+    * downstream (pack CHUNKS, not ragged documents). Emits one row per
+    * chunk: (doc_id, chunk_start, n_chunk_toks, chunk_text).
+    *
+    * Semantics pinned cross-engine: chunk starts are
+    * `sequence(0, n-1, stride)` (Spark) ≡ `range(0, n, stride)`
+    * (DuckDB) — every token position is covered because stride ≤
+    * window, and each chunk is the window clipped to the doc end:
+    * `len = min(window, n - start)`. With window > stride the last TWO
+    * chunks can both be short (n=100 → 64, 52, 4); nothing is padded
+    * or dropped. TrainingOpsSpec pins the grid, the clip law, and the
+    * full-chunk overlap width against independently recomputed counts.
+    *
+    * Scale shape: a pure per-row generator — tokenize once, explode
+    * the start offsets, `slice` the shared token array per start. No
+    * shuffle at all except the deterministic output sort the oracle
+    * compare needs (a real pipeline writes chunks unsorted). Chunk
+    * count is ceil(n/stride) per doc, so output rows are linear in
+    * corpus tokens; the explode never materializes per-chunk copies of
+    * the token array in the shuffle because everything from tokenize
+    * to chunk_text sits in one projection inside the same stage.
+    */
+  val q100ChunkWindows = Q(
+    "q100_chunk_windows",
+    (s, dir) => {
+      val toks = T.documentsSpread(s, dir)
+        .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+      toks
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, n - 1, 48)")).as("chunk_start"))
+        .select(col("doc_id"),
+          col("chunk_start").cast("int").as("chunk_start"),
+          size(expr("slice(toks, chunk_start + 1, 64)")).as("n_chunk_toks"),
+          array_join(expr("slice(toks, chunk_start + 1, 64)"), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_start"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents),
+      s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+      c AS (SELECT doc_id, toks,
+              UNNEST(range(0, n, 48)) AS chunk_start FROM s)
+      SELECT doc_id, CAST(chunk_start AS INTEGER) AS chunk_start,
+        CAST(len(list_slice(toks, chunk_start + 1, chunk_start + 64)) AS INTEGER)
+          AS n_chunk_toks,
+        array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 64), ' ')
+          AS chunk_text
+      FROM c ORDER BY doc_id, chunk_start""".stripMargin),
+    "fixed-context chunking (window 64, stride 48): tokenize-once + offset explode + shared-array slice, zero-shuffle per-row generator; tail chunks kept short, coverage/overlap spec-pinned")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
-    q77Decontaminate, q78TokenPacking, q80EvalCarveout)
+    q77Decontaminate, q78TokenPacking, q80EvalCarveout, q100ChunkWindows)
 }

@@ -181,6 +181,44 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q100 chunks cover every token position with the pinned overlap") {
+    // independent ground truth: per-doc token count recomputed directly
+    val nByDoc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        expr("size(filter(split(lower(text), ' '), t -> t <> ''))").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = TrainingOps.q100ChunkWindows.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(out.nonEmpty)
+    // every non-empty doc chunks; empty docs (if any) are absent
+    assert(out.keySet == nByDoc.filter(_._2 > 0).keySet)
+    out.foreach { case (doc, chunks) =>
+      val n = nByDoc(doc)
+      val sorted = chunks.sortBy(_._2)
+      // starts are exactly the full stride grid 0, 48, ... <= n-1
+      assert(sorted.map(_._2).toSeq == (0 until n by 48),
+        s"doc $doc: starts off the stride grid")
+      // every chunk is the window clipped to the doc end — with
+      // window > stride the last TWO chunks can both be short (e.g.
+      // n=100 -> 64, 52, 4); min(window, n-start) is the whole law.
+      // Together with the grid check this is exact coverage of
+      // [0, n) with no padding: each chunk reaches at least the next
+      // start (min(64, n-s) >= 49 whenever a next start exists).
+      sorted.foreach { case (_, start, len) =>
+        assert(len == math.min(64, n - start),
+          s"doc $doc: chunk at $start has $len toks, want min(64, ${n - start})")
+      }
+      // consecutive FULL chunks overlap by exactly window - stride = 16
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, s0, 64), (_, s1, _)) =>
+          assert(s0 + 64 - s1 == 16, s"doc $doc: overlap != 16")
+        case _ => ()
+      }
+    }
+  }
+
   test("q70 redaction removes exactly the injected spans (char accounting)") {
     val rs = TrainingOps.q70PiiRedact.fn(spark, sf).collect()
     rs.foreach { r =>
