@@ -189,6 +189,9 @@ object Multimodal {
         val start = i
         while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
         require(i > start, s"malformed PPM header: media_id=${m.media_id}")
+        // <= 9 digits: Int can't overflow-wrap (a wrapped-negative width
+        // would make the raster-truncation check pass vacuously below)
+        require(i - start <= 9, s"implausible PPM header field: media_id=${m.media_id}")
         v
       }
       val width = nextInt(); val height = nextInt(); val maxval = nextInt()
@@ -222,6 +225,15 @@ object Multimodal {
         s"only uncompressed 24/32-bit BMP supported (bitCount=$bitCount): media_id=${m.media_id}")
       require(leI32(30) == 0, s"compressed BMP not supported: media_id=${m.media_id}")
       val channels = bitCount / 8
+      // geometry sanity BEFORE the arithmetic: a crafted width near
+      // Int.MaxValue overflows rowBytes/stride negative, which would
+      // make the truncation require below pass vacuously and return
+      // silently bogus features instead of rejecting the file (leI32
+      // can also return a negative width outright).
+      require(width > 0 && height >= 0 && dataOffset >= 54 &&
+        width.toLong * channels <= Int.MaxValue - 3,
+        s"implausible BMP geometry (w=$width h=$height off=$dataOffset): " +
+          s"media_id=${m.media_id}")
       val rowBytes = width * channels
       val stride = (rowBytes + 3) & ~3 // rows pad to 4-byte boundaries
       require(dataOffset.toLong + stride.toLong * height <= p.length,

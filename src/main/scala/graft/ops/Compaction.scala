@@ -76,7 +76,22 @@ object Compaction {
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): Int = {
-    val n = targetFileCount(dataBytes(spark, inDir), targetBytes)
+    val total = dataBytes(spark, inDir)
+    // A partitionBy layout has its data files one level down: dataBytes
+    // would report 0, targetFileCount(0) = 1, and the rewrite would
+    // funnel the whole (recursively-read) table through one task — the
+    // exact failure the object doc warns against, silently. Partitioned
+    // tables must be compacted per leaf directory (which also preserves
+    // the partition layout the flat rewrite would destroy).
+    val p = new Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasSubdirs = fs.listStatus(p)
+      .exists(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+    require(total > 0 || !hasSubdirs,
+      s"$inDir holds its data in subdirectories (partitionBy layout) — " +
+        "compact each leaf partition directory individually")
+    require(total > 0, s"no data files found under $inDir")
+    val n = targetFileCount(total, targetBytes)
     spark.read.parquet(inDir)
       .repartition(n)
       .write.mode("overwrite").parquet(outDir)

@@ -24,9 +24,17 @@ import org.apache.spark.sql.functions._
   * Ids are invariant to WHERE the range boundaries fall (any
   * order-preserving split yields the same global numbering), so the
   * only determinism requirement is that the two plan branches reading
-  * the ranged frame see the SAME boundaries: they do, because Spark's
-  * range sampler is seeded per partition index (deterministic for a
-  * given input plan), and both branches share one scan.
+  * the ranged frame see the SAME boundaries. That must NOT be left to
+  * exchange reuse: if the planner instantiates the range shuffle twice
+  * (reuse disabled, or any rule that breaks subtree identity), each
+  * instance re-samples with a different RDD-derived seed and boundary
+  * keys can land in different ranges per branch — duplicate ids in one
+  * range, a gap in another, silently. The ranged frame is therefore
+  * eagerly `localCheckpoint`ed: one materialization fixes the
+  * boundaries physically and both branches read the same stored
+  * blocks. The cost is storing the keyed frame once in the block
+  * manager — in this engine the minting inputs are dimension-sized
+  * (pages/categories deltas), not corpus-sized.
   *
   * `key` values must be non-null and unique (the caller dedupes —
   * `dropDuplicates`/`distinct` upstream); ties would make row_number
@@ -50,6 +58,7 @@ object DenseIds {
 
     val ranged = df.repartitionByRange(p, col(key))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin the sampled range boundaries (object doc)
 
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

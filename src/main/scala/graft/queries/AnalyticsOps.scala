@@ -564,9 +564,14 @@ object AnalyticsOps {
           .agg(new KMinDistinctAggregator(k).toColumn.name("mins"))
           .toDF("col_name", "mins")
       }
-      stats.join(sketch, "col_name")
+      // LEFT join: an all-null column yields no sketch row at all (zero
+      // non-null hashes) — an inner join would silently DROP the column
+      // from the profile instead of reporting it with nd_est = 0 the
+      // way q75 does.
+      stats.join(sketch, Seq("col_name"), "left")
         .select(col("col_name"), col("n_rows"), col("n_null"),
-          when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          when(col("mins").isNull, lit(0.0))
+            .when(size(col("mins")) < k, size(col("mins")).cast("double"))
             .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
               / element_at(col("mins"), k))
             .as("nd_est"),
@@ -601,11 +606,12 @@ object AnalyticsOps {
           FROM hashed) WHERE rn = 64),
       nh AS (SELECT col_name, COUNT(*) AS n_hashes FROM hashed GROUP BY col_name)
       SELECT s.col_name, s.n_rows, s.n_null,
-        CASE WHEN nh.n_hashes < 64 THEN CAST(nh.n_hashes AS DOUBLE)
+        CASE WHEN nh.n_hashes IS NULL THEN 0.0
+             WHEN nh.n_hashes < 64 THEN CAST(nh.n_hashes AS DOUBLE)
              ELSE 63.0 * 1152921504606846976.0 / kth.hk END AS nd_est,
         s.min_s, s.max_s
       FROM stats s
-      JOIN nh ON nh.col_name = s.col_name
+      LEFT JOIN nh ON nh.col_name = s.col_name
       LEFT JOIN kth ON kth.col_name = s.col_name
       ORDER BY s.col_name""".stripMargin),
     "sketched column profile: q75 with KMV (k=64) cardinality estimates over an order-faithful string unpivot — no Expand row multiplication, bounded-memory per-column sketches, engine-exact estimate pinned by the oracle")

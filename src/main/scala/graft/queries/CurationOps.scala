@@ -885,6 +885,10 @@ object CurationOps {
             .cast("bigint").as("n_new"))
       }
       curves.reduce(_ unionByName _)
+        // q96's groupBy emits no row for a batch with zero qualifying
+        // docs; the per-batch loop would emit (b, 0, 0, null) — drop it
+        // so the two forms stay identical on sparse corpora too.
+        .filter(col("n_grams") > 0)
         .select(col("batch"), col("n_grams"), col("n_new"),
           (col("n_new").cast("double") / col("n_grams")).as("novelty_rate"))
         .orderBy(col("batch"))

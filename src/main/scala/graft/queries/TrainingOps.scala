@@ -489,7 +489,10 @@ object TrainingOps {
       labels.unpersist()
       labels = next
     }
-    labels
+    // the doubled edge list is dead once converged — without this every
+    // call leaks it into executor storage for the session lifetime
+    edges.unpersist()
+    labels // holds its own final persist/checkpoint; caller may unpersist
   }
 
   val q72DupClusters = Q(

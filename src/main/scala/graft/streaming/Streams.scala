@@ -119,8 +119,16 @@ object Streams {
     * emitted events (n_grams = sightings, n_new = first-sightings),
     * which StreamingSpec pins equal to batch q96 on the same corpus.
     * Events for several ingest batches may share one micro-batch —
-    * within a group they are processed in batch order, so micro-batch
-    * boundaries never change which batch counts as first.
+    * within a group they are processed in batch order.
+    *
+    * ACROSS micro-batches the state MIN-MERGES: if a lower ingest
+    * batch arrives after a higher one was recorded as first (late
+    * data), the state drops to the min, the late sighting emits
+    * isNew=true, and a CORRECTION row (gh, prevFirst, isNew=false) is
+    * emitted for the batch previously credited — so a sink that
+    * upserts by (gh, batch), the Update-output-mode contract, converges
+    * to exactly batch q96's answer even under out-of-order delivery.
+    * With in-order arrival no corrections ever fire.
     */
   def noveltyTracker(grams: Dataset[GramEvent]): Dataset[GramNovelty] = {
     import grams.sparkSession.implicits._
@@ -130,9 +138,16 @@ object Streams {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (gh: Long, events: Iterator[GramEvent], state: GroupState[Long]) =>
           val evs = events.toSeq.sortBy(_.batch)
-          val first = state.getOption.getOrElse(evs.head.batch)
-          if (state.getOption.isEmpty) state.update(first)
-          evs.iterator.map(e => GramNovelty(gh, e.batch, first, e.batch == first))
+          val prev = state.getOption
+          val first = prev.fold(evs.head.batch)(math.min(_, evs.head.batch))
+          if (!prev.contains(first)) state.update(first)
+          val corrections = prev match {
+            case Some(p) if first < p =>
+              Iterator.single(GramNovelty(gh, p, first, isNew = false))
+            case _ => Iterator.empty
+          }
+          corrections ++
+            evs.iterator.map(e => GramNovelty(gh, e.batch, first, e.batch == first))
       }
   }
 

@@ -162,21 +162,56 @@ object Categorize {
     m.pageCategories.write.mode("append").jdbc(url, "page_categories", props)
   }
 
+  /** True iff the exception chain bottoms out in "table does not
+    * exist" (Derby 42X05, MySQL 42S02, Postgres 42P01) — the ONE
+    * failure that legitimately means "fresh database". Anything else
+    * (connection refused, auth, timeout) must propagate: mapping it to
+    * None would make [[syncToJdbc]] treat a POPULATED database as
+    * empty and append duplicate rows with re-minted colliding ids.
+    */
+  private def tableMissing(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      c match {
+        case s: java.sql.SQLException
+            if Set("42X05", "42S02", "42P01").contains(s.getSQLState) =>
+          return true
+        case _ =>
+      }
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
+
   /** Read a prior run's dimensions back from the database; None on a
     * fresh database (create-on-demand, categorizer.py:71-73). The
     * schema fetch is eager, so table absence surfaces here, not at
-    * first action.
+    * first action. Only "fresh" is forgiven: a transient load error
+    * rethrows (see [[tableMissing]]), and a PARTIALLY initialized
+    * store (a prior run crashed between the three table writes) fails
+    * fast rather than silently re-minting ids against half the state.
     */
   def loadFromJdbc(spark: SparkSession, url: String,
-      props: java.util.Properties): Option[Model] =
-    try {
-      val m = Model(
-        spark.read.jdbc(url, "pages", props),
-        spark.read.jdbc(url, "categories", props),
-        spark.read.jdbc(url, "page_categories", props))
-      m.pages.schema; m.categories.schema; m.pageCategories.schema
-      Some(m)
-    } catch { case scala.util.control.NonFatal(_) => None }
+      props: java.util.Properties): Option[Model] = {
+    def read(t: String): Option[DataFrame] =
+      try {
+        val df = spark.read.jdbc(url, t, props)
+        df.schema
+        Some(df)
+      } catch {
+        case scala.util.control.NonFatal(e) if tableMissing(e) => None
+      }
+    (read("pages"), read("categories"), read("page_categories")) match {
+      case (Some(p), Some(c), Some(pc)) => Some(Model(p, c, pc))
+      case (None, None, None)           => None
+      case (p, c, pc) =>
+        val present = Seq("pages" -> p, "categories" -> c,
+          "page_categories" -> pc).collect { case (n, Some(_)) => n }
+        throw new IllegalStateException(
+          s"JDBC store at $url is partially initialized (present: " +
+            s"${present.mkString(", ")}) — repair or drop before syncing")
+    }
+  }
 
   /** The reference's full save_to_sql contract against a LIVE database
     * (categorizer.py:150-188): its per-row SELECT-then-INSERT under
@@ -192,18 +227,32 @@ object Categorize {
   def syncToJdbc(spark: SparkSession, processed: DataFrame, url: String,
       props: java.util.Properties): Model = {
     val existing = loadFromJdbc(spark, url, props)
-    val m = normalize(processed, existing)
+    val m0 = normalize(processed, existing)
+    // Pin the model AND the delta to the PRE-WRITE database snapshot.
+    // Every `existing` frame reads the live tables lazily, and
+    // saveToJdbc appends to those same tables in FK order — left lazy,
+    // the bridge's dimension reads during the (later) page_categories
+    // write would see the pages/categories rows appended moments
+    // earlier, union them in twice, and append duplicated bridge rows.
+    // Dimension-sized frames, so two materialization rounds are cheap;
+    // the returned model is likewise stable however late the caller
+    // reads it.
+    val m = Model(m0.pages.localCheckpoint(),
+      m0.categories.localCheckpoint(), m0.pageCategories.localCheckpoint())
     val delta = existing match {
       case None => m
       case Some(ex) => Model(
         m.pages.join(ex.pages.select(col("file_name")),
           Seq("file_name"), "left_anti")
-          .select("id", "file_name", "word_count", "last_edited_date"),
+          .select("id", "file_name", "word_count", "last_edited_date")
+          .localCheckpoint(),
         m.categories.join(ex.categories.select(col("name")),
           Seq("name"), "left_anti")
-          .select("id", "name"),
+          .select("id", "name")
+          .localCheckpoint(),
         m.pageCategories.join(ex.pageCategories,
-          Seq("page_id", "category_id"), "left_anti"))
+          Seq("page_id", "category_id"), "left_anti")
+          .localCheckpoint())
     }
     saveToJdbc(delta, url, props)
     m

@@ -150,6 +150,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageFileDecoder rejects overflow-crafted geometry instead of returning bogus features") {
+    val d = new ImageFileDecoder
+    // BMP with width=0x7FFFFFFF: rowBytes/stride overflow Int negative,
+    // which would make the truncation check pass vacuously and the
+    // pixel loop run zero times — must throw, like every other
+    // malformed-input path.
+    val p = new Array[Byte](54)
+    p(0) = 'B'; p(1) = 'M'
+    def putLe32(off: Int, v: Int): Unit = {
+      p(off) = (v & 0xff).toByte; p(off + 1) = ((v >> 8) & 0xff).toByte
+      p(off + 2) = ((v >> 16) & 0xff).toByte; p(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(10, 54); putLe32(18, Int.MaxValue); putLe32(22, 1)
+    p(28) = 24
+    val e = intercept[IllegalArgumentException] { d.decode(Media(33L, "image", p)) }
+    assert(e.getMessage.contains("implausible BMP geometry"))
+    // negative declared width (leI32 of a high-bit pattern) also rejected
+    putLe32(18, -5)
+    intercept[IllegalArgumentException] { d.decode(Media(34L, "image", p)) }
+    // PPM header field long enough to wrap Int must be rejected too
+    val ppm = "P6 99999999999 1 255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    val e2 = intercept[IllegalArgumentException] { d.decode(Media(35L, "image", ppm)) }
+    assert(e2.getMessage.contains("implausible PPM header"))
+  }
+
   test("resizeAll rewrites geometry, sizes the body exactly, and resamples predictably") {
     val out = resizeAll(mediaDs, 16, 8).collect().map(m => m.media_id -> m).toMap
     val src = mediaDs.collect().map(m => m.media_id -> m).toMap

@@ -60,6 +60,21 @@ class CompactionSpec extends SparkSpec {
     intercept[IllegalArgumentException](Compaction.targetFileCount(1, 0))
   }
 
+  test("compact rejects a partitionBy layout instead of silently writing one file") {
+    val tmp = java.nio.file.Files.createTempDirectory("compaction_part").toString
+    import spark.implicits._
+    (0 until 100).map(i => (i, i % 3)).toDF("id", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(s"$tmp/in")
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, s"$tmp/in", s"$tmp/out", 1 << 20)
+    }
+    assert(e.getMessage.contains("leaf partition"),
+      s"wrong failure: ${e.getMessage}")
+    // leaf partition dirs themselves compact fine
+    assert(Compaction.compact(spark, s"$tmp/in/p=0", s"$tmp/out0", 1 << 20) == 1)
+    assert(spark.read.parquet(s"$tmp/out0").count() == 34)
+  }
+
   test("writeRebalanced responds to the AQE advisory partition size") {
     val tmp = java.nio.file.Files.createTempDirectory("rebalance").toString
     import spark.implicits._

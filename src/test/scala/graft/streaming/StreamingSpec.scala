@@ -310,6 +310,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("noveltyTracker min-merges late lower batches and emits a correction row") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[Streams.GramEvent]
+    val q = Streams.noveltyTracker(in.toDS())
+      .writeStream.format("memory").queryName("novelty_ooo")
+      .outputMode("update").start()
+    try {
+      // gh=1 arrives OUT of ingest-batch order (5 then 2); gh=2 in order
+      in.addData(Streams.GramEvent(1L, 5L), Streams.GramEvent(2L, 1L))
+      q.processAllAvailable()
+      in.addData(Streams.GramEvent(1L, 2L), Streams.GramEvent(2L, 3L))
+      q.processAllAvailable()
+      val rows = s.table("novelty_ooo")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      // the late (1, batch=2) must be credited new with the merged first
+      assert(rows.contains((1L, 2L, 2L, true)))
+      // and the previously-first batch 5 must get a correction row
+      assert(rows.contains((1L, 5L, 2L, false)),
+        s"missing correction for the superseded first batch: ${rows.mkString(", ")}")
+      // upsert by (gh, batch) — corrections only ever flip true->false,
+      // so min(isNew) is the sink's last-write-wins result
+      val upserted = rows.groupBy(r => (r._1, r._2))
+        .map { case (k, vs) => k -> vs.map(_._4).reduce(_ && _) }
+      assert(upserted == Map((1L, 2L) -> true, (1L, 5L) -> false,
+        (2L, 1L) -> true, (2L, 3L) -> false),
+        "upserted view must converge to the batch (min-first) semantics")
+      // in-order group saw no correction: exactly 2 rows for gh=2
+      assert(rows.count(_._1 == 2L) == 2)
+    } finally q.stop()
+  }
+
   test("ledgerSink writes per-batch partitions; a replayed batch overwrites, not duplicates") {
     val s = spark
     import s.implicits._

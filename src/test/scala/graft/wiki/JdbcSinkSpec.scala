@@ -63,6 +63,32 @@ class JdbcSinkSpec extends SparkSpec {
     assert(c4 == 4L, s"new category id must continue from DB max, got $c4")
   }
 
+  test("loadFromJdbc: fresh db is None, partial store throws, connection errors propagate") {
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // fresh database: all three tables missing -> None (create-on-demand)
+    val fresh = s"jdbc:derby:memory:graftfresh${System.nanoTime()};create=true"
+    assert(Categorize.loadFromJdbc(spark, fresh, props).isEmpty)
+    // partially initialized store (a crash between the three writes):
+    // must FAIL FAST, not be mistaken for fresh — syncing against it
+    // would re-mint ids and append duplicates
+    val partial = s"jdbc:derby:memory:graftpart${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(partial)
+    conn.createStatement().execute(
+      "CREATE TABLE pages (id BIGINT, file_name VARCHAR(255))")
+    conn.close()
+    val e = intercept[IllegalStateException] {
+      Categorize.loadFromJdbc(spark, partial, props)
+    }
+    assert(e.getMessage.contains("partially initialized"))
+    // a NON-missing-table failure (no such database, no create flag)
+    // must propagate, never read as "fresh"
+    intercept[Exception] {
+      Categorize.loadFromJdbc(spark,
+        s"jdbc:derby:memory:graftnodb${System.nanoTime()}", props)
+    }
+  }
+
   test("unreachable server still fails at the connection layer, not in analysis") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jdbc-")
     writeHtml(dir, "p.html", Seq("C1"))
