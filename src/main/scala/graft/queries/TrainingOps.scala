@@ -889,8 +889,77 @@ object TrainingOps {
       FROM c ORDER BY doc_id, chunk_start""".stripMargin),
     "fixed-context chunking (window 64, stride 48): tokenize-once + offset explode + shared-array slice, zero-shuffle per-row generator; tail chunks kept short, coverage/overlap spec-pinned")
 
+  // ---------------------------------------------------------------------
+  // q101 — chunk → shard packing (q100 composed with q78's packer)
+  // ---------------------------------------------------------------------
+
+  /** The end-to-end pretraining layout pass: q100's fixed-context
+    * chunks packed into 512-token shards per source (sized so shard boundaries are exercised at every gate SF) through
+    * [[graft.ops.ShardPacking]] — pack CHUNKS, not ragged documents,
+    * exactly the composition q100's doc promises. Per (source, shard):
+    * chunk count, token fill, and the doc range it spans.
+    *
+    * The packer needs ONE numeric order key unique per row within a
+    * source; chunks are ordered by (doc_id, chunk_start), encoded as
+    * `doc_id · 2²⁰ + chunk_start` (valid while docs stay under 2²⁰ =
+    * ~1M tokens — far above any sane context pipeline's doc cap; a
+    * corpus violating it would widen the shift). blockSpan 2³⁰ groups
+    * ~1024 docs per prefix-sum block, keeping the broadcast offsets
+    * table ~1024× smaller than the doc count.
+    *
+    * Scale shape: chunk token counts are ARITHMETIC here —
+    * `least(64, n - start)` — so unlike q100 no chunk text or token
+    * array ever materializes; the packer sees only (source, ord, nc).
+    * Two keyed shuffles (block subtotals, block-keyed running sum) +
+    * the broadcast offsets join + one final source-keyed agg. No
+    * single-task-per-source stage anywhere.
+    */
+  val q101ChunkPacking = Q(
+    "q101_chunk_packing",
+    (s, dir) => {
+      val chunks = T.documentsSpread(s, dir)
+        .select(col("source"), col("doc_id"),
+          expr(s"size(filter($toksSql, t -> t <> ''))").as("n"))
+        .filter(col("n") > 0)
+        .select(col("source"), col("doc_id"), col("n"),
+          explode(expr("sequence(0, n - 1, 48)")).as("chunk_start"))
+        .select(col("source"), col("doc_id"),
+          least(lit(64), col("n") - col("chunk_start")).cast("long").as("nc"),
+          (col("doc_id") * (1L << 20) + col("chunk_start")).as("ord"))
+      graft.ops.ShardPacking.assignShards(chunks, "source", "ord", "nc",
+          budget = 512L, blockSpan = 1L << 30)
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("nc")).cast("bigint").as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("shard_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, doc_id,
+          len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n
+        FROM documents),
+      s AS (SELECT source, doc_id, n FROM d WHERE n > 0),
+      c AS (SELECT source, doc_id, n,
+              UNNEST(range(0, n, 48)) AS chunk_start FROM s),
+      a AS (
+        SELECT source, doc_id,
+          LEAST(64, n - chunk_start) AS nc,
+          CAST((SUM(LEAST(64, n - chunk_start)) OVER (
+              PARTITION BY source ORDER BY doc_id, chunk_start
+              ROWS UNBOUNDED PRECEDING) - LEAST(64, n - chunk_start)) // 512
+            AS BIGINT) AS shard_id
+        FROM c)
+      SELECT source, shard_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(nc) AS BIGINT) AS n_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM a GROUP BY source, shard_id
+      ORDER BY source, shard_id""".stripMargin),
+    "chunk->shard packing: q100's stride-grid chunks (token counts arithmetic, no text materialized) packed into 4096-token shards via the two-pass block prefix sum; oracle re-derives the assignment with one running-sum window over (doc_id, chunk_start)")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
-    q77Decontaminate, q78TokenPacking, q80EvalCarveout, q100ChunkWindows)
+    q77Decontaminate, q78TokenPacking, q80EvalCarveout, q100ChunkWindows,
+    q101ChunkPacking)
 }
