@@ -151,6 +151,51 @@ object Streams {
       }
   }
 
+  /** One chunk's packing input (q101's shape): `ord` the total order
+    * key within a source, `n` its token count.
+    */
+  final case class ChunkEvent(source: String, ord: Long, n: Long)
+
+  final case class ShardAssigned(source: String, ord: Long, n: Long,
+      shardId: Long)
+
+  /** Streaming twin of [[graft.ops.ShardPacking]] (q78/q101): shards
+    * assigned AS CHUNKS ARRIVE. State is one long per source — the
+    * running token total — so a chunk's shard is
+    * `runningBefore div budget`, exactly the batch exclusive-prefix
+    * law; StreamingSpec pins stream ≡ batch on micro-batch splits that
+    * cut mid-source.
+    *
+    * Ordering contract, and why it differs from [[noveltyTracker]]:
+    * within a micro-batch events are sorted by `ord`, but ACROSS
+    * micro-batches arrival order must respect `ord` per source. A
+    * prefix sum cannot retro-correct — a late chunk would shift every
+    * subsequent assignment in its source, which is inherent to
+    * packing, not to this implementation (production packs each
+    * immutable ingest segment in order for the same reason). Novelty's
+    * min-merge trick works there because ONE state transition affects
+    * one gram; here it would cascade.
+    */
+  def shardPacker(chunks: Dataset[ChunkEvent], budget: Long)
+      : Dataset[ShardAssigned] = {
+    require(budget > 0, "budget must be positive")
+    import chunks.sparkSession.implicits._
+    chunks
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, ShardAssigned](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, events: Iterator[ChunkEvent], state: GroupState[Long]) =>
+          var run = state.getOption.getOrElse(0L)
+          val out = events.toSeq.sortBy(_.ord).map { e =>
+            val shard = run / budget
+            run += e.n
+            ShardAssigned(src, e.ord, e.n, shard)
+          }
+          state.update(run)
+          out.iterator
+      }
+  }
+
   /** Streaming twin of the corpus dedup family (q29 exact, q36/q42
     * fingerprints): documents dedup-ed ON CONTENT as they arrive. The
     * state key is a fingerprint column the caller computes with the same

@@ -343,6 +343,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("shardPacker (state-store running totals) equals batch ShardPacking mid-source across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // q101's chunk shape at sf0.001, in (source, ord) arrival order
+    val chunks = graft.Tables.documentsSpread(s, "/root/testdata/sf0.001")
+      .select(col("source"), col("doc_id"),
+        expr("size(filter(split(lower(text), ' '), t -> t <> ''))").as("n"))
+      .filter(col("n") > 0)
+      .select(col("source"), col("doc_id"), col("n"),
+        explode(expr("sequence(0, n - 1, 48)")).as("chunk_start"))
+      .select(col("source"),
+        (col("doc_id") * (1L << 20) + col("chunk_start")).as("ord"),
+        least(lit(64), col("n") - col("chunk_start")).cast("long").as("n"))
+    val events = chunks.as[Streams.ChunkEvent].collect().toSeq.sortBy(e => (e.source, e.ord))
+    val in = MemoryStream[Streams.ChunkEvent]
+    val q = Streams.shardPacker(in.toDS(), budget = 512L)
+      .writeStream.format("memory").queryName("packer_out")
+      .outputMode("append").start()
+    try {
+      // split so every source straddles the micro-batch boundary:
+      // each source's first half in mb1, the rest in mb2 (ord-ordered)
+      val half = events.groupBy(_.source).view.mapValues(es => es.length / 2).toMap
+      val idx = events.groupBy(_.source).view
+        .mapValues(_.sortBy(_.ord).zipWithIndex.toMap).toMap
+      val (mb1, mb2) = events.partition(e => idx(e.source)(e) < half(e.source))
+      in.addData(mb1); q.processAllAvailable()
+      in.addData(mb2); q.processAllAvailable()
+      val streamed = s.table("packer_out")
+        .select(col("source"), col("ord"), col("shardId"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.ops.ShardPacking
+        .assignShards(chunks, "source", "ord", "n", budget = 512L)
+        .select(col("source"), col("ord"), col("shard_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        "incremental state-store packing must equal the batch two-pass form")
+    } finally q.stop()
+  }
+
   test("ledgerSink writes per-batch partitions; a replayed batch overwrites, not duplicates") {
     val s = spark
     import s.implicits._
