@@ -86,7 +86,8 @@ object Compaction {
     val p = new Path(inDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasSubdirs = fs.listStatus(p)
-      .exists(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+      .exists(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_")) // _spark_metadata etc. is metadata, not layout
     require(total > 0 || !hasSubdirs,
       s"$inDir holds its data in subdirectories (partitionBy layout) — " +
         "compact each leaf partition directory individually")

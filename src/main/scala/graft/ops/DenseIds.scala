@@ -43,6 +43,14 @@ import org.apache.spark.sql.functions._
   */
 object DenseIds {
 
+  /** The pre-checkpoint ranged frame — factored out so DenseIdsSpec
+    * can pin the range-exchange plan shape (the checkpoint hides it
+    * from [[assign]]'s visible plan).
+    */
+  private[graft] def rangedFrame(df: DataFrame, key: String, p: Int): DataFrame =
+    df.repartitionByRange(p, col(key))
+      .withColumn("__pid", spark_partition_id())
+
   def assign(
       df: DataFrame,
       key: String,
@@ -56,8 +64,7 @@ object DenseIds {
       if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
-    val ranged = df.repartitionByRange(p, col(key))
-      .withColumn("__pid", spark_partition_id())
+    val ranged = rangedFrame(df, key, p)
       .localCheckpoint() // pin the sampled range boundaries (object doc)
 
     val wOff = Window.orderBy(col("__pid"))

@@ -492,7 +492,14 @@ object TrainingOps {
     // the doubled edge list is dead once converged — without this every
     // call leaks it into executor storage for the session lifetime
     edges.unpersist()
-    labels // holds its own final persist/checkpoint; caller may unpersist
+    // Hand back a lineage-severed checkpoint rather than the final
+    // round's persist(): the cache entry would otherwise pin blocks
+    // (and the edge lineage under them) for the session; checkpoint
+    // blocks free with the frame. The extra pass copies only the tiny
+    // (v, lbl) frame.
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out
   }
 
   val q72DupClusters = Q(
@@ -500,7 +507,12 @@ object TrainingOps {
     (s, dir) => {
       val pairs = LlmOps.q32NearDupPairs.fn(s, dir)
         .select(col("id_a"), col("id_b")).persist()
-      minLabelClusters(pairs)
+      val labels = minLabelClusters(pairs)
+      // the loop's convergence actions materialized everything the pair
+      // graph feeds; drop it now (same leak class the edges.unpersist
+      // inside the loop closes)
+      pairs.unpersist()
+      labels
         .groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
           array_join(sort_array(collect_list(col("v"))), "|").as("members"))
@@ -925,7 +937,14 @@ object TrainingOps {
           explode(expr("sequence(0, n - 1, 48)")).as("chunk_start"))
         .select(col("source"), col("doc_id"),
           least(lit(64), col("n") - col("chunk_start")).cast("long").as("nc"),
-          (col("doc_id") * (1L << 20) + col("chunk_start")).as("ord"))
+          // the documented 2^20-token doc cap, enforced: a chunk_start
+          // past it would bleed into doc_id+1's key range and silently
+          // interleave two docs' packing order — fail the job instead
+          // (assert woven into the expression so it cannot be pruned)
+          (col("doc_id") * (1L << 20) +
+            when(assert_true(col("chunk_start") < (1L << 20),
+              lit("q101: doc exceeds the 2^20-token ord-encoding cap")).isNull,
+              col("chunk_start"))).as("ord"))
       graft.ops.ShardPacking.assignShards(chunks, "source", "ord", "nc",
           budget = 512L, blockSpan = 1L << 30)
         .groupBy(col("source"), col("shard_id"))
@@ -955,7 +974,7 @@ object TrainingOps {
         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       FROM a GROUP BY source, shard_id
       ORDER BY source, shard_id""".stripMargin),
-    "chunk->shard packing: q100's stride-grid chunks (token counts arithmetic, no text materialized) packed into 4096-token shards via the two-pass block prefix sum; oracle re-derives the assignment with one running-sum window over (doc_id, chunk_start)")
+    "chunk->shard packing: q100's stride-grid chunks (token counts arithmetic, no text materialized) packed into 512-token shards via the two-pass block prefix sum; oracle re-derives the assignment with one running-sum window over (doc_id, chunk_start)")
 
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,

@@ -127,7 +127,12 @@ object Streams {
     * isNew=true, and a CORRECTION row (gh, prevFirst, isNew=false) is
     * emitted for the batch previously credited — so a sink that
     * upserts by (gh, batch), the Update-output-mode contract, converges
-    * to exactly batch q96's answer even under out-of-order delivery.
+    * to exactly batch q96's COUNTS (n_grams per batch, n_new per batch)
+    * even under out-of-order delivery. Precision: only the superseded
+    * first row is re-emitted; the `firstBatch` ATTRIBUTE on a gram's
+    * other previously-emitted rows is not retro-updated (isNew on them
+    * was and stays false, so counts are unaffected) — a consumer that
+    * reads firstBatch itself should take min(firstBatch) per gh.
     * With in-order arrival no corrections ever fire.
     */
   def noveltyTracker(grams: Dataset[GramEvent]): Dataset[GramNovelty] = {
@@ -174,7 +179,10 @@ object Streams {
     * packing, not to this implementation (production packs each
     * immutable ingest segment in order for the same reason). Novelty's
     * min-merge trick works there because ONE state transition affects
-    * one gram; here it would cascade.
+    * one gram; here it would cascade. The contract is ENFORCED, not
+    * assumed: state carries the last ord seen, and a violating arrival
+    * fails the query instead of silently misassigning every subsequent
+    * shard in its source.
     */
   def shardPacker(chunks: Dataset[ChunkEvent], budget: Long)
       : Dataset[ShardAssigned] = {
@@ -182,16 +190,23 @@ object Streams {
     import chunks.sparkSession.implicits._
     chunks
       .groupByKey(_.source)
-      .flatMapGroupsWithState[Long, ShardAssigned](
+      .flatMapGroupsWithState[(Long, Long), ShardAssigned](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (src: String, events: Iterator[ChunkEvent], state: GroupState[Long]) =>
-          var run = state.getOption.getOrElse(0L)
+        (src: String, events: Iterator[ChunkEvent],
+            state: GroupState[(Long, Long)]) =>
+          var (run, lastOrd) = state.getOption.getOrElse((0L, Long.MinValue))
           val out = events.toSeq.sortBy(_.ord).map { e =>
+            if (e.ord <= lastOrd)
+              throw new IllegalStateException(
+                s"shardPacker: chunk ord=${e.ord} for source '$src' arrived " +
+                  s"after ord=$lastOrd — out-of-order delivery violates the " +
+                  "prefix-sum packing contract (see scaladoc)")
+            lastOrd = e.ord
             val shard = run / budget
             run += e.n
             ShardAssigned(src, e.ord, e.n, shard)
           }
-          state.update(run)
+          state.update((run, lastOrd))
           out.iterator
       }
   }

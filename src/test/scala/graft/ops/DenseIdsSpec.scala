@@ -67,12 +67,16 @@ class DenseIdsSpec extends SparkSpec {
     // would plan with an empty partition spec over a SinglePartition
     // exchange. (The p-row offsets window IS legitimately global; it
     // never sees corpus-sized input.)
+    // The range exchange runs inside the eager localCheckpoint that
+    // pins the sampled boundaries (object doc), so assign's visible
+    // plan only shows the checkpoint scan — pin the range shape on the
+    // pre-checkpoint frame, and the keyed window on the full plan.
+    val rangedPlan = DenseIds.rangedFrame(fixture, "file_name", 8)
+      .queryExecution.executedPlan.toString
+    assert(rangedPlan.contains("rangepartitioning(file_name"),
+      s"expected a range exchange on the key in:\n$rangedPlan")
     val out = DenseIds.assign(fixture, "file_name", partitions = 8)
     val plan = out.queryExecution.executedPlan.toString
-    // The range exchange runs inside the eager localCheckpoint that
-    // pins the sampled boundaries (object doc) — the visible plan
-    // reads its stored blocks, so assert the checkpoint scan plus the
-    // keyed window rather than the (now-hidden) range exchange.
     assert(plan.contains("ExistingRDD"),
       s"expected the checkpointed ranged scan in:\n$plan")
     val rnLines = plan.linesIterator.filter(_.contains("row_number")).toSeq

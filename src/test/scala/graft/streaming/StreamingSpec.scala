@@ -383,6 +383,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("shardPacker fails fast on out-of-order arrival instead of misassigning") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[Streams.ChunkEvent]
+    val q = Streams.shardPacker(in.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("packer_ooo")
+      .outputMode("append").start()
+    try {
+      in.addData(Streams.ChunkEvent("s", 10L, 50L))
+      q.processAllAvailable()
+      in.addData(Streams.ChunkEvent("s", 5L, 50L)) // ord regression
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => Option(c.getMessage)
+          .exists(_.contains("out-of-order delivery"))),
+        s"expected the packing-contract failure, got: $e")
+    } finally q.stop()
+  }
+
   test("ledgerSink writes per-batch partitions; a replayed batch overwrites, not duplicates") {
     val s = spark
     import s.implicits._
