@@ -976,9 +976,86 @@ object TrainingOps {
       ORDER BY source, shard_id""".stripMargin),
     "chunk->shard packing: q100's stride-grid chunks (token counts arithmetic, no text materialized) packed into 512-token shards via the two-pass block prefix sum; oracle re-derives the assignment with one running-sum window over (doc_id, chunk_start)")
 
+  // ---------------------------------------------------------------------
+  // q102 — hash-shuffled packing (deterministic global shuffle + shard)
+  // ---------------------------------------------------------------------
+
+  /** q101 with the packing order PSEUDO-RANDOMIZED: chunks are packed
+    * in md5-hash order instead of corpus order — the deterministic
+    * global shuffle a pretraining pipeline runs so consecutive shards
+    * don't serve consecutive (correlated) corpus regions. Same
+    * reproducibility argument as q67: the order is a pure function of
+    * the data, stable across runs/partitioning/cluster size, where a
+    * `rand(seed)` shuffle is not. Packing is GLOBAL here (one source
+    * stream), so the report adds the decorrelation evidence: distinct
+    * sources and docs per shard (corpus-ordered packing would give ~1
+    * source per shard; shuffled gives many).
+    *
+    * The order key is the leading 60 bits of md5(doc_id:chunk_start) —
+    * unique on gate data (collision odds ~n²/2⁶¹); at corpus scales
+    * where 60 bits can collide, widen the key with the natural
+    * tiebreak (hash, doc_id, chunk_start) — ties only perturb which of
+    * two chunks lands at a shard seam, not the shard fill math.
+    * blockSpan divides the uniform hash domain into 2¹⁰ blocks, so
+    * the two-pass prefix sum parallelizes over near-equal slices.
+    *
+    * Scale shape: identical to q101 (arithmetic chunk metadata only)
+    * plus one hash per chunk; the global-order window never
+    * materializes — ShardPacking's block decomposition applies to the
+    * hash domain exactly as it does to doc ids.
+    */
+  val q102ShuffledPacking = Q(
+    "q102_shuffled_packing",
+    (s, dir) => {
+      val chunks = T.documentsSpread(s, dir)
+        .select(col("source"), col("doc_id"),
+          expr(s"size(filter($toksSql, t -> t <> ''))").as("n"))
+        .filter(col("n") > 0)
+        .select(col("source"), col("doc_id"), col("n"),
+          explode(expr("sequence(0, n - 1, 48)")).as("chunk_start"))
+        .select(col("source"), col("doc_id"),
+          least(lit(64), col("n") - col("chunk_start")).cast("long").as("nc"),
+          expr("cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+            "cast(chunk_start as string))), 1, 15), 16, 10) as bigint)").as("ord"))
+        .withColumn("stream", lit("all"))
+      graft.ops.ShardPacking.assignShards(chunks, "stream", "ord", "nc",
+          budget = 512L, blockSpan = 1L << 50)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("nc")).cast("bigint").as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("shard_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, doc_id,
+          len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n
+        FROM documents),
+      s AS (SELECT source, doc_id, n FROM d WHERE n > 0),
+      c AS (SELECT source, doc_id, n,
+              UNNEST(range(0, n, 48)) AS chunk_start FROM s),
+      h AS (
+        SELECT source, doc_id,
+          LEAST(64, n - chunk_start) AS nc,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(chunk_start AS VARCHAR)), 1, 15))::BIGINT AS ord
+        FROM c),
+      a AS (
+        SELECT source, doc_id, nc,
+          CAST((SUM(nc) OVER (ORDER BY ord
+              ROWS UNBOUNDED PRECEDING) - nc) // 512 AS BIGINT) AS shard_id
+        FROM h)
+      SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(nc) AS BIGINT) AS n_tokens,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin),
+    "hash-shuffled packing: chunks packed in deterministic md5 order (reproducible global shuffle, no rand(seed) order dependence) via the same two-pass block prefix sum over the hash domain; per-shard source/doc mixing reported as the decorrelation evidence")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
     q77Decontaminate, q78TokenPacking, q80EvalCarveout, q100ChunkWindows,
-    q101ChunkPacking)
+    q101ChunkPacking, q102ShuffledPacking)
 }
