@@ -156,23 +156,32 @@ object Multimodal {
     }
   }
 
-  /** REAL image bytes, no codec library: binary PPM ("P6", RFC-free
+  /** REAL media bytes, no codec library: binary PPM ("P6", RFC-free
     * but fully specified by the Netpbm doc — ASCII header of
-    * width/height/maxval with #-comments, then raw RGB triplets) and
+    * width/height/maxval with #-comments, then raw RGB triplets),
     * uncompressed BMP (BITMAPFILEHEADER "BM" + BITMAPINFOHEADER;
     * little-endian geometry at fixed offsets; 24/32-bit pixels;
-    * rows padded to 4 bytes, bottom-up unless height < 0). Both are
-    * byte-exact hand-parses — mean_byte covers PIXEL bytes only
-    * (header and BMP row padding excluded), so the feature is a
-    * property of the image, not of the container framing.
+    * rows padded to 4 bytes, bottom-up unless height < 0), and RIFF
+    * WAV (PCM 16-bit; "RIFF"/"WAVE" magic, chunked "fmt "/"data"
+    * layout — the audio modality decoded from real container bytes,
+    * not a stub). All are byte-exact hand-parses — mean_byte covers
+    * PAYLOAD bytes only (headers, BMP row padding and non-data RIFF
+    * chunks excluded), so the feature is a property of the media, not
+    * of the container framing. WAV maps onto the shared feature
+    * schema as width = sample rate, height = sample frames,
+    * channels = PCM channels (documented here because the schema is
+    * image-named; a production pipeline would carry a typed per-kind
+    * struct instead).
     */
   final class ImageFileDecoder extends MediaDecoder {
     def decode(m: Media): MediaFeatures = {
       val p = m.payload
-      if (p.length >= 2 && p(0) == 'P' && p(1) == '6') decodePpm(m)
+      if (p.length >= 4 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F')
+        decodeWav(m)
+      else if (p.length >= 2 && p(0) == 'P' && p(1) == '6') decodePpm(m)
       else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(m)
       else throw new IllegalArgumentException(
-        s"unsupported image container (want P6 PPM or BM BMP): media_id=${m.media_id}")
+        s"unsupported media container (want P6 PPM, BM BMP or RIFF WAV): media_id=${m.media_id}")
     }
 
     private def decodePpm(m: Media): MediaFeatures = {
@@ -249,6 +258,58 @@ object Multimodal {
       val n = rowBytes.toLong * height
       MediaFeatures(m.media_id, m.kind, width, height, channels,
         p.length.toLong, if (n == 0) 0.0 else sum.toDouble / n)
+    }
+
+    /** RIFF WAV, PCM 16-bit only: walk the chunk list (each chunk is
+      * 4-byte id + LE u32 length + payload, word-aligned), read
+      * "fmt " for geometry and "data" for the sample bytes. The
+      * feature mapping onto the shared schema is documented on the
+      * class: width = sample rate, height = frames, channels = PCM
+      * channels; mean_byte averages the DATA chunk's bytes only.
+      */
+    private def decodeWav(m: Media): MediaFeatures = {
+      val p = m.payload
+      require(p.length >= 12 &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E',
+        s"RIFF without WAVE form: media_id=${m.media_id}")
+      def leU16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+      def leU32(off: Int): Long =
+        (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+          ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+      var i = 12
+      var sampleRate = -1L; var channels = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1L
+      while (i + 8 <= p.length && (dataOff < 0 || sampleRate < 0)) {
+        val id = new String(p, i, 4, "US-ASCII")
+        val len = leU32(i + 4)
+        require(len >= 0 && i + 8 + len <= p.length,
+          s"WAV chunk '$id' overruns the payload: media_id=${m.media_id}")
+        if (id == "fmt ") {
+          require(len >= 16, s"fmt chunk too short: media_id=${m.media_id}")
+          require(leU16(i + 8) == 1,
+            s"only PCM WAV supported (format=${leU16(i + 8)}): media_id=${m.media_id}")
+          channels = leU16(i + 10)
+          sampleRate = leU32(i + 12)
+          bits = leU16(i + 22)
+          require(channels > 0 && sampleRate > 0 &&
+            sampleRate <= Int.MaxValue && bits == 16,
+            s"only 16-bit PCM with sane geometry supported " +
+              s"(ch=$channels rate=$sampleRate bits=$bits): media_id=${m.media_id}")
+        } else if (id == "data") { dataOff = i + 8; dataLen = len }
+        i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      }
+      require(sampleRate > 0, s"WAV without fmt chunk: media_id=${m.media_id}")
+      require(dataOff >= 0, s"WAV without data chunk: media_id=${m.media_id}")
+      val bytesPerFrame = channels * 2
+      require(dataLen % bytesPerFrame == 0,
+        s"data chunk not frame-aligned: media_id=${m.media_id}")
+      val frames = dataLen / bytesPerFrame
+      var sum = 0L
+      var j = dataOff
+      val end = dataOff + dataLen.toInt
+      while (j < end) { sum += (p(j) & 0xff); j += 1 }
+      MediaFeatures(m.media_id, m.kind, sampleRate.toInt, frames.toInt, channels,
+        p.length.toLong, if (dataLen == 0) 0.0 else sum.toDouble / dataLen)
     }
   }
 

@@ -150,6 +150,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageFileDecoder decodes REAL RIFF WAV bytes (16-bit PCM, chunk walk)") {
+    // mono 16-bit PCM, 4 frames at 8000 Hz; a junk "LIST" chunk before
+    // "data" exercises the chunk walk; data bytes 1..8 -> mean 4.5
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val junk = "LIST".getBytes("US-ASCII") ++ le32(3) ++ Array[Byte](9, 9, 9, 0) // padded to word
+    val data = "data".getBytes("US-ASCII") ++ le32(8) ++
+      (1 to 8).map(_.toByte).toArray
+    val body = fmt ++ junk ++ data
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+    val f = new ImageFileDecoder().decode(Media(40L, "audio", wav))
+    assert(f.width == 8000, "width carries the sample rate")
+    assert(f.height == 4, "height carries the frame count")
+    assert(f.channels == 1 && f.n_bytes == wav.length.toLong)
+    assert(f.mean_byte == 4.5, "mean over the data chunk bytes only")
+    // non-PCM and truncated chunks rejected
+    val bad = wav.clone(); bad(20) = 3 // format code -> IEEE float
+    intercept[IllegalArgumentException] {
+      new ImageFileDecoder().decode(Media(41L, "audio", bad))
+    }
+    intercept[IllegalArgumentException] {
+      new ImageFileDecoder().decode(Media(42L, "audio", wav.dropRight(3)))
+    }
+  }
+
   test("ImageFileDecoder rejects overflow-crafted geometry instead of returning bogus features") {
     val d = new ImageFileDecoder
     // BMP with width=0x7FFFFFFF: rowBytes/stride overflow Int negative,
