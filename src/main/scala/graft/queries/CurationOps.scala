@@ -896,9 +896,76 @@ object CurationOps {
     q96NoveltyCurve.oracle,
     "incremental novelty: per-batch probe of a persistent gram->first_batch state table (bucket-co-located join at scale), one checkpoint per batch serving both the count aggregate and the state append — identical answer to q96's recompute-all form, same oracle")
 
+  // ---------------------------------------------------------------------
+  // q103 — epoch-aware upsampling mixture (the q84 dual)
+  // ---------------------------------------------------------------------
+
+  /** The UP-sampling mixture table: q84 equalizes sources by sampling
+    * the big ones DOWN; real pretraining mixtures instead repeat small
+    * high-value sources for multiple epochs, capped (seeing the same
+    * tokens too often hurts, so caps of ~4 epochs are standard
+    * practice in published data recipes). Per source: epoch factor =
+    * min(cap, ceil(max_tokens / n_tokens)) and the resulting
+    * effective token count and mixture share.
+    *
+    * All arithmetic is exact-integer until the single share division
+    * (the object-doc discipline): ceil division is `(a + b - 1) div b`
+    * on both engines, so the table is bit-identical cross-engine.
+    *
+    * Scale shape: one source-keyed agg (map-side combined), a
+    * broadcast 1-row max, and a sources-sized projection — nothing
+    * corpus-sized past the first agg. The factor column then drives a
+    * trivial `explode(sequence(1, factor))` at materialization time,
+    * which multiplies ROWS but never shuffles (generation happens
+    * above the scan in the writing stage).
+    */
+  val q103EpochUpsample = Q(
+    "q103_epoch_upsample",
+    (s, dir) => {
+      val per = T.documentsSpread(s, dir)
+        .select(col("source"),
+          expr(s"size(filter($toksSql, t -> t <> ''))").as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("bigint").as("n_tokens"))
+      val mx = per.agg(max(col("n_tokens")).as("max_tok"))
+      val withFactor = per.crossJoin(broadcast(mx))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          least(lit(4L),
+            expr("(max_tok + n_tokens - 1) div n_tokens"))
+            .cast("bigint").as("epochs"))
+        .withColumn("effective_tokens", col("n_tokens") * col("epochs"))
+      val tot = withFactor.agg(sum(col("effective_tokens")).as("tot"))
+      withFactor.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("epochs"),
+          col("effective_tokens"),
+          (col("effective_tokens").cast("double") / col("tot")).as("share"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source,
+          len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n
+        FROM documents),
+      p AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM d GROUP BY source),
+      f AS (
+        SELECT source, n_docs, n_tokens,
+          CAST(LEAST(4, (MAX(n_tokens) OVER () + n_tokens - 1) // n_tokens)
+            AS BIGINT) AS epochs
+        FROM p),
+      e AS (
+        SELECT *, n_tokens * epochs AS effective_tokens FROM f)
+      SELECT source, n_docs, n_tokens, epochs, effective_tokens,
+        CAST(effective_tokens AS DOUBLE) / SUM(effective_tokens) OVER ()
+          AS share
+      FROM e ORDER BY source""".stripMargin),
+    "epoch-aware upsampling mixture: per-source repeat factor min(4, ceil(max/n)) with effective tokens and shares — the up-sampling dual of q84's rates; exact-int arithmetic to a single share division, bit-identical cross-engine")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
     q89NeardupPrune, q90SourceLeakage, q93MixtureApply, q95SaltedJoin,
-    q96NoveltyCurve, q98IncrementalNovelty)
+    q96NoveltyCurve, q98IncrementalNovelty, q103EpochUpsample)
 }
