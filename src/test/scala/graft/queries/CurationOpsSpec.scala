@@ -310,6 +310,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), plan)
   }
 
+  test("q103's epoch formula caps at 4 and ceils exactly (cap never binds on gate data)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, least, lit}
+    // (max_tok, n_tokens) -> expected min(4, ceil(max/n)); the gate
+    // corpus is too balanced to ever hit the cap, so pin it directly
+    val cases = Seq(
+      (100L, 10L, 4L),  // ceil = 10, capped
+      (100L, 30L, 4L),  // ceil = 4, at the cap boundary
+      (100L, 49L, 3L),  // ceil = 3
+      (100L, 50L, 2L),  // exact division
+      (100L, 51L, 2L),  // ceil rounds up
+      (100L, 100L, 1L), // the max source itself
+      (1L, 1L, 1L))
+    val got = cases.map { case (mx, n, _) => (mx, n) }.toDF("max_tok", "n_tokens")
+      .select(least(lit(4L), expr("(max_tok + n_tokens - 1) div n_tokens"))
+        .cast("bigint").as("epochs"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(_._3), s"epoch factors diverged: $got")
+  }
+
   test("q94 prefix-filtered containment equals the brute-force all-pairs computation") {
     val sh = graft.Tables.documents(spark, sf)
       .selectExpr("doc_id", "array_distinct(transform(sequence(1, size(split(lower(text), ' ')) - 2), " +
