@@ -15,14 +15,21 @@ import org.apache.spark.sql.functions._
   *   3. near-dup prune      — q32 pairs + q89's lose-to-higher-score rule
   *   4. decontamination     — q77's 5-gram overlap vs the eval probe set
   *   5. mixture rebalance   — q84 rates applied via q93's hash filter
-  *   6. shard packing       — q78's two-pass prefix-sum (ops.ShardPacking)
-  *   7. parquet shards      — partitioned by (source, shard_id)
+  *   6. chunking            — q100's fixed-context stride grid
+  *   7. shard packing       — q101's chunk→shard composition over
+  *                            ops.ShardPacking's two-pass prefix sum
+  *   8. parquet shards      — partitioned by (source, shard_id)
   *
   * Stage order matters and is the industry-standard one: dedup before
   * decontamination (fewer docs to shingle), every filter before
   * mixture rebalancing (rates must reflect the CLEAN corpus or the
-  * mixture under-delivers), packing last (shards are immutable
-  * artifacts). Every stage is a pure function of the input corpus —
+  * mixture under-delivers), chunking after every document-level
+  * filter (a dropped doc's chunks must never exist), packing last
+  * (shards are immutable artifacts). Shards hold CHUNKS, not ragged
+  * documents: every training example is at most `chunkWindow` tokens,
+  * so shard fill is tight — a 100k-token doc can no longer overshoot
+  * a shard budget by its own length. Every stage is a pure function
+  * of the input corpus —
   * no rand(), no timestamps — so the pipeline is bit-reproducible:
   * re-running on the same input yields byte-identical shard
   * assignments (CurateSpec pins this).
@@ -41,7 +48,8 @@ object Curate {
 
   final case class Report(
       nInput: Long, nQuality: Long, nExactDedup: Long, nNearDedup: Long,
-      nDecontaminated: Long, nSampled: Long, nShards: Long, nTokens: Long)
+      nDecontaminated: Long, nSampled: Long, nChunks: Long, nShards: Long,
+      nTokens: Long)
 
   /** Run the full pipeline; write shards under `outDir`; return the
     * per-stage funnel. `evalIds` marks the held-out eval docs used as
@@ -55,7 +63,12 @@ object Curate {
     * stages (current + successor), linear like the pipeline itself.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      tokenBudget: Long = 4096L, evalIdBelow: Long = 10L): Report = {
+      tokenBudget: Long = 4096L, evalIdBelow: Long = 10L,
+      chunkWindow: Int = 64, chunkStride: Int = 48): Report = {
+    require(chunkWindow > 0 && chunkStride > 0 && chunkStride <= chunkWindow,
+      "need 0 < chunkStride <= chunkWindow (stride > window would skip tokens)")
+    require(chunkWindow <= tokenBudget,
+      "a single chunk must fit a shard: chunkWindow <= tokenBudget")
     val docs = T.documentsSpread(spark, sfDir)
       .filter(col("doc_id") >= evalIdBelow)
       .persist()
@@ -128,23 +141,55 @@ object Curate {
     val nSampled = sampled.count()
     clean.unpersist()
 
-    // 6. shard packing (q78's two-pass block-decomposed prefix sum —
-    // no single-task-per-source window; see ops.ShardPacking)
-    val packed = graft.ops.ShardPacking
-      .assignShards(sampled, "source", "doc_id", "n_tok", tokenBudget)
+    // 6. chunking (q100's stride grid) — the sampled docs become
+    // fixed-context training examples. chunk_text slices the SAME
+    // token array the counts use, inside one projection, so there is
+    // no second tokenize pass and nothing array-typed crosses a
+    // shuffle. The ord key is q101's (doc_id << 20 | chunk_start)
+    // encoding with BOTH halves of its contract enforced in-plan.
+    val chunked = sampled
+      .filter(col("n_tok") > 0)
+      .withColumn("toks", expr(s"filter($toksSql, t -> t <> '')"))
+      .select(col("source"), col("doc_id"), col("lang"), col("toks"), col("n_tok"),
+        explode(expr(s"sequence(0, n_tok - 1, $chunkStride)")).as("chunk_start"))
+      .select(col("source"), col("doc_id"), col("lang"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(chunkWindow.toLong), col("n_tok") - col("chunk_start"))
+          .cast("long").as("nc"),
+        array_join(expr(s"slice(toks, chunk_start + 1, $chunkWindow)"), " ")
+          .as("chunk_text"),
+        (col("doc_id") * (1L << 20) +
+          when(assert_true(
+            col("chunk_start") < (1L << 20) && col("doc_id") < (1L << 43),
+            lit("Curate: doc exceeds the 2^20-token ord-encoding cap " +
+              "or doc_id exceeds the 2^43 id cap")).isNull,
+            col("chunk_start"))).as("ord"))
+      .persist()
+    val nChunks = chunked.count()
+    sampled.unpersist()
 
-    // 7. immutable shard artifacts, prunable by (source, shard_id)
+    // 7. chunk -> shard packing (q101's composition over q78's
+    // two-pass block-decomposed prefix sum — no single-task-per-source
+    // window; see ops.ShardPacking)
+    val packed = graft.ops.ShardPacking
+      .assignShards(chunked, "source", "ord", "nc", tokenBudget)
+
+    // 8. immutable shard artifacts, prunable by (source, shard_id).
+    // nTokens counts chunk tokens as written — with stride < window
+    // the overlap region is intentionally double-counted, because
+    // that IS what the trainer will consume.
     packed
-      .select(col("source"), col("shard_id"), col("doc_id"), col("text"),
-        col("lang"), col("n_tok"))
+      .select(col("source"), col("shard_id"), col("doc_id"),
+        col("chunk_start"), col("nc"), col("lang"), col("chunk_text"))
       .write.mode("overwrite").partitionBy("source", "shard_id")
       .parquet(s"$outDir/shards")
 
-    sampled.unpersist()
+    chunked.unpersist()
     val written = spark.read.parquet(s"$outDir/shards")
     val nShards = written.select(col("source"), col("shard_id")).distinct().count()
-    val nTokens = Option(written.agg(sum(col("n_tok"))).head.get(0))
+    val nTokens = Option(written.agg(sum(col("nc"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    Report(nInput, nQuality, nExact, nNear, nClean, nSampled, nShards, nTokens)
+    Report(nInput, nQuality, nExact, nNear, nClean, nSampled, nChunks, nShards,
+      nTokens)
   }
 }

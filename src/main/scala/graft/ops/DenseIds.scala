@@ -36,19 +36,34 @@ import org.apache.spark.sql.functions._
   * manager — in this engine the minting inputs are dimension-sized
   * (pages/categories deltas), not corpus-sized.
   *
-  * `key` values must be non-null and unique (the caller dedupes —
-  * `dropDuplicates`/`distinct` upstream); ties would make row_number
-  * nondeterministic. DenseIdsSpec pins equality with the global-window
-  * form across partition counts, offsets, and the empty frame.
+  * `key` values must be non-null (enforced — a plan-level
+  * `assert_true` woven into the key column fails the job on a null
+  * key) and unique (the caller dedupes — `dropDuplicates`/`distinct`
+  * upstream); ties would make row_number nondeterministic. DenseIdsSpec
+  * pins equality with the global-window form across partition counts,
+  * offsets, and the empty frame, plus the null fail-fast.
   */
 object DenseIds {
 
   /** The pre-checkpoint ranged frame — factored out so DenseIdsSpec
     * can pin the range-exchange plan shape (the checkpoint hides it
     * from [[assign]]'s visible plan).
+    *
+    * The non-null half of the key contract is ENFORCED here, not
+    * assumed (ShardPacking's fail-fast pattern): the assert is woven
+    * into the key column itself, so a null key fails the job at the
+    * checkpoint materialization instead of being range-partitioned
+    * first and silently minted an id. Uniqueness stays a documented
+    * caller obligation (callers dedupe upstream; detecting ties would
+    * cost a corpus-sized count the valid path doesn't need).
     */
   private[graft] def rangedFrame(df: DataFrame, key: String, p: Int): DataFrame =
-    df.repartitionByRange(p, col(key))
+    df.withColumn(key,
+        when(assert_true(col(key).isNotNull,
+          lit(s"DenseIds: null `$key` violates the non-null key contract"))
+          .isNull,
+          col(key)))
+      .repartitionByRange(p, col(key))
       .withColumn("__pid", spark_partition_id())
 
   def assign(

@@ -262,14 +262,26 @@ object CurationOps {
     * partial), then a single-row global min joined back — per-source
     * stats are mixture-weight-table sized (tiny) at any corpus scale.
     */
+  /** Per-source corpus stats `(source, n_docs, n_tokens)` — the shared
+    * first scan of the whole mixture family (q84 rates, q93 apply,
+    * q103 epochs): one source-keyed agg with map-side partial combine,
+    * sources-sized output. Factored so the three queries run the
+    * IDENTICAL arithmetic (their oracles already assume it) and so a
+    * composed pipeline can `.persist()` this one frame and derive all
+    * three mixture tables from a single corpus scan.
+    */
+  private[graft] def sourceTokenStats(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    T.documentsSpread(s, dir)
+      .select(col("source"),
+        expr(s"size(filter($toksSql, t -> t <> ''))").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("bigint").as("n_tokens"))
+
   val q84MixtureRebalance = Q(
     "q84_mixture_rebalance",
     (s, dir) => {
-      val per = T.documentsSpread(s, dir)
-        .select(col("source"),
-          expr(s"size(filter($toksSql, t -> t <> ''))").as("n"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("bigint").as("n_tokens"))
+      val per = sourceTokenStats(s, dir)
       val mn = per.agg(min(col("n_tokens")).as("min_tok"))
       per.crossJoin(broadcast(mn))
         .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -663,7 +675,7 @@ object CurationOps {
           expr(s"size(filter($toksSql, t -> t <> ''))").as("n"),
           expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int)")
             .as("bucket"))
-      val per = d.groupBy(col("source")).agg(sum(col("n")).cast("bigint").as("n_tokens"))
+      val per = sourceTokenStats(s, dir).select(col("source"), col("n_tokens"))
       val mn = per.agg(min(col("n_tokens")).as("min_tok"))
       val rates = per.crossJoin(broadcast(mn))
         .select(col("source"),
@@ -922,11 +934,11 @@ object CurationOps {
   val q103EpochUpsample = Q(
     "q103_epoch_upsample",
     (s, dir) => {
-      val per = T.documentsSpread(s, dir)
-        .select(col("source"),
-          expr(s"size(filter($toksSql, t -> t <> ''))").as("n"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("bigint").as("n_tokens"))
+      // a source whose docs are ALL empty-token has nothing to repeat
+      // and would divide by zero below (Spark `div` yields null →
+      // least() silently picks the cap; DuckDB `//` differs) — drop it
+      // before the factor math so the degenerate case is engine-exact
+      val per = sourceTokenStats(s, dir).filter(col("n_tokens") > 0)
       val mx = per.agg(max(col("n_tokens")).as("max_tok"))
       val withFactor = per.crossJoin(broadcast(mx))
         .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -949,7 +961,8 @@ object CurationOps {
       p AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(SUM(n) AS BIGINT) AS n_tokens
-        FROM d GROUP BY source),
+        FROM d GROUP BY source
+        HAVING SUM(n) > 0),
       f AS (
         SELECT source, n_docs, n_tokens,
           CAST(LEAST(4, (MAX(n_tokens) OVER () + n_tokens - 1) // n_tokens)

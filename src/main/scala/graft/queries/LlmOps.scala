@@ -288,12 +288,15 @@ object LlmOps {
     *
     * The inverted index carries `xxhash64(shingle)` (8 bytes), never
     * the shingle string — the index exists only to generate candidate
-    * (doc, doc) pairs, and ANY consistent total order + equality key
-    * preserves recall=1 for the prefix argument (a hash collision can
-    * only ADD a candidate, which exact verification then rejects;
-    * colliding order ties are broken identically everywhere since the
-    * order IS the key). Both window shuffles and the self-join shrink
-    * by the shingle-string width.
+    * (doc, doc) pairs. A CROSS-doc hash collision can only ADD a
+    * candidate, which exact verification then rejects; a WITHIN-doc
+    * collision, however, merges two prefix rows onto one key and so
+    * shortens that doc's distinct-key prefix by one slot relative to
+    * the n-derived prefix length — recall therefore holds up to
+    * within-doc 64-bit collisions (probability ~n²/2⁶⁴ per doc,
+    * vanishing but not exactly zero; order ties are broken identically
+    * everywhere since the order IS the key). Both window shuffles and
+    * the self-join shrink by the shingle-string width.
     */
   val q32NearDupPairs = Q(
     "q32_near_dup_pairs",
@@ -501,9 +504,10 @@ object LlmOps {
     * asymmetry of the problem), so candidates are
     * prefix(a) ⋈ full(b) on the shingle key, then one exact verify
     * per candidate. Like q32 the index rides `xxhash64(shingle)` int64
-    * keys (collisions only add candidates; exact verification rejects
-    * them), so the df window, the prefix window, and the candidate
-    * join all shuffle 8-byte keys. Oracle = the naive all-pairs
+    * keys (cross-doc collisions only add candidates that exact
+    * verification rejects; recall holds up to within-doc 64-bit
+    * collisions — see q32's prefix-slot caveat), so the df window, the
+    * prefix window, and the candidate join all shuffle 8-byte keys. Oracle = the naive all-pairs
     * containment join (O(n^2) in DuckDB, so sf0.01-gated like q32's).
     */
   val q94ContainmentDedup = Q(

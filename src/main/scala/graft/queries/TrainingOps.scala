@@ -937,13 +937,17 @@ object TrainingOps {
           explode(expr("sequence(0, n - 1, 48)")).as("chunk_start"))
         .select(col("source"), col("doc_id"),
           least(lit(64), col("n") - col("chunk_start")).cast("long").as("nc"),
-          // the documented 2^20-token doc cap, enforced: a chunk_start
-          // past it would bleed into doc_id+1's key range and silently
-          // interleave two docs' packing order — fail the job instead
-          // (assert woven into the expression so it cannot be pruned)
+          // BOTH halves of the encoding contract, enforced: a chunk_start
+          // past 2^20 would bleed into doc_id+1's key range, and a doc_id
+          // at or past 2^43 overflows Long under the <<20 shift — either
+          // silently scrambles per-source packing order, so fail the job
+          // instead (assert woven into the expression so it cannot be
+          // pruned)
           (col("doc_id") * (1L << 20) +
-            when(assert_true(col("chunk_start") < (1L << 20),
-              lit("q101: doc exceeds the 2^20-token ord-encoding cap")).isNull,
+            when(assert_true(
+              col("chunk_start") < (1L << 20) && col("doc_id") < (1L << 43),
+              lit("q101: doc exceeds the 2^20-token ord-encoding cap " +
+                "or doc_id exceeds the 2^43 id cap")).isNull,
               col("chunk_start"))).as("ord"))
       graft.ops.ShardPacking.assignShards(chunks, "source", "ord", "nc",
           budget = 512L, blockSpan = 1L << 30)

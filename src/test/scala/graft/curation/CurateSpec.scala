@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end contracts for the composed curation pipeline: funnel
   * monotonicity, stage post-conditions on the actual written shards
-  * (quality floor, decontamination, shard token bounds), and
-  * bit-reproducibility of the full run.
+  * (quality floor, decontamination, chunk coverage law, shard token
+  * bounds), and bit-reproducibility of the full run.
   */
 class CurateSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
+  private val budget = 4096L
+  private val window = 64
+  private val stride = 48
 
   private lazy val outA = {
     val dir = java.nio.file.Files.createTempDirectory("graft_curate_a").toString
@@ -23,12 +26,14 @@ class CurateSpec extends SparkSpec {
       r.nDecontaminated, r.nSampled)
     assert(funnel === funnel.sorted.reverse, s"funnel grew somewhere: $r")
     assert(r.nInput > 0 && r.nSampled > 0 && r.nShards > 0 && r.nTokens > 0, r.toString)
+    // chunking fans out, never filters: >= one chunk per non-empty doc
+    assert(r.nChunks >= r.nSampled, s"chunking lost documents: $r")
   }
 
   test("every written doc passes the quality floor and is uncontaminated") {
     val (dir, _) = outA
     val written = spark.read.parquet(s"$dir/shards")
-    val ids = written.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val ids = written.select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
 
     val passing = graft.queries.CurationOps.qualityScored(spark, sf)
       .filter(col("score") >= 0.05).select(col("doc_id"))
@@ -50,16 +55,53 @@ class CurateSpec extends SparkSpec {
     assert(ids.forall(_ >= 10), "an eval doc leaked into the corpus")
   }
 
-  test("every shard respects the token budget up to one straddling doc") {
+  test("chunk coverage law: every written doc's chunks form exactly q100's stride grid") {
+    val (dir, _) = outA
+    // independent recount of each written doc's tokens (interpreted HOF
+    // form, not the pipeline's expression)
+    val nByDoc = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "size(filter(split(lower(text), ' '), t -> t <> '')) n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = spark.read.parquet(s"$dir/shards")
+      .select(col("doc_id"), col("chunk_start"), col("nc"), col("chunk_text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    chunks.groupBy(_._1).foreach { case (docId, rows) =>
+      val n = nByDoc(docId)
+      val starts = rows.map(_._2).sorted.toSeq
+      assert(starts === (0 until n by stride).map(_.toLong),
+        s"doc $docId: chunk grid diverged from sequence(0, ${n - 1}, $stride)")
+      rows.foreach { case (_, start, nc, text) =>
+        assert(nc === math.min(window.toLong, n - start),
+          s"doc $docId chunk $start: clip law violated")
+        // the chunk text really holds nc tokens (slice ≡ count)
+        assert(text.split(" ").count(_.nonEmpty) === nc,
+          s"doc $docId chunk $start: chunk_text token count != nc")
+      }
+    }
+  }
+
+  test("every shard respects the token budget up to one straddling chunk") {
     val (dir, _) = outA
     val shards = spark.read.parquet(s"$dir/shards")
-      .groupBy(col("source"), col("shard_id"))
-      .agg(sum(col("n_tok")).cast("long").as("tok"),
-        max(col("n_tok")).cast("long").as("mx"))
+      .groupBy(col("source"), col("shard_id").cast("long").as("shard_id"))
+      .agg(sum(col("nc")).cast("long").as("tok"))
       .collect()
+    // chunks are <= window tokens, so the exclusive-prefix packing law
+    // bounds every shard by budget + (window - 1) — the tight fill
+    // ragged-document packing could not guarantee
     shards.foreach { r =>
-      assert(r.getLong(2) - r.getLong(3) < 4096L,
-        s"shard ${r.get(0)}/${r.get(1)} exceeds budget beyond its straddler: $r")
+      assert(r.getLong(2) < budget + window,
+        s"shard ${r.get(0)}/${r.get(1)} exceeds budget beyond a chunk straddler: $r")
+    }
+    // and every shard except possibly each source's last is FULL past
+    // the budget line minus one chunk (no pathological underfill)
+    val bySource = shards.groupBy(_.getString(0))
+    bySource.foreach { case (src, rs) =>
+      val lastShard = rs.map(_.getLong(1)).max
+      rs.filter(_.getLong(1) != lastShard).foreach { r =>
+        assert(r.getLong(2) >= budget - window + 1,
+          s"non-final shard $src/${r.getLong(1)} underfilled: ${r.getLong(2)}")
+      }
     }
   }
 
@@ -68,8 +110,10 @@ class CurateSpec extends SparkSpec {
     val dirB = java.nio.file.Files.createTempDirectory("graft_curate_b").toString
     Curate.run(spark, sf, dirB)
     def snapshot(d: String) = spark.read.parquet(s"$d/shards")
-      .select(col("source"), col("shard_id").cast("long"), col("doc_id"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      .select(col("source"), col("shard_id").cast("long"), col("doc_id"),
+        col("chunk_start"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
     assert(snapshot(dirA) === snapshot(dirB))
   }
 
@@ -82,5 +126,15 @@ class CurateSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(pruned.count() > 0)
     assert(scan.contains("PartitionFilters"), scan)
+  }
+
+  test("chunk parameters are validated up front") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate_bad").toString
+    intercept[IllegalArgumentException] {
+      Curate.run(spark, sf, dir, chunkWindow = 32, chunkStride = 48)
+    }
+    intercept[IllegalArgumentException] {
+      Curate.run(spark, sf, dir, tokenBudget = 32L, chunkWindow = 64)
+    }
   }
 }

@@ -53,6 +53,18 @@ class DenseIdsSpec extends SparkSpec {
     assert(out.columns.contains("id") && out.count() == 0)
   }
 
+  test("a null key fails the job instead of silently minting an id") {
+    val bad = (Seq("a", "b") :+ null).toDF("file_name")
+    val e = intercept[Exception] {
+      DenseIds.assign(bad, "file_name", partitions = 2).collect()
+    }
+    // assert_true surfaces as a SparkRuntimeException wrapping the message
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-null key contract")),
+      s"expected the DenseIds null-key assert, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("reserved temp-column collision is rejected") {
     val bad = fixture.withColumn("__pid", lit(1))
     val e = intercept[IllegalArgumentException] {

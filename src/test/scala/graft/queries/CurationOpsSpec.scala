@@ -330,6 +330,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == cases.map(_._3), s"epoch factors diverged: $got")
   }
 
+  test("q103 drops an all-empty-token source instead of dividing by zero") {
+    // the cross-engine divergence ADVICE r7 flagged: n_tokens = 0 makes
+    // Spark `div` yield null (least() then silently picks the cap) while
+    // DuckDB `//` errors differently — the guard filters the source out
+    // in BOTH engine texts, so pin the Spark half on a crafted corpus
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q103_degen").toString
+    Seq(
+      (0L, "real words here", "en", "web", 15L),
+      (1L, "more real words", "en", "web", 15L),
+      (2L, "", "en", "empty_src", 0L),
+      (3L, "   ", "en", "empty_src", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CurationOps.q103EpochUpsample.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(out == Seq(("web", 1L)),
+      s"expected only the non-empty source with epochs=1, got $out")
+  }
+
   test("q94 prefix-filtered containment equals the brute-force all-pairs computation") {
     val sh = graft.Tables.documents(spark, sf)
       .selectExpr("doc_id", "array_distinct(transform(sequence(1, size(split(lower(text), ' ')) - 2), " +

@@ -60,6 +60,20 @@ class CategorizeSpec extends SparkSpec {
     assert(byName("misc").get(3) === null)     // unparseable date -> null
   }
 
+  test("readPagesBinary ≡ readPages: the binaryFile ingest twin yields the identical frame") {
+    val dir = writeFixtures()
+    def snapshot(df: org.apache.spark.sql.DataFrame) =
+      df.select("value", "file_path").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._2).toSeq
+    val whole = snapshot(Categorize.readPages(spark, dir.toString))
+    val binary = snapshot(Categorize.readPagesBinary(spark, dir.toString))
+    assert(binary === whole,
+      "binaryFile twin diverged from the wholetext frame")
+    // and the glob filter really scopes the scan: a non-html file is ignored
+    Files.write(dir.resolve("notes.txt"), "not html".getBytes(StandardCharsets.UTF_8))
+    assert(Categorize.readPagesBinary(spark, dir.toString).count() === fixtures.size)
+  }
+
   test("normalize: deterministic surrogate keys, natural-key dedup, M2M bridge (categorizer.py:150-188)") {
     val dir = writeFixtures()
     val m = Categorize.run(spark, dir.toString)
