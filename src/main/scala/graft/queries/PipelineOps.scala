@@ -788,8 +788,159 @@ object PipelineOps {
     None,
     "engine-native HLL++ per-source vocabulary cardinality (approx_count_distinct, rsd=2%) vs exact — no cross-engine oracle possible (engine-private sketch); SketchSpec pins the error envelope; q63 KMV is the interoperable twin")
 
+  // ---------------------------------------------------------------------
+  // q104 — winnowing fingerprints (MOSS-style local-minimum selection)
+  // ---------------------------------------------------------------------
+
+  /** Robust winnowing over the token-3-gram hash sequence (the
+    * plagiarism-detection fingerprinting scheme): slide a window of
+    * `w = 4` consecutive gram hashes over each document and keep, per
+    * window, the minimum hash — rightmost position on ties. Selected
+    * (pos, hash) fingerprints are position-stable under edits outside
+    * the window, and any shared token run of length >= w + 2 tokens
+    * between two documents is GUARANTEED to surface a shared
+    * fingerprint — the density/guarantee trade the q47 whole-doc
+    * rolling hash (order-sensitive but all-or-nothing) cannot make.
+    * Completes the fingerprinting family: q36 simhash (set-similarity
+    * bits), q47 Rabin-Karp (exact sequence), q104 winnowing (local,
+    * partial-overlap detecting).
+    *
+    * The rightmost-tie argmin needs no second window pass: hash and
+    * position pack into one integer `c = h·2²¹ + (2²¹-1-pos)` (h is a
+    * 40-bit md5 prefix, so c < 2⁶¹), whose window MIN is exactly
+    * (min hash, max pos among minima); decode by div/mod. The 2²¹
+    * position cap is enforced with an assert woven into the packed
+    * expression (q101's pattern — survives pushdown/pruning).
+    *
+    * Scale shape: explode grams → ONE window shuffle keyed on doc_id
+    * (linear, 8-byte packed values) → per-doc distinct. No self-join
+    * here — fingerprint-keyed candidate joins compose downstream
+    * exactly like q32's inverted index, and the fingerprint frame is
+    * ~2/(w+1) the gram frame's size by the winnowing density bound.
+    */
+  val q104Winnowing = Q(
+    "q104_winnowing",
+    (s, dir) => {
+      val w = 4
+      val grams = T.documentsSpread(s, dir)
+        .select(col("doc_id"), expr(toksSql).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          posexplode(graft.functions.GraftFunctions.ngrams(col("toks"), 3))
+            .as(Seq("pos0", "g")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+          expr("cast(conv(substring(md5(g), 1, 10), 16, 10) as bigint)").as("h"))
+      val nw = Window.partitionBy(col("doc_id"))
+      val fw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, w - 1)
+      grams
+        .withColumn("n", count(lit(1)).over(nw))
+        .withColumn("c",
+          col("h") * (1L << 21) +
+            (lit((1L << 21) - 1) -
+              when(assert_true(col("pos") < (1L << 21),
+                lit("q104: doc exceeds the 2^21-gram winnowing position cap"))
+                .isNull,
+                col("pos"))))
+        .withColumn("wc", min(col("c")).over(fw))
+        .filter(col("pos") <= col("n") - w + 1)
+        .select(col("doc_id"),
+          (lit((1L << 21) - 1) - col("wc") % (1L << 21)).as("pos"),
+          // integer div, never `/`: wc is up to 61 bits and double
+          // division would round above 2^53 (the q101/q102 hazard)
+          expr(s"wc div ${1L << 21}").as("fp"))
+        .distinct()
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+      g AS (
+        SELECT doc_id, len(toks) - 2 AS n,
+          unnest(generate_series(1, len(toks) - 2)) AS pos, toks
+        FROM t),
+      h AS (
+        SELECT doc_id, n, pos,
+          ('0x' || substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' ||
+            toks[pos+2]), 1, 10))::BIGINT AS h
+        FROM g),
+      c AS (
+        SELECT doc_id, n, pos,
+          MIN(h * ${1L << 21} + (${(1L << 21) - 1} - pos)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wc
+        FROM h)
+      SELECT DISTINCT doc_id,
+        ${(1L << 21) - 1} - (wc % ${1L << 21}) AS pos,
+        wc // ${1L << 21} AS fp
+      FROM c WHERE pos <= n - 3
+      ORDER BY doc_id, pos""".stripMargin),
+    "MOSS-style robust winnowing: window-min over gram hashes with rightmost-tie argmin packed into one integer (h*2^21 + (2^21-1-pos)); one doc-keyed window shuffle, guaranteed detection of >= w+k-1-token overlaps")
+
+  // ---------------------------------------------------------------------
+  // q105 — int8 scalar quantization of the embedding column
+  // ---------------------------------------------------------------------
+
+  /** Symmetric per-vector int8 quantization — the memory side of the
+    * ANN story (q34/q43/q60 are the search side): each 64-dim float
+    * vector compresses 4× to codes `floor(x/scale·127)` with
+    * `scale = max|xᵢ|`, plus one float. Output per vector: the scale,
+    * the code checksum, and the exact squared reconstruction error —
+    * the audit row a 100 TB embedding store needs before swapping
+    * full-precision vectors out of the hot tier (quantized distances
+    * in the candidate pass, re-rank on floats).
+    *
+    * Cross-engine exactness discipline (Qdsl rules): float→double
+    * widening is exact; `(x/scale)·127` and `(c·scale)/127` are
+    * single-expression IEEE chains evaluated in one pinned order both
+    * engines; floor-then-cast (never bare cast — DuckDB rounds,
+    * Spark truncates); the error fold seeds 0.0 and runs
+    * left-to-right, matching DuckDB's first-element-seeded
+    * list_reduce because 0+x = x exactly.
+    *
+    * Scale shape: a single scan-side projection — no shuffle at all
+    * except the oracle's output sort; codes stay inside one
+    * whole-stage-codegen span.
+    */
+  val q105EmbedQuantize = Q(
+    "q105_embed_quantize",
+    (s, dir) =>
+      T.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+        .filter(col("scale") > 0)
+        .withColumn("q",
+          expr("transform(v, x -> cast(floor(x / scale * 127.0) as bigint))"))
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("aggregate(zip_with(v, q, (x, c) -> " +
+            "(x - c * scale / 127.0) * (x - c * scale / 127.0)), " +
+            "cast(0 as double), (a, x) -> a + x)").as("sq_err"))
+        .orderBy(col("vec_id")),
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      s AS (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM e),
+      q AS (
+        SELECT vec_id, v, scale,
+          list_transform(v, x -> CAST(FLOOR(x / scale * 127.0) AS BIGINT)) AS qs
+        FROM s WHERE scale > 0)
+      SELECT vec_id, scale,
+        list_reduce(qs, (a, x) -> a + x) AS q_sum,
+        list_reduce(list_transform(generate_series(1, len(v)),
+          i -> (v[i] - qs[i] * scale / 127.0) * (v[i] - qs[i] * scale / 127.0)),
+          (a, x) -> a + x) AS sq_err
+      FROM q ORDER BY vec_id""".stripMargin),
+    "per-vector symmetric int8 quantization + exact reconstruction-error audit: 4x embedding compression for the ANN hot tier; shuffle-free single-scan projection, order-pinned IEEE folds both engines")
+
   val all: Seq[Q] = Seq(
     q42SimhashHammingDup, q43AnnHyperplaneLsh, q44BlockedNearDup,
     q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload,
-    q60AnnIvf, q63KmvDistinct, q79KmvMerge, q99HllDistinct)
+    q60AnnIvf, q63KmvDistinct, q79KmvMerge, q99HllDistinct,
+    q104Winnowing, q105EmbedQuantize)
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral contracts for q104 winnowing and q105 quantization —
+  * the properties the DuckDB hash-compare can't articulate: the
+  * winnowing guarantee and rightmost-tie rule on crafted corpora, and
+  * the quantizer's exact code values / error envelope.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def corpus(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipeops").toString
+    docs.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def fps(dir: String): Map[Long, Seq[(Long, Long)]] =
+    PipelineOps.q104Winnowing.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => (r._2, r._3)).toSeq }
+
+  test("q104 winnowing guarantee: a shared >= w+k-1-token run yields a shared fingerprint") {
+    // docs share the 6-token run "u v w x y z" (w+k-1 = 4+3-1 = 6)
+    // embedded in otherwise disjoint text
+    val dir = corpus(Seq(
+      (0L, "alpha beta gamma u v w x y z delta epsilon zeta eta"),
+      (1L, "one two three four u v w x y z five six seven")))
+    val m = fps(dir)
+    val shared = m(0L).map(_._2).toSet intersect m(1L).map(_._2).toSet
+    assert(shared.nonEmpty,
+      s"winnowing guarantee violated: no shared fingerprint, got $m")
+  }
+
+  test("q104 rightmost-tie rule: an all-equal-gram doc fingerprints positions w..n") {
+    // 9 identical tokens -> 7 identical grams; every window's min ties
+    // across all 4 members, rightmost wins -> selected pos = start+3
+    // for starts 1..4 = positions {4,5,6,7}
+    val dir = corpus(Seq((0L, Seq.fill(9)("tok").mkString(" "))))
+    val m = fps(dir)
+    assert(m(0L).map(_._1).sorted === Seq(4L, 5L, 6L, 7L), m.toString)
+  }
+
+  test("q104 density: fingerprint count stays within the 2/(w+1) winnowing envelope") {
+    val sf = "/root/testdata/sf0.001"
+    val nGrams = graft.Tables.documents(spark, sf)
+      .selectExpr("size(split(lower(text), ' ')) - 2 AS n")
+      .filter(col("n") >= 4)
+      .agg(sum(col("n"))).head.getLong(0)
+    val nFp = PipelineOps.q104Winnowing.fn(spark, sf).count()
+    // expected density 2/(w+1) = 0.4 on random-ish hashes; allow slack
+    // both ways (the hard bounds are 1/w and 1.0)
+    assert(nFp <= nGrams * 0.6 && nFp >= nGrams * 0.2,
+      s"fingerprint density off: $nFp of $nGrams grams")
+  }
+
+  test("q105 exact code values and checksum on a crafted vector") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q105").toString
+    Seq((0L, Array(1.0f, -0.5f, 0.25f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = PipelineOps.q105EmbedQuantize.fn(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getDouble(1) === 1.0)             // scale = max|x|
+    assert(r(0).getLong(2) === (127L - 64 + 31))  // floor codes: 127,-64,31,0
+    val exp = Seq(1.0 -> 127L, -0.5 -> -64L, 0.25 -> 31L, 0.0 -> 0L)
+      .map { case (x, c) => val d = x - c * 1.0 / 127.0; d * d }.sum
+    assert(r(0).getDouble(3) === exp)
+  }
+
+  test("q105 error envelope: sq_err <= dims * (scale/127)^2 on the real corpus") {
+    val bad = PipelineOps.q105EmbedQuantize.fn(spark, "/root/testdata/sf0.001")
+      .filter(col("sq_err") > lit(64.0) * (col("scale") / 127.0)
+        * (col("scale") / 127.0))
+      .count()
+    assert(bad === 0L, s"$bad vectors exceed the quantization error bound")
+  }
+
+  test("q105 plan is shuffle-free below the output sort") {
+    val plan = PipelineOps.q105EmbedQuantize.fn(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // exactly one exchange: the range partitioning for the ORDER BY
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+  }
+}
