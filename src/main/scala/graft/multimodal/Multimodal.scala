@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   * wholetext scan (SURVEY.md §7 risk (e)).
   *
   * Two concrete decoders ship: [[ImageFileDecoder]] hand-parses REAL
-  * image bytes (binary PPM "P6" and uncompressed 24/32-bit BMP — both
-  * fully specified formats needing no codec library), and
-  * [[FakeDecoder]] parses the toy "GRFT" container for deterministic
-  * fixtures. Compressed formats (JPEG/PNG/audio/video) still need a
-  * codec at the [[MediaDecoder]] seam; nothing above the seam changes.
+  * image bytes (binary PPM "P6", uncompressed 24/32-bit BMP, RIFF
+  * WAV PCM, and COMPRESSED PNG — full chunk walk, CRC verification,
+  * zlib inflate via the JDK's Inflater, and all five adaptive filter
+  * reconstructions, still zero external deps), and [[FakeDecoder]]
+  * parses the toy "GRFT" container for deterministic fixtures.
+  * Remaining compressed formats (JPEG/video) still need a codec at
+  * the [[MediaDecoder]] seam; nothing above the seam changes.
   */
 object Multimodal {
 
@@ -178,10 +180,133 @@ object Multimodal {
       val p = m.payload
       if (p.length >= 4 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F')
         decodeWav(m)
+      else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+        p(2) == 'N' && p(3) == 'G' && (p(4) & 0xff) == 0x0d &&
+        (p(5) & 0xff) == 0x0a && (p(6) & 0xff) == 0x1a && (p(7) & 0xff) == 0x0a)
+        decodePng(m)
       else if (p.length >= 2 && p(0) == 'P' && p(1) == '6') decodePpm(m)
       else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(m)
       else throw new IllegalArgumentException(
-        s"unsupported media container (want P6 PPM, BM BMP or RIFF WAV): media_id=${m.media_id}")
+        s"unsupported media container (want P6 PPM, BM BMP, PNG or RIFF WAV): media_id=${m.media_id}")
+    }
+
+    /** COMPRESSED PNG, decoded to raw pixels with nothing beyond the
+      * JDK: chunk walk with CRC-32 verification (CRC covers type+data,
+      * per the spec), IHDR geometry, concatenated-IDAT zlib inflate
+      * (`java.util.zip.Inflater` — IDAT chunk boundaries are NOT
+      * deflate-block boundaries, so the streams must be joined before
+      * inflating), then per-row reconstruction of all five adaptive
+      * filters (None/Sub/Up/Average/Paeth). Supports the 8-bit-depth
+      * non-interlaced grayscale/RGB/gray+alpha/RGBA color types;
+      * palette and 16-bit images are rejected loudly, never
+      * misdecoded. mean_byte covers the RECONSTRUCTED pixel bytes —
+      * the property of the image, invariant under the encoder's
+      * filter/compression choices (the same pixels re-encoded by any
+      * writer yield the same feature), which is what makes it usable
+      * as a dedup/quality signal across heterogenous crawls.
+      */
+    private def decodePng(m: Media): MediaFeatures = {
+      val p = m.payload
+      def beU32(off: Int): Long =
+        ((p(off) & 0xff).toLong << 24) | ((p(off + 1) & 0xff).toLong << 16) |
+          ((p(off + 2) & 0xff).toLong << 8) | (p(off + 3) & 0xff).toLong
+      var i = 8
+      var width = 0; var height = 0; var bitDepth = -1; var colorType = -1
+      var sawIhdr = false; var sawEnd = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!sawEnd) {
+        require(i + 12 <= p.length, s"PNG chunk table truncated: media_id=${m.media_id}")
+        val len = beU32(i)
+        require(i + 12L + len <= p.length,
+          s"PNG chunk overruns payload: media_id=${m.media_id}")
+        val dataLen = len.toInt
+        val crc = new java.util.zip.CRC32()
+        crc.update(p, i + 4, 4 + dataLen)
+        require(crc.getValue == beU32(i + 8 + dataLen),
+          s"PNG chunk CRC mismatch at offset $i: media_id=${m.media_id}")
+        val typ = new String(p, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        typ match {
+          case "IHDR" =>
+            require(dataLen == 13, s"bad IHDR length: media_id=${m.media_id}")
+            require(beU32(i + 8) <= (1L << 20) && beU32(i + 12) <= (1L << 20),
+              s"implausible PNG geometry: media_id=${m.media_id}")
+            width = beU32(i + 8).toInt; height = beU32(i + 12).toInt
+            bitDepth = p(i + 16) & 0xff; colorType = p(i + 17) & 0xff
+            require((p(i + 18) & 0xff) == 0 && (p(i + 19) & 0xff) == 0,
+              s"unknown PNG compression/filter method: media_id=${m.media_id}")
+            require((p(i + 20) & 0xff) == 0,
+              s"interlaced PNG unsupported: media_id=${m.media_id}")
+            sawIhdr = true
+          case "IDAT" => idat.write(p, i + 8, dataLen)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunks (tEXt, pHYs, …) skipped, CRC still checked
+        }
+        i += 12 + dataLen
+      }
+      require(sawIhdr, s"PNG without IHDR: media_id=${m.media_id}")
+      require(width > 0 && height > 0, s"empty PNG geometry: media_id=${m.media_id}")
+      require(bitDepth == 8,
+        s"only 8-bit-depth PNG supported (got $bitDepth): media_id=${m.media_id}")
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+        case t => throw new IllegalArgumentException(
+          s"unsupported PNG color type $t (palette?): media_id=${m.media_id}")
+      }
+      val stride = width * channels
+      val rawLen = (stride + 1).toLong * height
+      require(rawLen <= Int.MaxValue - 8,
+        s"PNG raster too large to reconstruct: media_id=${m.media_id}")
+      val raw = new Array[Byte](rawLen.toInt)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          require(n > 0 || !inf.needsInput(),
+            s"PNG IDAT stream truncated ($off of ${raw.length}): media_id=${m.media_id}")
+          off += n
+        }
+        require(off == raw.length,
+          s"PNG IDAT inflated to $off of ${raw.length} bytes: media_id=${m.media_id}")
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"corrupt PNG deflate stream: media_id=${m.media_id}", e)
+      } finally inf.end()
+      val pix = new Array[Byte](stride * height)
+      var y = 0
+      while (y < height) {
+        val filter = raw((stride + 1) * y) & 0xff
+        val rin = (stride + 1) * y + 1
+        val pout = stride * y
+        var x = 0
+        while (x < stride) {
+          val rv = raw(rin + x) & 0xff
+          val a = if (x >= channels) pix(pout + x - channels) & 0xff else 0
+          val b = if (y > 0) pix(pout - stride + x) & 0xff else 0
+          val c = if (x >= channels && y > 0) pix(pout - stride + x - channels) & 0xff else 0
+          val rec = filter match {
+            case 0 => rv
+            case 1 => rv + a
+            case 2 => rv + b
+            case 3 => rv + ((a + b) >> 1)
+            case 4 =>
+              val pa = math.abs(b - c); val pb = math.abs(a - c)
+              val pc = math.abs(a + b - 2 * c)
+              rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case f => throw new IllegalArgumentException(
+              s"unknown PNG row filter $f: media_id=${m.media_id}")
+          }
+          pix(pout + x) = rec.toByte // mod-256 reconstruction, per spec
+          x += 1
+        }
+        y += 1
+      }
+      var sum = 0L; var j = 0
+      while (j < pix.length) { sum += pix(j) & 0xff; j += 1 }
+      MediaFeatures(m.media_id, m.kind, width, height, channels,
+        p.length.toLong, sum.toDouble / pix.length)
     }
 
     private def decodePpm(m: Media): MediaFeatures = {

@@ -231,4 +231,146 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(meta === Set((16, 8)))
   }
+
+  // ------------------------------------------------------------------
+  // PNG — the compressed-format decode path
+  // ------------------------------------------------------------------
+
+  test("ImageFileDecoder decodes PNGs written by an independent encoder (ImageIO), all color types") {
+    import java.awt.image.BufferedImage
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    // RGB: deterministic per-pixel values, mean known exactly
+    val rgb = new BufferedImage(7, 5, BufferedImage.TYPE_3BYTE_BGR)
+    var sum = 0L
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val (r, g, b) = ((x * 37 + y) % 256, (y * 91 + x) % 256, (x * y * 13) % 256)
+      sum += r + g + b
+      rgb.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val fr = new ImageFileDecoder().decode(Media(60L, "image", png(rgb)))
+    assert((fr.width, fr.height, fr.channels) === (7, 5, 3))
+    assert(fr.mean_byte === sum.toDouble / (7 * 5 * 3))
+
+    // grayscale: ImageIO writes color type 0, 1 channel
+    val gray = new BufferedImage(4, 3, BufferedImage.TYPE_BYTE_GRAY)
+    val wr = gray.getRaster
+    var gsum = 0L
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val v = (x * 50 + y * 17) % 256; gsum += v; wr.setSample(x, y, 0, v)
+    }
+    val fg = new ImageFileDecoder().decode(Media(61L, "image", png(gray)))
+    assert((fg.width, fg.height, fg.channels) === (4, 3, 1))
+    assert(fg.mean_byte === gsum.toDouble / 12)
+
+    // RGBA: color type 6, 4 channels (alpha participates in the mean)
+    val rgba = new BufferedImage(3, 3, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 3; x <- 0 until 3)
+      rgba.setRGB(x, y, (200 << 24) | (10 << 16) | (20 << 8) | 30)
+    val fa = new ImageFileDecoder().decode(Media(62L, "image", png(rgba)))
+    assert((fa.width, fa.height, fa.channels) === (3, 3, 4))
+    assert(fa.mean_byte === (200.0 + 10 + 20 + 30) / 4)
+  }
+
+  /** Minimal in-test PNG encoder with CALLER-CHOSEN per-row filters —
+    * lets the test force every one of the five reconstructions
+    * (ImageIO picks its own filters, so it can't guarantee coverage).
+    */
+  private def craftPng(width: Int, height: Int, channels: Int, colorType: Int,
+      pix: Array[Byte], filters: Seq[Int]): Array[Byte] = {
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    def px(y: Int, x: Int): Int =
+      if (x < 0 || y < 0) 0 else pix(y * stride + x) & 0xff
+    for (y <- 0 until height) {
+      val f = filters(y)
+      raw((stride + 1) * y) = f.toByte
+      for (x <- 0 until stride) {
+        val v = px(y, x)
+        val a = px(y, x - channels); val b = px(y - 1, x)
+        val c = px(y - 1, x - channels)
+        val filtered = f match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - ((a + b) >> 1)
+          case 4 =>
+            val pa = math.abs(b - c); val pb = math.abs(a - c)
+            val pc = math.abs(a + b - 2 * c)
+            v - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw((stride + 1) * y + 1 + x) = filtered.toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](512)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("ImageFileDecoder reconstructs ALL five PNG row filters exactly") {
+    val (w, h, ch) = (6, 5, 3)
+    val pix = Array.tabulate(w * h * ch)(i => ((i * 149 + 31) % 256).toByte)
+    // one row per filter type: None, Sub, Up, Average, Paeth
+    val bytes = craftPng(w, h, ch, colorType = 2, pix, filters = Seq(0, 1, 2, 3, 4))
+    val f = new ImageFileDecoder().decode(Media(63L, "image", bytes))
+    assert((f.width, f.height, f.channels) === (w, h, ch))
+    val exp = pix.map(_ & 0xff).map(_.toLong).sum.toDouble / pix.length
+    assert(f.mean_byte === exp,
+      "filter reconstruction diverged from the source pixels")
+  }
+
+  test("ImageFileDecoder rejects corrupt, truncated and unsupported PNGs loudly") {
+    val pix = Array.tabulate(4 * 2 * 3)(i => (i * 7 % 256).toByte)
+    val good = craftPng(4, 2, 3, colorType = 2, pix, filters = Seq(0, 1))
+    val d = new ImageFileDecoder
+    // flip one IDAT payload byte -> CRC check must fire
+    val bad = good.clone()
+    bad(8 + 25 + 12) = (bad(8 + 25 + 12) ^ 0x40).toByte
+    val eCrc = intercept[IllegalArgumentException] {
+      d.decode(Media(64L, "image", bad)) }
+    assert(eCrc.getMessage.contains("CRC"), eCrc.getMessage)
+    // drop the IEND tail -> truncated chunk table
+    intercept[IllegalArgumentException] {
+      d.decode(Media(65L, "image", good.dropRight(13))) }
+    // palette color type (3) is rejected, never misdecoded
+    val pal = craftPng(4, 2, 1, colorType = 3, Array.fill(8)(1.toByte),
+      filters = Seq(0, 0))
+    val ePal = intercept[IllegalArgumentException] {
+      d.decode(Media(66L, "image", pal)) }
+    assert(ePal.getMessage.contains("color type"), ePal.getMessage)
+  }
+
+  test("PNG decode runs through the batched Spark featurizer seam") {
+    val s = spark
+    import s.implicits._
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    (0 until 4).foreach(y => (0 until 5).foreach(x => img.setRGB(x, y, 0x102030)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ds = Seq(Media(70L, "image", bos.toByteArray)).toDS()
+    val out = extractFeatures(ds, () => new ImageFileDecoder).collect().toSeq
+    assert(out.map(f => (f.media_id, f.width, f.height, f.channels,
+      f.mean_byte)) === Seq((70L, 5, 4, 3, (0x10 + 0x20 + 0x30) / 3.0)))
+  }
 }
