@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through VERBATIM instead of routing it
+// via sbt's logger: the logger prepends "[info] " to every line, which
+// breaks any consumer that json-parses the Bench/ShuffleAudit output
+// line (the per-round BENCH_r04..07 recordings all came back
+// parsed:null because of exactly that prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
