@@ -539,10 +539,18 @@ object CurationOps {
   val q89NeardupPrune = Q(
     "q89_neardup_prune",
     (s, dir) => {
-      val pairs = LlmOps.q32NearDupPairs.fn(s, dir).select(col("id_a"), col("id_b"))
+      // eager localCheckpoint before the two-branch union below — the
+      // branches' stages otherwise race to compute the q32 subtree
+      // twice (sf1 decade audit: 53x shuffle for 10x data; see q72)
+      val pairs = LlmOps.q32NearDupPairs.fn(s, dir)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
       val e = pairs.select(col("id_a").as("me"), col("id_b").as("other"))
         .union(pairs.select(col("id_b").as("me"), col("id_a").as("other")))
+      // same treatment for the scorer: it is joined on BOTH edge
+      // directions, and each join side would re-run the corpus scan +
+      // spread shuffle; the checkpointed frame is 16 bytes/doc
       val sc = qualityScored(s, dir).select(col("doc_id"), col("score"))
+        .localCheckpoint()
       e.join(sc.select(col("doc_id").as("me"), col("score").as("my_score")), "me")
         .join(sc.select(col("doc_id").as("other"), col("score").as("other_score")), "other")
         .filter(col("other_score") > col("my_score") ||

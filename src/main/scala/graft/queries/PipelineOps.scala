@@ -818,40 +818,45 @@ object PipelineOps {
     * exactly like q32's inverted index, and the fingerprint frame is
     * ~2/(w+1) the gram frame's size by the winnowing density bound.
     */
+  /** The shared winnowing core: (doc_id, pos, fp) fingerprint rows,
+    * distinct, unordered — q104 registers it; q106 consumes it as a
+    * candidate index. Factored exactly like LlmOps.shingled.
+    */
+  private[queries] def winnowed(s: SparkSession, dir: String): DataFrame = {
+    val w = 4
+    val grams = T.documentsSpread(s, dir)
+      .select(col("doc_id"), expr(toksSql).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.ngrams(col("toks"), 3))
+          .as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        expr("cast(conv(substring(md5(g), 1, 10), 16, 10) as bigint)").as("h"))
+    val nw = Window.partitionBy(col("doc_id"))
+    val fw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("n", count(lit(1)).over(nw))
+      .withColumn("c",
+        col("h") * (1L << 21) +
+          (lit((1L << 21) - 1) -
+            when(assert_true(col("pos") < (1L << 21),
+              lit("q104: doc exceeds the 2^21-gram winnowing position cap"))
+              .isNull,
+              col("pos"))))
+      .withColumn("wc", min(col("c")).over(fw))
+      .filter(col("pos") <= col("n") - w + 1)
+      .select(col("doc_id"),
+        (lit((1L << 21) - 1) - col("wc") % (1L << 21)).as("pos"),
+        // integer div, never `/`: wc is up to 61 bits and double
+        // division would round above 2^53 (the q101/q102 hazard)
+        expr(s"wc div ${1L << 21}").as("fp"))
+      .distinct()
+  }
+
   val q104Winnowing = Q(
     "q104_winnowing",
-    (s, dir) => {
-      val w = 4
-      val grams = T.documentsSpread(s, dir)
-        .select(col("doc_id"), expr(toksSql).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"),
-          posexplode(graft.functions.GraftFunctions.ngrams(col("toks"), 3))
-            .as(Seq("pos0", "g")))
-        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-          expr("cast(conv(substring(md5(g), 1, 10), 16, 10) as bigint)").as("h"))
-      val nw = Window.partitionBy(col("doc_id"))
-      val fw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, w - 1)
-      grams
-        .withColumn("n", count(lit(1)).over(nw))
-        .withColumn("c",
-          col("h") * (1L << 21) +
-            (lit((1L << 21) - 1) -
-              when(assert_true(col("pos") < (1L << 21),
-                lit("q104: doc exceeds the 2^21-gram winnowing position cap"))
-                .isNull,
-                col("pos"))))
-        .withColumn("wc", min(col("c")).over(fw))
-        .filter(col("pos") <= col("n") - w + 1)
-        .select(col("doc_id"),
-          (lit((1L << 21) - 1) - col("wc") % (1L << 21)).as("pos"),
-          // integer div, never `/`: wc is up to 61 bits and double
-          // division would round above 2^53 (the q101/q102 hazard)
-          expr(s"wc div ${1L << 21}").as("fp"))
-        .distinct()
-        .orderBy(col("doc_id"), col("pos"))
-    },
+    (s, dir) => winnowed(s, dir).orderBy(col("doc_id"), col("pos")),
     Some(s"""
       WITH t AS (
         SELECT doc_id, string_split(lower(text), ' ') AS toks
@@ -877,6 +882,90 @@ object PipelineOps {
       FROM c WHERE pos <= n - 3
       ORDER BY doc_id, pos""".stripMargin),
     "MOSS-style robust winnowing: window-min over gram hashes with rightmost-tie argmin packed into one integer (h*2^21 + (2^21-1-pos)); one doc-keyed window shuffle, guaranteed detection of >= w+k-1-token overlaps")
+
+  // ---------------------------------------------------------------------
+  // q106 — fingerprint-bucketed near-dup (winnowing consumption)
+  // ---------------------------------------------------------------------
+
+  /** Near-dup candidates from the WINNOWED index instead of the full
+    * shingle inverted index (the fingerprint-consumption twin of q42's
+    * simhash banding): docs sharing >= 2 fingerprint VALUES become
+    * candidates, then exact Jaccard >= 0.8 verifies on the full
+    * shingle sets. The index is ~2/(w+1) the size of q32's full
+    * inverted index (winnowing density), so the candidate join moves
+    * ~40% of the bytes — the recall trade is explicit and documented:
+    * winnowing guarantees a shared fingerprint only for contiguous
+    * shared runs of >= w+k-1 tokens, so a pair assembled from many
+    * SHORT shared fragments can evade the index (its exposure is
+    * bounded by the guarantee, and the oracle recomputes these exact
+    * semantics, so the gate checks the algorithm, not a coincidence).
+    *
+    * Scale shape: fingerprint-keyed equi-join (8-byte keys), candidate
+    * count bounded by fingerprint collisions, one exact verify per
+    * candidate — same discipline as q32/q33/q44, smaller index.
+    */
+  val q106WinnowDup = Q(
+    "q106_winnow_dup",
+    (s, dir) => {
+      val fp = winnowed(s, dir).select(col("doc_id"), col("fp")).distinct()
+        .persist()
+      val cands = fp.as("x").join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared_fp"))
+        .filter(col("n_shared_fp") >= 2)
+      val sh = LlmOps.shingled(s, dir)
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      cands.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"), col("n_shared_fp"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+            / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+      g AS (
+        SELECT doc_id, len(toks) - 2 AS n,
+          unnest(generate_series(1, len(toks) - 2)) AS pos, toks
+        FROM t),
+      hh AS (
+        SELECT doc_id, n, pos,
+          ('0x' || substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' ||
+            toks[pos+2]), 1, 10))::BIGINT AS h
+        FROM g),
+      c AS (
+        SELECT doc_id, n, pos,
+          MIN(h * ${1L << 21} + (${(1L << 21) - 1} - pos)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wc
+        FROM hh),
+      f AS (
+        SELECT DISTINCT doc_id, wc // ${1L << 21} AS fp
+        FROM c WHERE pos <= n - 3),
+      cand AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+        FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(toks)-2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM t)
+      SELECT cand.id_a, cand.id_b, cand.n_shared_fp,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM cand
+      JOIN s a ON a.doc_id = cand.id_a
+      JOIN s b ON b.doc_id = cand.id_b
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      ORDER BY cand.id_a, cand.id_b""".stripMargin),
+    "winnowing-index near-dup: candidates from shared fingerprints (>= 2), exact-Jaccard verified — q32's discipline on a ~40%-size index; the contiguous-run recall trade is explicit and oracle-checked")
 
   // ---------------------------------------------------------------------
   // q105 — int8 scalar quantization of the embedding column
@@ -942,5 +1031,5 @@ object PipelineOps {
     q42SimhashHammingDup, q43AnnHyperplaneLsh, q44BlockedNearDup,
     q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload,
     q60AnnIvf, q63KmvDistinct, q79KmvMerge, q99HllDistinct,
-    q104Winnowing, q105EmbedQuantize)
+    q104Winnowing, q105EmbedQuantize, q106WinnowDup)
 }

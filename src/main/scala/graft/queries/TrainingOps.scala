@@ -505,13 +505,17 @@ object TrainingOps {
   val q72DupClusters = Q(
     "q72_dup_clusters",
     (s, dir) => {
+      // EAGER localCheckpoint, not lazy persist: minLabelClusters fans
+      // the pair frame into a two-branch union whose stages launch
+      // concurrently in the first job and RACE to populate a lazy
+      // cache, re-running the whole q32 candidate DAG per branch (the
+      // q98 lesson; the sf1 decade audit measured q72's shuffle at 34x
+      // for 10x data through exactly this). Materializing once up
+      // front restores the linear row: every branch reads checkpoint
+      // blocks, never the lineage.
       val pairs = LlmOps.q32NearDupPairs.fn(s, dir)
-        .select(col("id_a"), col("id_b")).persist()
+        .select(col("id_a"), col("id_b")).localCheckpoint()
       val labels = minLabelClusters(pairs)
-      // the loop's convergence actions materialized everything the pair
-      // graph feeds; drop it now (same leak class the edges.unpersist
-      // inside the loop closes)
-      pairs.unpersist()
       labels
         .groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),

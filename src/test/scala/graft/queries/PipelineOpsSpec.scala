@@ -81,6 +81,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad === 0L, s"$bad vectors exceed the quantization error bound")
   }
 
+  test("q106 pairs are always a subset of q32's (both exact-verified), equal on the planted corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val winnow = PipelineOps.q106WinnowDup.fn(spark, sf)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = LlmOps.q32NearDupPairs.fn(spark, sf)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // subset holds unconditionally (same exact verify, narrower index);
+    // equality is a property of the planted corpus (dups share long
+    // runs), pinned so an index regression shows up as a diff here
+    assert(winnow.subsetOf(full), s"q106 produced a non-near-dup pair: ${winnow -- full}")
+    assert(winnow === full, s"winnowing index missed: ${full -- winnow}")
+  }
+
   test("q105 plan is shuffle-free below the output sort") {
     val plan = PipelineOps.q105EmbedQuantize.fn(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
