@@ -734,9 +734,98 @@ object AnalyticsOps {
       GROUP BY a_id ORDER BY a_id""".stripMargin),
     "binned interval-overlap join: both interval sets explode to bins, hash join on bin id, candidate-pair dedup, exact overlap predicate — the session/region overlap shape, shuffle-partitionable where the naive plan is O(n*m)")
 
+  // ---------------------------------------------------------------------
+  // q107 — link-graph centrality (integer PageRank, fixed iterations)
+  // ---------------------------------------------------------------------
+
+  /** PageRank over the customer↔supplier bipartite graph (distinct
+    * trade edges from orders ⋈ lineitem, both directions so every
+    * node has in- and out-degree ≥ 1) — the link-graph centrality the
+    * reference's crawl output feeds in a wiki deployment (page ↔ link
+    * graph; the wiki modules build exactly that edge list, this query
+    * registers the algorithm on the oracle-checkable tables).
+    *
+    * Cross-engine exactness: ranks are INTEGER micro-units (total
+    * mass 10¹², damping 0.85 as `(85·s) div 100`), every division is
+    * integral `div` — no float sum-order hazard, bit-identical to
+    * DuckDB's five unrolled recursive CTE steps. Deterministic
+    * truncation loss stays in the units digit and is identical in
+    * both engines.
+    *
+    * Scale shape: iterations are FIXED (5), each one edge-keyed hash
+    * join + dst-keyed partial-agg sum — shuffle linear in |E| per
+    * iteration, O(iters·|E|) total, no driver-side graph state (the
+    * loop only composes the lazy plan; contrast q72's CONVERGENCE
+    * loop, which must act per round). The edge/degree frames are
+    * eagerly checkpointed — they feed six joins in one action, the
+    * q72/q89 cache-race shape the sf1 audit flagged.
+    */
+  val q107GraphPagerank = Q(
+    "q107_graph_pagerank",
+    (s, dir) => {
+      val mass = 1000000000000L
+      val raw = T.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(T.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 2000000L).as("supp"))
+        .distinct()
+      val edges = raw.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(raw.select(col("supp").as("src"), col("cust").as("dst")))
+        .localCheckpoint()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .withColumnRenamed("src", "dv").localCheckpoint()
+      val nodes = edges.select(col("src").as("v")).distinct()
+      val nAgg = nodes.agg(count(lit(1)).cast("bigint").as("n"))
+      var r = nodes.crossJoin(broadcast(nAgg))
+        .select(col("v"), expr(s"cast($mass as bigint) div n").as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = edges
+          .join(r, col("src") === col("v"))
+          .join(deg, col("src") === col("dv"))
+          .select(col("dst"), expr("r div d").as("c"))
+        r = contrib.groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+          .crossJoin(broadcast(nAgg))
+          .select(col("dst").as("v"),
+            expr(s"(15 * (cast($mass as bigint) div n)) div 100" +
+              " + (85 * cs) div 100").as("r"))
+      }
+      r.orderBy(col("r").desc, col("v")).limit(20)
+        .select(col("v").as("node"), col("r").as("rank"))
+    },
+    Some {
+      val mass = "1000000000000"
+      def step(i: Int): String =
+        s"""r$i AS (
+        SELECT e.dst AS v,
+          CAST((15 * ($mass // nn.n)) // 100
+            + (85 * SUM(r${i - 1}.r // deg.d)) // 100 AS BIGINT) AS r
+        FROM e
+        JOIN r${i - 1} ON r${i - 1}.v = e.src
+        JOIN deg ON deg.src = e.src, nn
+        GROUP BY e.dst, nn.n)"""
+      s"""
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey + 2000000 AS supp
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      e AS (
+        SELECT cust AS src, supp AS dst FROM e0
+        UNION ALL SELECT supp, cust FROM e0),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+      nn AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM e),
+      r0 AS (
+        SELECT DISTINCT src AS v, CAST($mass // nn.n AS BIGINT) AS r
+        FROM e, nn),
+      ${(1 to 5).map(step).mkString(",\n      ")}
+      SELECT v AS node, r AS rank FROM r5
+      ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
+    "fixed-iteration integer PageRank over the trade graph: micro-unit ranks, integral div damping (bit-identical both engines), edge-keyed join + dst-keyed partial agg per iteration — O(iters*|E|) shuffle, plan-composed loop with zero per-round driver actions")
+
   val all: Seq[Q] = Seq(
     q49Sessionize, q50Pivot, q51TopkPerGroup, q52Percentiles,
     q53FullOuter, q54RangeJoin, q55AsofJoin, q56BagSetOps, q57MapFuncs,
     q58RangeFrame, q59SqlEntry, q65CorruptJson, q75ColumnProfile,
-    q76WindowOffsets, q91RangeBinned, q92OverlapBinned, q97SketchProfile)
+    q76WindowOffsets, q91RangeBinned, q92OverlapBinned, q97SketchProfile,
+    q107GraphPagerank)
 }
