@@ -18,6 +18,11 @@ Scaling model (the honest 10x shape):
   with fact volume).
 - events: R replicas with offset event_id/user_id — 10x users, same
   per-user activity shape, sessions scale linearly.
+- embeddings: R replicas with offset vec_id and dimensions CYCLICALLY
+  SHIFTED by k — a shift is an isometry, so within-replica geometry
+  (every pairwise cosine) is preserved exactly, while a shifted copy
+  of a random vector is uncorrelated with the original (cross-replica
+  cosines stay in the random band, no fake exact-duplicate cliques).
 - everything else: symlinked (dimension tables don't scale).
 
 pyarrow round-trips the driver's physical types exactly (events.ts is
@@ -65,11 +70,18 @@ def main(src, dst, r):
         d["event_id"] = d["event_id"] + k * OFF
         d["user_id"] = d["user_id"] + k * OFF
 
+    def embeddings(d, k):
+        d["vec_id"] = d["vec_id"] + k * OFF
+        if k:
+            d["embedding"] = d["embedding"].map(
+                lambda v: list(v[k % len(v):]) + list(v[:k % len(v)]))
+
     replicate(src, dst, "documents", r, docs)
     replicate(src, dst, "orders", r, orders)
     replicate(src, dst, "events", r, events)
+    replicate(src, dst, "embeddings", r, embeddings)
     for name in ("region", "nation", "customer", "supplier", "part",
-                 "lineitem", "embeddings"):
+                 "lineitem"):
         link = f"{dst}/{name}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{src}/{name}.parquet", link)
