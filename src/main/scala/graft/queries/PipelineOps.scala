@@ -1027,9 +1027,103 @@ object PipelineOps {
       FROM q ORDER BY vec_id""".stripMargin),
     "per-vector symmetric int8 quantization + exact reconstruction-error audit: 4x embedding compression for the ANN hot tier; shuffle-free single-scan projection, order-pinned IEEE folds both engines")
 
+  // ---------------------------------------------------------------------
+  // q108 — quantized two-stage ANN (int8 candidate pass, float re-rank)
+  // ---------------------------------------------------------------------
+
+  /** The retrieval pattern q105's compression exists for: stage 1
+    * scores every (query, corpus) pair on the INT8 CODES — an integer
+    * dot product, 4× less memory traffic than floats and exactly
+    * deterministic (ties broken on neighbor_id, so the candidate cut
+    * is reproducible across engines and runs, which a float-scored
+    * cut cannot promise at equality boundaries) — and keeps the top
+    * 20 per query; stage 2 re-ranks only those 20 on the full-float
+    * exact cosine and emits the top 5. At 100 TB the corpus-wide pass
+    * touches only the quantized tier (codes live in memory where the
+    * float vectors cannot), and the float tier is read for 20 rows
+    * per query.
+    *
+    * Exactness note: the integer dot rides the codegen `dot_f` kernel
+    * on double-cast codes — every product and the 64-term sum stay
+    * below 2⁵³, so the double arithmetic IS exact integer arithmetic,
+    * bit-identical to DuckDB's list_reduce over BIGINTs.
+    *
+    * Scale shape: broadcast query codes, one corpus scan, per-query
+    * top-k windows over (20·|queries|) and (5·|queries|) rows — same
+    * discipline as q34 with the expensive pass quantized.
+    */
+  val q108QuantizedAnn = Q(
+    "q108_quantized_ann",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dot
+      val e = T.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+        .filter(col("scale") > 0)
+        .withColumn("q",
+          expr("transform(v, x -> cast(floor(x / scale * 127.0) as double))"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("q").as("qq"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          dot(col("qq"), col("q")).cast("long").as("qdot"),
+          col("qv"), col("v"), col("qn"), col("nrm"))
+      val w1 = Window.partitionBy(col("query_id"))
+        .orderBy(col("qdot").desc, col("neighbor_id"))
+      val cands = scored.withColumn("crank", row_number().over(w1))
+        .filter(col("crank") <= 20)
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cands.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      s AS (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM e),
+      q AS (
+        SELECT vec_id, v,
+          list_transform(v, x -> CAST(FLOOR(x / scale * 127.0) AS BIGINT)) AS qs,
+          sqrt(list_reduce(list_transform(v, x -> x*x), (a, b) -> a+b)) AS nrm
+        FROM s WHERE scale > 0),
+      p AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          CAST(list_reduce(list_transform(generate_series(1, len(a.qs)),
+            i -> a.qs[i] * b.qs[i]), (x, y) -> x + y) AS BIGINT) AS qdot,
+          a.v AS qv, b.v AS bv, a.nrm AS qn, b.nrm AS bn
+        FROM q a JOIN q b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+      c AS (
+        SELECT query_id, neighbor_id, qv, bv, qn, bn,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY qdot DESC, neighbor_id) AS crank
+        FROM p),
+      r AS (
+        SELECT query_id, neighbor_id,
+          list_reduce(list_transform(generate_series(1, len(qv)),
+            i -> qv[i] * bv[i]), (x, y) -> x + y) / (qn * bn) AS cosine
+        FROM c WHERE crank <= 20),
+      f AS (
+        SELECT query_id, neighbor_id, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM r)
+      SELECT query_id, rank, neighbor_id, cosine FROM f
+      WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "two-stage quantized retrieval: corpus-wide pass on int8 codes (exact integer dot via dot_f under 2^53, deterministic cut), float-cosine re-rank of 20 candidates/query — the memory-tiered ANN q105's compression feeds")
+
   val all: Seq[Q] = Seq(
     q42SimhashHammingDup, q43AnnHyperplaneLsh, q44BlockedNearDup,
     q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload,
     q60AnnIvf, q63KmvDistinct, q79KmvMerge, q99HllDistinct,
-    q104Winnowing, q105EmbedQuantize, q106WinnowDup)
+    q104Winnowing, q105EmbedQuantize, q106WinnowDup, q108QuantizedAnn)
 }

@@ -96,6 +96,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(winnow === full, s"winnowing index missed: ${full -- winnow}")
   }
 
+  test("q108 quantized retrieval recalls the exact top-5 (q34) almost everywhere") {
+    val sf = "/root/testdata/sf0.001"
+    def top5(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = top5(LlmOps.q34TopkCosine.fn(spark, sf))
+    val quant = top5(PipelineOps.q108QuantizedAnn.fn(spark, sf))
+    assert(quant.size === exact.size)
+    val recall = (quant intersect exact).size.toDouble / exact.size
+    // int8 codes + a 20-candidate buffer on 64-dim random vectors:
+    // quantization error can swap near-equal cosines at the buffer
+    // boundary, so demand near-total (not perfect) agreement
+    assert(recall >= 0.8, s"quantized recall vs exact top-5: $recall")
+  }
+
   test("q105 plan is shuffle-free below the output sort") {
     val plan = PipelineOps.q105EmbedQuantize.fn(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
