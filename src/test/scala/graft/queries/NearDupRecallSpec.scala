@@ -73,6 +73,17 @@ class NearDupRecallSpec extends SparkSpec {
       s"missed=${(truthPairs -- got).take(5)} extra=${(got -- truthPairs).take(5)}")
   }
 
+  test("q106 winnowing-index pairs: subset of truth always, equal on the planted sf0.1 corpus") {
+    val got = PipelineOps.q106WinnowDup.fn(spark, sf)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // subset unconditionally (same exact verify, narrower candidates);
+    // equality holds because the planted dups share long runs — pinned
+    // so an index regression at bench scale surfaces as a diff here
+    assert(got.subsetOf(truthPairs), s"non-near-dup pair: ${got -- truthPairs}")
+    assert(got === truthPairs, s"winnowing index missed: ${truthPairs -- got}")
+  }
+
   test("q94 contained-side-prefix containment == unfiltered truth at sf0.1") {
     // directed: candidates in both directions, containment divides by |a|
     val truth = truthCands

@@ -66,6 +66,11 @@ def main(src, dst, r):
     def orders(d, k):
         d["o_orderkey"] = d["o_orderkey"] + k * OFF
 
+    def lineitem(d, k):
+        # orderkeys track the scaled orders so the fact-fact join scales;
+        # supp/part keys stay dimension-fixed
+        d["l_orderkey"] = d["l_orderkey"] + k * OFF
+
     def events(d, k):
         d["event_id"] = d["event_id"] + k * OFF
         d["user_id"] = d["user_id"] + k * OFF
@@ -80,8 +85,8 @@ def main(src, dst, r):
     replicate(src, dst, "orders", r, orders)
     replicate(src, dst, "events", r, events)
     replicate(src, dst, "embeddings", r, embeddings)
-    for name in ("region", "nation", "customer", "supplier", "part",
-                 "lineitem"):
+    replicate(src, dst, "lineitem", r, lineitem)
+    for name in ("region", "nation", "customer", "supplier", "part"):
         link = f"{dst}/{name}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{src}/{name}.parquet", link)
