@@ -780,9 +780,17 @@ object AnalyticsOps {
       var r = nodes.crossJoin(broadcast(nAgg))
         .select(col("v"), expr(s"cast($mass as bigint) div n").as("r"))
       for (_ <- 1 to 5) {
+        // rank and degree are NODE-sized (dimension-scale here, and
+        // always |V| << |E|): broadcasting them keeps the edge list —
+        // the only big frame — unshuffled across all five iterations
+        // (checkpoint stats are unknown to the optimizer, which would
+        // otherwise plan five full sort-merge shuffles of the edges).
+        // On a graph whose node table outgrows the broadcast threshold,
+        // drop the hints: the same plan degrades to src-keyed shuffle
+        // joins, semantics unchanged.
         val contrib = edges
-          .join(r, col("src") === col("v"))
-          .join(deg, col("src") === col("dv"))
+          .join(broadcast(r), col("src") === col("v"))
+          .join(broadcast(deg), col("src") === col("dv"))
           .select(col("dst"), expr("r div d").as("c"))
         r = contrib.groupBy(col("dst")).agg(sum(col("c")).as("cs"))
           .crossJoin(broadcast(nAgg))
