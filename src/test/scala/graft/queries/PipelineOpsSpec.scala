@@ -58,6 +58,28 @@ class PipelineOpsSpec extends SparkSpec {
       s"fingerprint density off: $nFp of $nGrams grams")
   }
 
+  test("property: winnowing guarantee holds on generated corpora (any shared 6-token run -> shared fingerprint)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(0xBEEFL + i)))
+    val token = Gen.oneOf((0 until 40).map(i => s"t$i"))
+    val gen = for {
+      run <- Gen.listOfN(6, token)        // the shared w+k-1-token run
+      pre1 <- Gen.listOfN(5, token); suf1 <- Gen.listOfN(5, token)
+      pre2 <- Gen.listOfN(5, token); suf2 <- Gen.listOfN(5, token)
+    } yield (pre1 ++ run ++ suf1, pre2 ++ run ++ suf2)
+    val cases = samples(gen, 60)
+    val dir = corpus(cases.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, a.mkString(" ")), (2L * i + 1, b.mkString(" "))) })
+    val m = fps(dir)
+    cases.zipWithIndex.foreach { case (_, i) =>
+      val shared = m(2L * i).map(_._2).toSet intersect
+        m(2L * i + 1).map(_._2).toSet
+      assert(shared.nonEmpty, s"case $i: guarantee violated")
+    }
+  }
+
   test("q105 exact code values and checksum on a crafted vector") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_q105").toString
