@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *
   * Two concrete decoders ship: [[ImageFileDecoder]] hand-parses REAL
   * image bytes (binary PPM "P6", uncompressed 24/32-bit BMP, RIFF
-  * WAV PCM, and COMPRESSED PNG — full chunk walk, CRC verification,
-  * zlib inflate via the JDK's Inflater, and all five adaptive filter
-  * reconstructions, still zero external deps), and [[FakeDecoder]]
+  * WAV PCM, and two COMPRESSED formats — PNG with full chunk walk,
+  * CRC verification, zlib inflate via the JDK's Inflater and all five
+  * adaptive filter reconstructions, and GIF87a/89a with a hand-rolled
+  * GIF-LZW decoder — still zero external deps), and [[FakeDecoder]]
   * parses the toy "GRFT" container for deterministic fixtures.
   * Remaining compressed formats (JPEG/video) still need a codec at
   * the [[MediaDecoder]] seam; nothing above the seam changes.
@@ -184,10 +185,146 @@ object Multimodal {
         p(2) == 'N' && p(3) == 'G' && (p(4) & 0xff) == 0x0d &&
         (p(5) & 0xff) == 0x0a && (p(6) & 0xff) == 0x1a && (p(7) & 0xff) == 0x0a)
         decodePng(m)
+      else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a')
+        decodeGif(m)
       else if (p.length >= 2 && p(0) == 'P' && p(1) == '6') decodePpm(m)
       else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(m)
       else throw new IllegalArgumentException(
-        s"unsupported media container (want P6 PPM, BM BMP, PNG or RIFF WAV): media_id=${m.media_id}")
+        s"unsupported media container (want P6 PPM, BM BMP, PNG, GIF or RIFF WAV): media_id=${m.media_id}")
+    }
+
+    /** GIF87a/89a first frame, LZW-decompressed by hand (the GIF LZW
+      * variant: little-endian bit packing, variable code width from
+      * minCodeSize+1 up to 12 bits, in-stream clear/EOI codes,
+      * dictionary rebuilt on clear). Palette indices map through the
+      * active (local-over-global) color table to RGB, so mean_byte is
+      * a property of the rendered pixels like the PNG path — and
+      * because the mean is order-invariant, interlaced frames need no
+      * row reordering. Extensions are skipped by sub-block walking;
+      * animation frames beyond the first are ignored (first-frame
+      * features, the standard corpus treatment). Transparency is
+      * ignored — the transparent index still maps to its palette RGB.
+      */
+    private def decodeGif(m: Media): MediaFeatures = {
+      val p = m.payload
+      def leU16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+      require(p.length >= 13, s"GIF shorter than its header: media_id=${m.media_id}")
+      val flags = p(10) & 0xff
+      var i = 13
+      var gctSize = 0
+      var gct = -1
+      if ((flags & 0x80) != 0) {
+        gctSize = 2 << (flags & 7)
+        gct = i
+        i += 3 * gctSize
+      }
+      // walk blocks to the first image descriptor
+      while (i < p.length && (p(i) & 0xff) == 0x21) {
+        i += 2 // extension introducer + label
+        while ({
+          require(i < p.length, s"GIF extension truncated: media_id=${m.media_id}")
+          val n = p(i) & 0xff; i += 1 + n; n != 0
+        }) ()
+      }
+      require(i < p.length && (p(i) & 0xff) == 0x2c,
+        s"GIF without an image descriptor: media_id=${m.media_id}")
+      val width = leU16(i + 5); val height = leU16(i + 7)
+      val iflags = p(i + 9) & 0xff
+      require(width > 0 && height > 0 && width.toLong * height <= (1L << 26),
+        s"implausible GIF geometry: media_id=${m.media_id}")
+      i += 10
+      var (ct, ctSize) = (gct, gctSize)
+      if ((iflags & 0x80) != 0) {
+        ctSize = 2 << (iflags & 7)
+        ct = i
+        i += 3 * ctSize
+      }
+      require(ct >= 0 && ct + 3 * ctSize <= p.length,
+        s"GIF color table missing or truncated: media_id=${m.media_id}")
+      val minCode = p(i) & 0xff
+      require(minCode >= 1 && minCode <= 11,
+        s"bad GIF LZW min code size $minCode: media_id=${m.media_id}")
+      i += 1
+      // concatenate the image's data sub-blocks
+      val data = new java.io.ByteArrayOutputStream()
+      while ({
+        require(i < p.length, s"GIF data sub-blocks truncated: media_id=${m.media_id}")
+        val n = p(i) & 0xff
+        require(i + 1 + n <= p.length, s"GIF sub-block overruns payload: media_id=${m.media_id}")
+        data.write(p, i + 1, n); i += 1 + n; n != 0
+      }) ()
+      val bytes = data.toByteArray
+      // GIF-LZW decode straight into an RGB byte-sum (pixels need not
+      // be materialized: mean is order-invariant)
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      // dictionary as a prefix-linked trie: entry -> (prefixCode, tailIndex)
+      val maxEntries = 4096
+      val prefix = new Array[Int](maxEntries)
+      val tail = new Array[Int](maxEntries)
+      var dictSize = eoi + 1
+      var codeWidth = minCode + 1
+      var bitPos = 0
+      var sum = 0L
+      var nPix = 0L
+      def readCode(): Int = {
+        if ((bitPos + codeWidth - 1) / 8 >= bytes.length) return eoi // truncated -> stop
+        var v = 0; var b = 0
+        while (b < codeWidth) {
+          val byte = bytes((bitPos + b) / 8) & 0xff
+          if ((byte & (1 << ((bitPos + b) % 8))) != 0) v |= 1 << b
+          b += 1
+        }
+        bitPos += codeWidth
+        v
+      }
+      def emit(code: Int): Int = { // adds the sequence for `code`, returns first index
+        var c = code
+        var stack = List.empty[Int]
+        while (c >= clear) { stack = tail(c) :: stack; c = prefix(c) }
+        stack = c :: stack
+        stack.foreach { idx =>
+          require(idx < ctSize, s"GIF index $idx outside palette: media_id=${m.media_id}")
+          val o = ct + 3 * idx
+          sum += (p(o) & 0xff) + (p(o + 1) & 0xff) + (p(o + 2) & 0xff)
+          nPix += 1
+        }
+        c
+      }
+      var prev = -1
+      var done = false
+      while (!done) {
+        val code = readCode()
+        if (code == eoi) done = true
+        else if (code == clear) { dictSize = eoi + 1; codeWidth = minCode + 1; prev = -1 }
+        else {
+          require(code <= dictSize, s"corrupt GIF LZW code $code: media_id=${m.media_id}")
+          if (prev < 0) { require(code < clear, s"GIF stream starts mid-dictionary: media_id=${m.media_id}"); emit(code); prev = code }
+          else {
+            val first =
+              if (code < dictSize) emit(code)
+              else { // KwKwK case: sequence = prev's sequence + its first index
+                var c = prev; while (c >= clear) c = prefix(c)
+                prefix(dictSize) = prev; tail(dictSize) = c
+                emit(code)
+              }
+            if (code < dictSize && dictSize < maxEntries) {
+              prefix(dictSize) = prev; tail(dictSize) = first
+            }
+            if (dictSize < maxEntries) {
+              dictSize += 1
+              if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+            }
+            prev = code
+          }
+        }
+        if (nPix >= width.toLong * height) done = true
+      }
+      require(nPix == width.toLong * height,
+        s"GIF decoded $nPix of ${width.toLong * height} pixels: media_id=${m.media_id}")
+      MediaFeatures(m.media_id, m.kind, width, height, 3,
+        p.length.toLong, sum.toDouble / (3.0 * nPix))
     }
 
     /** COMPRESSED PNG, decoded to raw pixels with nothing beyond the

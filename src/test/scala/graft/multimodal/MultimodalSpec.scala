@@ -360,6 +360,40 @@ class MultimodalSpec extends SparkSpec {
     assert(ePal.getMessage.contains("color type"), ePal.getMessage)
   }
 
+  test("ImageFileDecoder decodes GIFs written by an independent encoder (ImageIO, LZW)") {
+    import java.awt.image.BufferedImage
+    def gif(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "gif", bos))
+      bos.toByteArray
+    }
+    // few distinct colors -> the palette holds them exactly and the
+    // mean is computable from the source pixels
+    val img = new BufferedImage(23, 11, BufferedImage.TYPE_3BYTE_BGR)
+    var sum = 0L
+    for (y <- 0 until 11; x <- 0 until 23) {
+      val (r, g, b) = if ((x + y) % 3 == 0) (250, 10, 30)
+        else if ((x + y) % 3 == 1) (0, 128, 255) else (17, 17, 17)
+      sum += r + g + b
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val f = new ImageFileDecoder().decode(Media(80L, "image", gif(img)))
+    assert((f.width, f.height, f.channels) === (23, 11, 3))
+    assert(f.mean_byte === sum.toDouble / (23 * 11 * 3))
+
+    // a single-color image exercises long LZW runs + dictionary growth
+    val flat = new BufferedImage(64, 64, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 64; x <- 0 until 64) flat.setRGB(x, y, 0x405060)
+    val ff = new ImageFileDecoder().decode(Media(81L, "image", gif(flat)))
+    assert((ff.width, ff.height) === (64, 64))
+    assert(ff.mean_byte === (0x40 + 0x50 + 0x60) / 3.0)
+
+    // truncated stream fails loudly, never returns a partial feature
+    intercept[Exception] {
+      new ImageFileDecoder().decode(Media(82L, "image", gif(img).dropRight(20)))
+    }
+  }
+
   test("PNG decode runs through the batched Spark featurizer seam") {
     val s = spark
     import s.implicits._
