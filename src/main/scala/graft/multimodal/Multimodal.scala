@@ -27,13 +27,15 @@ import org.apache.spark.sql.functions._
   *
   * Two concrete decoders ship: [[ImageFileDecoder]] hand-parses REAL
   * image bytes (binary PPM "P6", uncompressed 24/32-bit BMP, RIFF
-  * WAV PCM, and two COMPRESSED formats — PNG with full chunk walk,
+  * WAV PCM, and three COMPRESSED formats — PNG with full chunk walk,
   * CRC verification, zlib inflate via the JDK's Inflater and all five
-  * adaptive filter reconstructions, and GIF87a/89a with a hand-rolled
-  * GIF-LZW decoder — still zero external deps), and [[FakeDecoder]]
-  * parses the toy "GRFT" container for deterministic fixtures.
-  * Remaining compressed formats (JPEG/video) still need a codec at
-  * the [[MediaDecoder]] seam; nothing above the seam changes.
+  * adaptive filter reconstructions; GIF87a/89a with a hand-rolled
+  * GIF-LZW decoder; and baseline JFIF/JPEG with canonical Huffman,
+  * dequant + double IDCT, 4:2:0/4:2:2/4:4:4 sampling and YCbCr→RGB —
+  * still zero external deps), and [[FakeDecoder]] parses the toy
+  * "GRFT" container for deterministic fixtures. Video remains the one
+  * modality needing an external codec at the [[MediaDecoder]] seam;
+  * nothing above the seam changes.
   */
 object Multimodal {
 
@@ -188,10 +190,306 @@ object Multimodal {
       else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
         p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a')
         decodeGif(m)
+      else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+        decodeJpeg(m)
       else if (p.length >= 2 && p(0) == 'P' && p(1) == '6') decodePpm(m)
       else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(m)
       else throw new IllegalArgumentException(
-        s"unsupported media container (want P6 PPM, BM BMP, PNG, GIF or RIFF WAV): media_id=${m.media_id}")
+        s"unsupported media container (want P6 PPM, BM BMP, PNG, GIF, JPEG or RIFF WAV): media_id=${m.media_id}")
+    }
+
+    /** Baseline sequential JFIF/JPEG (SOF0), decoded by hand: marker
+      * walk, 8-bit quantization tables in zigzag order, canonical
+      * Huffman tables from DHT, the entropy-coded scan with FF00 byte
+      * unstuffing and DRI restart markers, per-MCU DC-diff + AC
+      * run-length block decode, dequantize, separable double-precision
+      * IDCT, and JFIF YCbCr→RGB with clamping. Sampling factors 1 and
+      * 2 are supported (4:4:4, 4:2:2, 4:2:0 — box upsampling), 1- and
+      * 3-component frames; progressive (SOF2), arithmetic coding and
+      * 12-bit precision are rejected loudly. Feature semantics match
+      * the other image paths: mean_byte over the decoded RGB (or
+      * gray) samples of the full frame — JPEG is lossy, so the value
+      * is a property of the DECODED image; the spec bounds it against
+      * an independent decoder (ImageIO) rather than the source
+      * pixels.
+      */
+    private def decodeJpeg(m: Media): MediaFeatures = {
+      val p = m.payload
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"$msg: media_id=${m.media_id}")
+      def u8(off: Int): Int = { if (off >= p.length) fail("JPEG truncated"); p(off) & 0xff }
+      def u16(off: Int): Int = (u8(off) << 8) | u8(off + 1)
+
+      // --- tables gathered from the marker walk ---
+      val qt = Array.ofDim[Int](4, 64) // natural order
+      // Huffman: per (class 0=DC/1=AC, id) -> (maxcode/valptr/mincode per length, symbols)
+      final case class Huff(minCode: Array[Int], maxCode: Array[Int],
+          valPtr: Array[Int], symbols: Array[Int])
+      val huff = Array.ofDim[Huff](2, 4)
+      val zigzag = Array(
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+      var w = 0; var h = 0; var nComp = 0
+      var compId = new Array[Int](0); var compH = new Array[Int](0)
+      var compV = new Array[Int](0); var compQ = new Array[Int](0)
+      var restartInterval = 0
+      var i = 2
+      var scanStart = -1
+      var compDc = new Array[Int](0); var compAc = new Array[Int](0)
+      while (scanStart < 0) {
+        if (u8(i) != 0xff) fail(s"JPEG marker sync lost at $i")
+        val marker = u8(i + 1)
+        i += 2
+        marker match {
+          case 0xd8 => // stray SOI
+          case 0xc0 => // SOF0 baseline
+            val len = u16(i)
+            if (u8(i + 2) != 8) fail("only 8-bit JPEG supported")
+            h = u16(i + 3); w = u16(i + 5); nComp = u8(i + 7)
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) fail("implausible JPEG geometry")
+            if (nComp != 1 && nComp != 3) fail(s"unsupported JPEG component count $nComp")
+            compId = new Array[Int](nComp); compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
+            for (c <- 0 until nComp) {
+              compId(c) = u8(i + 8 + 3 * c)
+              val hv = u8(i + 9 + 3 * c)
+              compH(c) = hv >> 4; compV(c) = hv & 0xf
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+                fail(s"unsupported JPEG sampling ${compH(c)}x${compV(c)}")
+              compQ(c) = u8(i + 10 + 3 * c)
+            }
+            i += len
+          case 0xc2 => fail("progressive JPEG (SOF2) unsupported")
+          case 0xc4 => // DHT — possibly several tables in one segment
+            val len = u16(i); val end = i + len; var j = i + 2
+            while (j < end) {
+              val tc = u8(j) >> 4; val th = u8(j) & 0xf
+              if (tc > 1 || th > 3) fail("bad DHT header")
+              val counts = (1 to 16).map(k => u8(j + k)).toArray
+              val total = counts.sum
+              val symbols = (0 until total).map(k => u8(j + 17 + k)).toArray
+              // canonical code assignment
+              val minCode = new Array[Int](17); val maxCode = new Array[Int](17)
+              val valPtr = new Array[Int](17)
+              var code = 0; var ptr = 0
+              for (l <- 1 to 16) {
+                valPtr(l) = ptr; minCode(l) = code
+                code += counts(l - 1); ptr += counts(l - 1)
+                maxCode(l) = code - 1; code <<= 1
+              }
+              // mark empty lengths so decode skips them
+              for (l <- 1 to 16) if (counts(l - 1) == 0) maxCode(l) = -1
+              huff(tc)(th) = Huff(minCode, maxCode, valPtr, symbols)
+              j += 17 + total
+            }
+            i = end
+          case 0xdb => // DQT
+            val len = u16(i); val end = i + len; var j = i + 2
+            while (j < end) {
+              val pq = u8(j) >> 4; val tq = u8(j) & 0xf
+              if (pq != 0) fail("16-bit quant tables unsupported")
+              if (tq > 3) fail("bad DQT id")
+              for (k <- 0 until 64) qt(tq)(zigzag(k)) = u8(j + 1 + k)
+              j += 65
+            }
+            i = end
+          case 0xdd => restartInterval = u16(i + 2); i += u16(i)
+          case 0xda => // SOS
+            val n = u8(i + 2)
+            if (n != nComp) fail("SOS component count mismatch")
+            compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
+            for (c <- 0 until n) {
+              val id = u8(i + 3 + 2 * c)
+              val idx = compId.indexOf(id)
+              if (idx < 0) fail("SOS references unknown component")
+              compDc(idx) = u8(i + 4 + 2 * c) >> 4
+              compAc(idx) = u8(i + 4 + 2 * c) & 0xf
+            }
+            scanStart = i + u16(i)
+          case 0xd9 => fail("JPEG ended before scan data")
+          case mk if mk >= 0xe0 && mk <= 0xef => i += u16(i) // APPn
+          case 0xfe => i += u16(i)                           // COM
+          case 0xc8 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            fail(f"unsupported JPEG coding (SOF marker 0x$marker%02x)")
+          case _ => i += u16(i) // any other length-prefixed segment
+        }
+      }
+      if (w == 0) fail("JPEG scan before SOF0")
+
+      // --- entropy-coded bit reader (FF00 unstuffing, restart markers) ---
+      var pos = scanStart
+      var bitBuf = 0; var bitCnt = 0
+      def nextByte(): Int = {
+        if (pos >= p.length) fail("JPEG scan truncated")
+        val b = u8(pos); pos += 1
+        if (b == 0xff) {
+          val b2 = u8(pos)
+          if (b2 == 0x00) { pos += 1; 0xff }
+          else if (b2 >= 0xd0 && b2 <= 0xd7) fail("restart marker inside block") // handled at MCU level
+          else { pos -= 1; fail("unexpected marker in scan") }
+        } else b
+      }
+      def readBit(): Int = {
+        if (bitCnt == 0) { bitBuf = nextByte(); bitCnt = 8 }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def decodeHuff(t: Huff): Int = {
+        var code = 0
+        var l = 0
+        while (l < 16) {
+          code = (code << 1) | readBit()
+          l += 1
+          if (t.maxCode(l) >= 0 && code <= t.maxCode(l) && code >= t.minCode(l))
+            return t.symbols(t.valPtr(l) + (code - t.minCode(l)))
+        }
+        fail("invalid JPEG Huffman code")
+      }
+      def receiveExtend(s: Int): Int = {
+        if (s == 0) return 0
+        var v = 0
+        for (_ <- 0 until s) v = (v << 1) | readBit()
+        if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+      }
+      def syncRestart(): Unit = {
+        // drop partial bits, expect FFDx
+        bitCnt = 0
+        while (u8(pos) != 0xff || u8(pos + 1) == 0x00) pos += 1
+        val mk = u8(pos + 1)
+        if (mk >= 0xd0 && mk <= 0xd7) pos += 2
+        else fail("expected JPEG restart marker")
+      }
+
+      // --- IDCT (separable, double precision) ---
+      val c = Array.tabulate(8)(k => if (k == 0) 1.0 / math.sqrt(2) else 1.0)
+      val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+      def idct(block: Array[Double], out: Array[Double]): Unit = {
+        val tmp = new Array[Double](64)
+        var y = 0
+        while (y < 8) { // rows over u
+          var x = 0
+          while (x < 8) {
+            var s = 0.0; var u = 0
+            while (u < 8) { s += c(u) * block(y * 8 + u) * cosT(x)(u); u += 1 }
+            tmp(y * 8 + x) = s / 2; x += 1
+          }
+          y += 1
+        }
+        var x2 = 0
+        while (x2 < 8) { // cols over v
+          var y2 = 0
+          while (y2 < 8) {
+            var s = 0.0; var v = 0
+            while (v < 8) { s += c(v) * tmp(v * 8 + x2) * cosT(y2)(v); v += 1 }
+            out(y2 * 8 + x2) = s / 2; y2 += 1
+          }
+          x2 += 1
+        }
+      }
+
+      // --- MCU loop ---
+      val hMax = compH.max; val vMax = compV.max
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      // per-component plane at its own resolution
+      val planeW = Array.tabulate(nComp)(cc => mcusX * compH(cc) * 8)
+      val planeH = Array.tabulate(nComp)(cc => mcusY * compV(cc) * 8)
+      val planes = Array.tabulate(nComp)(cc => new Array[Byte](planeW(cc) * planeH(cc)))
+      val dcPred = new Array[Int](nComp)
+      val zz = new Array[Double](64)
+      val px = new Array[Double](64)
+      var mcu = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            syncRestart(); java.util.Arrays.fill(dcPred, 0)
+          }
+          var cc = 0
+          while (cc < nComp) {
+            val q = qt(compQ(cc))
+            var by = 0
+            while (by < compV(cc)) {
+              var bx = 0
+              while (bx < compH(cc)) {
+                java.util.Arrays.fill(zz, 0.0)
+                val s = decodeHuff(huff(0)(compDc(cc)))
+                dcPred(cc) += receiveExtend(s)
+                zz(0) = dcPred(cc).toDouble * q(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = decodeHuff(huff(1)(compAc(cc)))
+                  val r = rs >> 4; val sz = rs & 0xf
+                  if (sz == 0) { if (r == 15) k += 16 else eob = true }
+                  else {
+                    k += r
+                    if (k > 63) fail("JPEG AC run overflows block")
+                    zz(zigzag(k)) = receiveExtend(sz).toDouble * q(zigzag(k))
+                    k += 1
+                  }
+                }
+                idct(zz, px)
+                // write block into the component plane
+                val ox = (mx * compH(cc) + bx) * 8
+                val oy = (my * compV(cc) + by) * 8
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    val v0 = math.rint(px(yy * 8 + xx) + 128.0)
+                    val v = if (v0 < 0) 0 else if (v0 > 255) 255 else v0.toInt
+                    planes(cc)((oy + yy) * planeW(cc) + ox + xx) = v.toByte
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            cc += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+
+      // --- color conversion + mean over the visible frame ---
+      var sum = 0L
+      val channels = if (nComp == 1) 1 else 3
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < w) {
+          if (nComp == 1) {
+            sum += planes(0)(yy * planeW(0) + xx) & 0xff
+          } else {
+            def sample(cc: Int): Int = {
+              val sx = xx * compH(cc) / hMax; val sy = yy * compV(cc) / vMax
+              planes(cc)(sy * planeW(cc) + sx) & 0xff
+            }
+            val yv = sample(0).toDouble
+            val cb = sample(1) - 128.0
+            val cr = sample(2) - 128.0
+            def clamp(d: Double): Int = {
+              val r = math.rint(d); if (r < 0) 0 else if (r > 255) 255 else r.toInt
+            }
+            sum += clamp(yv + 1.402 * cr)
+            sum += clamp(yv - 0.344136 * cb - 0.714136 * cr)
+            sum += clamp(yv + 1.772 * cb)
+          }
+          xx += 1
+        }
+        yy += 1
+      }
+      MediaFeatures(m.media_id, m.kind, w, h, channels, p.length.toLong,
+        sum.toDouble / (channels.toLong * w * h))
     }
 
     /** GIF87a/89a first frame, LZW-decompressed by hand (the GIF LZW

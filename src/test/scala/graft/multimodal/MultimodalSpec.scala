@@ -394,6 +394,73 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageFileDecoder decodes baseline JPEG within tolerance of an independent decoder") {
+    import java.awt.image.BufferedImage
+    def jpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = wr.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      wr.dispose()
+      bos.toByteArray
+    }
+    def meanOf(img: BufferedImage): Double = {
+      var s = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      s.toDouble / (3L * img.getWidth * img.getHeight)
+    }
+    // smooth gradient (JPEG-friendly) at an awkward non-MCU-multiple size
+    val img = new BufferedImage(37, 29, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 29; x <- 0 until 37) {
+      val r = (x * 255) / 36; val g = (y * 255) / 28; val b = ((x + y) * 255) / 64
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bytes = jpeg(img, 0.9f)
+    val f = new ImageFileDecoder().decode(Media(90L, "image", bytes))
+    assert((f.width, f.height, f.channels) === (37, 29, 3))
+    // reference point: ImageIO's OWN decode of the same lossy bytes
+    val ref = meanOf(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    assert(math.abs(f.mean_byte - ref) < 1.5,
+      s"decoded mean ${f.mean_byte} vs independent decoder $ref")
+
+    // flat image: DC-only blocks, the decoded mean must be near-exact
+    val flat = new BufferedImage(24, 16, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 24) flat.setRGB(x, y, 0x6a8a2a)
+    val fb = jpeg(flat, 0.95f)
+    val ff = new ImageFileDecoder().decode(Media(91L, "image", fb))
+    val refFlat = meanOf(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(fb)))
+    assert(math.abs(ff.mean_byte - refFlat) < 1.0,
+      s"flat mean ${ff.mean_byte} vs $refFlat")
+
+    // grayscale: single-component frame, no color conversion
+    val gray = new BufferedImage(19, 13, BufferedImage.TYPE_BYTE_GRAY)
+    val wr2 = gray.getRaster
+    for (y <- 0 until 13; x <- 0 until 19) wr2.setSample(x, y, 0, (x * 11 + y * 5) % 256)
+    val gb = jpeg(gray, 0.9f)
+    val fg = new ImageFileDecoder().decode(Media(93L, "image", gb))
+    assert((fg.width, fg.height, fg.channels) === (19, 13, 1))
+    val refG = {
+      val d = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gb))
+      var s = 0L
+      for (y <- 0 until 13; x <- 0 until 19) s += d.getRaster.getSample(x, y, 0)
+      s.toDouble / (19 * 13)
+    }
+    assert(math.abs(fg.mean_byte - refG) < 1.5, s"gray mean ${fg.mean_byte} vs $refG")
+
+    // truncated scan fails loudly
+    intercept[IllegalArgumentException] {
+      new ImageFileDecoder().decode(Media(92L, "image", bytes.dropRight(60)))
+    }
+  }
+
   test("PNG decode runs through the batched Spark featurizer seam") {
     val s = spark
     import s.implicits._
