@@ -1121,9 +1121,77 @@ object PipelineOps {
       WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "two-stage quantized retrieval: corpus-wide pass on int8 codes (exact integer dot via dot_f under 2^53, deterministic cut), float-cosine re-rank of 20 candidates/query — the memory-tiered ANN q105's compression feeds")
 
+  // ---------------------------------------------------------------------
+  // q109 — token-diversity quality signal (Simpson index)
+  // ---------------------------------------------------------------------
+
+  /** Per-document token-distribution concentration: Simpson index
+    * Σp² plus its inverse (the "effective vocabulary size" — how many
+    * equally-frequent tokens would give the same concentration). The
+    * distribution-level repetition scalar data-filtering stacks use
+    * alongside q73's targeted ratios: eff_vocab ≈ 1 flags one-token
+    * spam, eff_vocab ≈ n flags high-diversity noise. Chosen over
+    * Shannon entropy deliberately: entropy needs ln(), and Java's
+    * Math.log is not correctly rounded — measured 1-ulp divergence
+    * from DuckDB's libm on this corpus — while Σp² is pure IEEE
+    * +,*,/ and exact.
+    *
+    * Cross-engine exactness for a FLOAT SUM over an unordered group —
+    * normally forbidden (summation order differs) — is recovered by
+    * making the order part of the semantics: per-doc token counts are
+    * collected, SORTED (integer sort, unambiguous), and folded
+    * left-to-right with a 0-seeded aggregate; DuckDB's list_sort +
+    * 0-prepended list_reduce walks the identical sequence, so every
+    * intermediate double matches bit-for-bit.
+    *
+    * Scale shape: explode → (doc, token) hash count (map-side partial
+    * combine) → per-doc collect of a counts-only array (ints, not
+    * strings) → single projection. One corpus-keyed shuffle, one
+    * doc-keyed shuffle — the q30/q31 shape with a fold on top.
+    */
+  val q109TokenDiversity = Q(
+    "q109_token_diversity",
+    (s, dir) =>
+      T.documentsSpread(s, dir)
+        .select(col("doc_id"), explode(expr(toksSql)).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("bigint").as("n"),
+          sort_array(collect_list(col("c"))).as("cs"))
+        .select(col("doc_id"), col("n"),
+          expr("aggregate(cs, cast(0 as double), " +
+            "(a, c) -> a + (cast(c as double) / n) * (cast(c as double) / n))")
+            .as("simpson"))
+        .select(col("doc_id"), col("n"), col("simpson"),
+          (lit(1.0) / col("simpson")).as("eff_vocab"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+          t -> t <> '')) AS t
+        FROM documents),
+      cnt AS (
+        SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+      agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+          list_sort(array_agg(c)) AS cs
+        FROM cnt GROUP BY doc_id),
+      sim AS (
+        SELECT doc_id, n,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+            (a, c) -> a + (CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n))
+            AS simpson
+        FROM agg)
+      SELECT doc_id, n, simpson, 1.0 / simpson AS eff_vocab
+      FROM sim ORDER BY doc_id""".stripMargin),
+    "per-doc Simpson concentration + effective vocabulary size: distribution-level repetition scalar; float sum made engine-exact by folding the SORTED integer count array left-to-right on both sides (0-prepend seeds DuckDB's reduce) — pure IEEE ops, no transcendentals")
+
   val all: Seq[Q] = Seq(
     q42SimhashHammingDup, q43AnnHyperplaneLsh, q44BlockedNearDup,
     q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload,
     q60AnnIvf, q63KmvDistinct, q79KmvMerge, q99HllDistinct,
-    q104Winnowing, q105EmbedQuantize, q106WinnowDup, q108QuantizedAnn)
+    q104Winnowing, q105EmbedQuantize, q106WinnowDup, q108QuantizedAnn,
+    q109TokenDiversity)
 }

@@ -80,6 +80,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q109 diversity extremes are exact: one-token spam -> eff_vocab 1, all-distinct -> eff_vocab n") {
+    val dir = corpus(Seq(
+      (0L, Seq.fill(40)("spam").mkString(" ")),
+      (1L, (1 to 25).map(i => s"w$i").mkString(" "))))
+    val rows = PipelineOps.q109TokenDiversity.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows(0L) === ((40L, 1.0, 1.0)))
+    // 25 equal probabilities 1/25: Simpson = 25*(1/25)^2 = 1/25 exactly
+    // (1/25 is inexact in binary but the SAME double both times)
+    assert(rows(1L)._1 === 25L)
+    assert(rows(1L)._3 === 1.0 / rows(1L)._2)
+    assert(math.abs(rows(1L)._3 - 25.0) < 1e-9)
+  }
+
   test("q105 exact code values and checksum on a crafted vector") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_q105").toString
