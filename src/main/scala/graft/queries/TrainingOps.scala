@@ -502,6 +502,85 @@ object TrainingOps {
     out
   }
 
+  // ---------------------------------------------------------------------
+  // q110 — snapshot MERGE (CDC upsert/delete, the Delta-MERGE shape)
+  // ---------------------------------------------------------------------
+
+  /** Corpus snapshot maintenance as one MERGE: apply a change batch
+    * (updates, tombstone deletes, inserts) to the base snapshot and
+    * emit the next snapshot with a per-row action tag — the
+    * incremental-corpus operation between crawls that q68 (membership
+    * probe) detects the need for. The change batch is derived
+    * DETERMINISTICALLY from the corpus so the oracle sees identical
+    * inputs: doc_id ≡ 0 (mod 3) → metadata update (+7 chars), ≡ 1
+    * (mod 5) → tombstone, and a synthetic insert stream at
+    * doc_id + 10⁶ for ≡ 0 (mod 97). Update-before-delete precedence
+    * mirrors MERGE's WHEN-clause ordering and is pinned in the spec.
+    *
+    * Spark rendering: one full-outer hash join on doc_id + one CASE
+    * projection — the exact logical shape Delta/Iceberg MERGE lowers
+    * to, minus their file-level pruning (a layout concern; Bucketing/
+    * Compaction cover it). Keyed, linear, no driver involvement; the
+    * tombstone filter happens in the same projection, so the plan is
+    * scan → join → project with nothing corpus-sized recomputed.
+    */
+  val q110SnapshotMerge = Q(
+    "q110_snapshot_merge",
+    (s, dir) => {
+      val base = T.documentsSpread(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+      val updates = base.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("n_chars") + 7).as("u_chars"))
+      val deletes = base.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), lit(1).as("tomb"))
+      val inserts = base.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("source"), col("n_chars").as("i_chars"))
+      val changes = updates
+        .join(deletes, Seq("doc_id"), "full_outer")
+        .join(inserts.select(col("doc_id"), col("i_chars")), Seq("doc_id"), "full_outer")
+      base.join(changes, Seq("doc_id"), "full_outer")
+        .join(inserts.select(col("doc_id"), col("source").as("i_source")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("source"), col("i_source")).as("source"),
+          when(col("i_chars").isNotNull, col("i_chars"))
+            .when(col("u_chars").isNotNull, col("u_chars"))
+            .otherwise(col("n_chars")).as("n_chars"),
+          when(col("i_chars").isNotNull, lit("inserted"))
+            .when(col("u_chars").isNotNull, lit("updated"))
+            .when(col("tomb").isNotNull, lit("deleted"))
+            .otherwise(lit("kept")).as("action"))
+        .filter(col("action") =!= "deleted")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents),
+      u AS (SELECT doc_id, n_chars + 7 AS u_chars FROM base WHERE doc_id % 3 = 0),
+      d AS (SELECT doc_id, 1 AS tomb FROM base WHERE doc_id % 5 = 1),
+      ins AS (
+        SELECT doc_id + 1000000 AS doc_id, source, n_chars AS i_chars
+        FROM base WHERE doc_id % 97 = 0),
+      m AS (
+        SELECT COALESCE(b.doc_id, u.doc_id, d.doc_id, i.doc_id) AS doc_id,
+          COALESCE(b.source, i.source) AS source,
+          CASE WHEN i.i_chars IS NOT NULL THEN i.i_chars
+               WHEN u.u_chars IS NOT NULL THEN u.u_chars
+               ELSE b.n_chars END AS n_chars,
+          CASE WHEN i.i_chars IS NOT NULL THEN 'inserted'
+               WHEN u.u_chars IS NOT NULL THEN 'updated'
+               WHEN d.tomb IS NOT NULL THEN 'deleted'
+               ELSE 'kept' END AS action
+        FROM base b
+        FULL OUTER JOIN u ON u.doc_id = b.doc_id
+        FULL OUTER JOIN d ON d.doc_id = COALESCE(b.doc_id, u.doc_id)
+        FULL OUTER JOIN ins i ON i.doc_id = COALESCE(b.doc_id, u.doc_id, d.doc_id))
+      SELECT doc_id, source, n_chars, action FROM m
+      WHERE action <> 'deleted' ORDER BY doc_id""".stripMargin),
+    "snapshot MERGE: one full-outer doc_id hash join + CASE projection applying updates/tombstones/inserts with MERGE-clause precedence — the Delta/Iceberg upsert shape, keyed and linear; layout-level file pruning is Bucketing/Compaction's job")
+
   val q72DupClusters = Q(
     "q72_dup_clusters",
     (s, dir) => {
@@ -1065,5 +1144,5 @@ object TrainingOps {
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
     q77Decontaminate, q78TokenPacking, q80EvalCarveout, q100ChunkWindows,
-    q101ChunkPacking, q102ShuffledPacking)
+    q101ChunkPacking, q102ShuffledPacking, q110SnapshotMerge)
 }

@@ -232,4 +232,26 @@ class TrainingOpsSpec extends SparkSpec {
         "redaction must strictly shrink each matched span")
     }
   }
+
+  test("q110 MERGE semantics: clause precedence, tombstone removal, insert offset") {
+    val rows = TrainingOps.q110SnapshotMerge.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    val baseIds = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    baseIds.foreach { case (id, nc) =>
+      if (id % 3 == 0)            // update wins even when also tombstoned
+        assert(rows(id) === ((nc + 7, "updated")), s"doc $id")
+      else if (id % 5 == 1)       // pure tombstone: gone from the snapshot
+        assert(!rows.contains(id), s"doc $id should be deleted")
+      else
+        assert(rows(id) === ((nc, "kept")), s"doc $id")
+      if (id % 97 == 0)           // insert stream arrives at the offset key
+        assert(rows(id + 1000000L) === ((nc, "inserted")), s"insert for $id")
+    }
+    // the snapshot is exactly base - tombstones + inserts, no leaks
+    val expectedSize = baseIds.count { case (id, _) => id % 3 == 0 || id % 5 != 1 } +
+      baseIds.keys.count(_ % 97 == 0)
+    assert(rows.size === expectedSize)
+  }
 }
