@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by alternating large-star / small-star — the
+  * O(log n)-round MapReduce formulation (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14; public algorithm) —
+  * as the scale twin of [[graft.queries.TrainingOps.minLabelClusters]]:
+  * min-label propagation needs O(graph diameter) rounds, which on a
+  * 100 TB near-dup graph with chain-shaped duplicate clusters (crawl
+  * mirrors of mirrors) can be thousands; star-contraction needs
+  * O(log n) rounds regardless of diameter, every round two keyed
+  * shuffles over the CURRENT edge set, which only shrinks.
+  *
+  *  - large-star: per node u, link every LARGER neighbor to the
+  *    minimum of u's closed neighborhood — safe at any skew because
+  *    the hub's adjacency is grouped once per round.
+  *  - small-star: per node u, link every neighbor ≤ u (and u) to that
+  *    minimum — contracts the stars the large-star built.
+  *
+  * Both steps preserve connectivity exactly (proved in the paper; the
+  * spec pins equality with union-find on generated graphs and with
+  * minLabelClusters on the real pair graph). Convergence = the edge
+  * multiset is a fixpoint (every node points directly at its
+  * component minimum), detected by an order-insensitive
+  * (XOR-of-xxhash64, count) checksum — XOR rather than SUM because
+  * the edge set is distinct (no self-cancelling multiset) and XOR
+  * cannot overflow under ANSI mode; one scalar pair per round, no
+  * edge collect. Rounds
+  * localCheckpoint: the per-round frames are edge-sized and lineage
+  * must not accumulate across O(log n) iterations.
+  *
+  * Returns (v, lbl): every vertex of the input with its component's
+  * minimum vertex id as label — [[minLabelClusters]]'s contract.
+  */
+object ConnectedComponents {
+
+  def largeStarSmallStar(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    // canonical directed form: (hi -> lo) for every input edge, plus
+    // self-loops dropped; the iteration maintains edges as (src, dst)
+    // with no orientation invariant (stars re-orient freely)
+    var edges = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.select(greatest(col("src"), col("dst")).as("h"),
+          least(col("src"), col("dst")).as("l"))
+        .agg(bit_xor(xxhash64(col("h"), col("l"))), count(lit(1))).head
+      (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L), r.getLong(1))
+    }
+
+    var prev = checksum(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, "star contraction failed to converge in 64 rounds")
+      // ---- large-star ----
+      // neighborhood of u (both directions), m = min(Γ(u) ∪ {u});
+      // emit (v, m) for strictly larger neighbors v > u
+      val nbrs = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      val withMin = nbrs
+        .withColumn("m", min(least(col("v"), col("u")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
+      val large = withMin.filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      // ---- small-star ----
+      val nbrs2 = large.select(col("src").as("u"), col("dst").as("v"))
+        .union(large.select(col("dst").as("u"), col("src").as("v")))
+      val withMin2 = nbrs2
+        .withColumn("m", min(least(col("v"), col("u")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
+      val small = withMin2.filter(col("v") <= col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(withMin2.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      val cs = checksum(small)
+      converged = cs == prev
+      prev = cs
+      edges = small
+    }
+    // fixpoint: every edge is (v, componentMin). Vertices that ARE the
+    // minimum appear only on the dst side — union them back with
+    // themselves as label.
+    val labeled = edges.select(col("src").as("v"), col("dst").as("lbl"))
+    val roots = edges.select(col("dst").as("v")).distinct()
+      .join(labeled.select(col("v")).distinct(), Seq("v"), "left_anti")
+      .select(col("v"), col("v").as("lbl"))
+    labeled.union(roots)
+  }
+}

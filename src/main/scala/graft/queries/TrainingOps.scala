@@ -628,6 +628,34 @@ object TrainingOps {
     "near-dup cluster resolution: Pregel-style min-label propagation over the q32 pair graph (O(diameter) rounds, each one join + agg on the tiny pair frame) vs a DuckDB recursive-CTE transitive closure — completes pairs -> clusters -> representative dedup")
 
   // ---------------------------------------------------------------------
+  // q111 — dup clusters via star contraction (the O(log n) CC twin)
+  // ---------------------------------------------------------------------
+
+  /** q72's clusters computed by [[graft.ops.ConnectedComponents]]'s
+    * alternating large-star/small-star contraction instead of
+    * min-label propagation: O(log n) rounds regardless of graph
+    * DIAMETER, where q72 needs O(diameter) — on a crawl-scale near-dup
+    * graph with chain-shaped mirror clusters, the difference between
+    * ~30 rounds and thousands. Same oracle as q72 (the answer is the
+    * answer); the algorithm split mirrors q32/q33: one registration
+    * per scale regime, equality pinned in ConnectedComponentsSpec on
+    * both the real pair graph and generated graphs vs union-find.
+    */
+  val q111StarClusters = Q(
+    "q111_star_clusters",
+    (s, dir) => {
+      val pairs = LlmOps.q32NearDupPairs.fn(s, dir)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      graft.ops.ConnectedComponents.largeStarSmallStar(pairs)
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(sort_array(collect_list(col("v"))), "|").as("members"))
+        .orderBy(col("cluster_id"))
+    },
+    q72DupClusters.oracle, // the same recursive-CTE transitive closure
+    "near-dup clusters via O(log n) large-star/small-star contraction (diameter-independent, per-round shuffles over a shrinking edge set) — the 100 TB twin of q72's O(diameter) min-label propagation")
+
+  // ---------------------------------------------------------------------
   // q73 — intra-document repetition filter (Gopher-style)
   // ---------------------------------------------------------------------
 
@@ -1144,5 +1172,6 @@ object TrainingOps {
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
     q77Decontaminate, q78TokenPacking, q80EvalCarveout, q100ChunkWindows,
-    q101ChunkPacking, q102ShuffledPacking, q110SnapshotMerge)
+    q101ChunkPacking, q102ShuffledPacking, q110SnapshotMerge,
+    q111StarClusters)
 }
