@@ -138,6 +138,31 @@ object HashKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(minima)
   }
+
+  /** [[minhash64]] over PRE-HASHED shingles (array<bigint> of
+    * xxhash64-seed-42 values, e.g. LlmOps.shingledHashed): skips the
+    * string hash and starts from the same base `h`, so the minima are
+    * bit-identical to the string path — pinned in FunctionPropertySpec.
+    */
+  def minhash64Hashed(arr: ArrayData, k: Int): ArrayData = {
+    val minima = new Array[Long](k)
+    java.util.Arrays.fill(minima, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val hj = mix64(h + j * SplitmixGolden)
+          if (hj < minima(j)) minima(j) = hj
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(minima)
+  }
 }
 
 /** `md5_longs(arr, nHex)`: element-wise md5-prefix integers — the native
@@ -231,28 +256,36 @@ case class MinHash64Expr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    case ArrayType(StringType, _) => right match {
+    case ArrayType(StringType, _) | ArrayType(LongType, _) => right match {
       case Literal(k: Int, IntegerType) if k >= 1 && k <= 1024 =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "minhash64 k must be an INT literal in [1, 1024]")
     }
     case t => TypeCheckResult.TypeCheckFailure(
-      s"minhash64 expects array<string>, got ${t.catalogString}")
+      s"minhash64 expects array<string> or array<bigint> (pre-hashed), got ${t.catalogString}")
   }
 
   private lazy val k: Int = right.eval().asInstanceOf[Int]
+
+  // array<bigint> input = pre-hashed shingles (same xxhash64 seed-42
+  // base the string path computes) — same minima, no string traffic
+  private lazy val hashedInput: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def prettyName: String = "minhash64"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    HashKernels.minhash64(a.asInstanceOf[ArrayData], k)
+    if (hashedInput) HashKernels.minhash64Hashed(a.asInstanceOf[ArrayData], k)
+    else HashKernels.minhash64(a.asInstanceOf[ArrayData], k)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (hashedInput) "minhash64Hashed" else "minhash64"
     nullSafeCodeGen(ctx, ev, (arr, _) =>
-      s"${ev.value} = graft.functions.HashKernels.minhash64($arr, $k);")
+      s"${ev.value} = graft.functions.HashKernels.$fn($arr, $k);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHash64Expr =

@@ -56,6 +56,30 @@ object LlmOps {
         array_distinct(graft.functions.GraftFunctions.ngrams(col("toks"), 3))
           .as("sh"))
 
+  /** [[shingled]] with every shingle pre-hashed to an xxhash64 LONG
+    * (seed 42 — the exact hash Spark's `xxhash64()` and the minhash
+    * kernel's base both compute, so downstream keys and sketches are
+    * bit-identical to hashing the strings later). This is the frame
+    * the q32 family actually persists and joins on: 8 bytes per
+    * shingle instead of a ~20-char string, which is the difference
+    * between a cache that always fits and one that thrashes under
+    * session memory pressure — measured on the sf1 decade corpus,
+    * the string-array cache missed in any warm session and re-ran
+    * the whole shingle DAG through fresh AQE stages (267 MB of
+    * shuffle for 80 MB of work; BENCH_NOTES round 8). Set semantics
+    * (distinct, Jaccard, containment) are exact up to within-doc
+    * 64-bit collisions (~n²/2⁶⁴ per doc) — the same documented bound
+    * the prefix index already carries.
+    */
+  private[queries] def shingledHashed(s: SparkSession, dir: String): DataFrame =
+    T.documentsSpread(s, dir)
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          graft.functions.GraftFunctions.ngrams(col("toks"), 3),
+          g => xxhash64(g))).as("sh"))
+
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
@@ -301,10 +325,12 @@ object LlmOps {
   val q32NearDupPairs = Q(
     "q32_near_dup_pairs",
     (s, dir) => {
-      val sh = shingled(s, dir).persist()
+      // hashed shingle sets: the persisted frame carries int64s only
+      // (see shingledHashed — the string-array cache thrashed at the
+      // sf1 decade), and the index key IS the element value
+      val sh = shingledHashed(s, dir).persist()
       val inv0 = sh.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shk"))
+        explode(col("sh")).as("shk"))
       // document frequency as a COUNT window over the inverted index —
       // one shuffle keyed on the shingle key, replacing the groupBy +
       // join-back pair (same df values, one fewer stage)
@@ -363,9 +389,12 @@ object LlmOps {
   val q33MinhashLshDup = Q(
     "q33_minhash_lsh_dup",
     (s, dir) => {
-      val sh = shingled(s, dir).persist()
-      // native one-pass sketch (HashKernels.minhash64): one string hash
-      // + 32 splitmix derivations per shingle, vs the interpreted
+      // hashed shingles (8-byte cache, see shingledHashed); the minhash
+      // kernel's Long-input path starts from the same xxhash64 base, so
+      // the sketch is bit-identical to the string form
+      val sh = shingledHashed(s, dir).persist()
+      // native one-pass sketch (HashKernels.minhash64): 32 splitmix
+      // derivations per pre-hashed shingle, vs the interpreted
       // `transform(sequence(0,31), k -> array_min(transform(sh, t ->
       // xxhash64(t,k))))` chain that re-hashed every shingle 32× through
       // per-element lambda dispatch (44 s of the round-3 bench)
@@ -513,10 +542,9 @@ object LlmOps {
   val q94ContainmentDedup = Q(
     "q94_containment_dedup",
     (s, dir) => {
-      val sh = shingled(s, dir).persist()
+      val sh = shingledHashed(s, dir).persist()
       val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shk"))
+        explode(col("sh")).as("shk"))
       val wDf = Window.partitionBy(col("shk"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shk"))
       val prefixA = inv.withColumn("df", count(lit(1)).over(wDf))

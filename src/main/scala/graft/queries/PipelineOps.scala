@@ -914,7 +914,7 @@ object PipelineOps {
         .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .agg(count(lit(1)).as("n_shared_fp"))
         .filter(col("n_shared_fp") >= 2)
-      val sh = LlmOps.shingled(s, dir)
+      val sh = LlmOps.shingledHashed(s, dir)
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       cands.join(a, "id_a").join(b, "id_b")

@@ -96,6 +96,20 @@ class FunctionPropertySpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("minhash64 on pre-hashed longs == minhash64 on strings (the shingledHashed contract)") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(12, Gen.alphaNumStr.suchThat(_.nonEmpty))
+    val rows = samples(gen, 50).map(Tuple1(_)).toDF("a")
+      .select(GraftFunctions.minhash64(col("a"), 32).as("ms"),
+        GraftFunctions.minhash64(expr("transform(a, t -> xxhash64(t))"), 32)
+          .as("mh"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+        "hashed-input minhash diverged from the string path"))
+  }
+
   test("minhash64: deterministic, k minima, and a shared shingle lowers or keeps each minimum") {
     val s = spark
     import s.implicits._
