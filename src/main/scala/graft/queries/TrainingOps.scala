@@ -136,6 +136,80 @@ object TrainingOps {
     "reproducible train/val/test split: membership = pure function of md5(doc_id) — stable across runs/partitioning (vs order-dependent rand(seed)); map + one small hash agg")
 
   // ---------------------------------------------------------------------
+  // q112 — cluster-safe split (near-dup leakage guard on q67)
+  // ---------------------------------------------------------------------
+
+  /** q67's reproducible split with the leakage guard a real pipeline
+    * cannot skip: two near-duplicate documents must land in the SAME
+    * split, or the eval set scores memorization (the train/test
+    * contamination q77 checks for is created by exactly this
+    * mistake). Split membership therefore hashes the document's
+    * CLUSTER REPRESENTATIVE — the q72 component minimum, falling back
+    * to the doc's own id for unclustered docs — so every near-dup
+    * cluster moves as one unit. Output: per-(split, source) doc/token
+    * rollup, same shape as q67's.
+    *
+    * Scale shape: the cluster labels are a pair-graph-sized frame
+    * (near-dups only, tiny relative to the corpus) — the label join
+    * is a broadcast-able left join, the rest is q67's map + one small
+    * hash agg. Composes q72's O(diameter) or q111's O(log n) CC —
+    * identical labels either way (ConnectedComponentsSpec).
+    */
+  val q112ClusterSafeSplit = Q(
+    "q112_cluster_safe_split",
+    (s, dir) => {
+      val pairs = LlmOps.q32NearDupPairs.fn(s, dir)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val labels = minLabelClusters(pairs)
+        .select(col("v").as("doc_id"), col("lbl"))
+      T.documentsSpread(s, dir)
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("lbl"), col("doc_id")))
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(cast(rep as string)), 1, 4), 16, 10) as int) % 10"))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr(s"size(filter($toksSql, t -> t <> ''))")).as("n_tokens"))
+        .orderBy(col("split"), col("source"))
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(toks)-2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents)
+        WHERE len(toks) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      e AS (
+        SELECT id_a AS v, id_b AS u FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(v, u) AS (
+        SELECT v, u FROM e
+        UNION
+        SELECT r.v, e.u FROM reach r JOIN e ON e.v = r.u),
+      lbl AS (
+        SELECT v AS doc_id, LEAST(v, MIN(u)) AS lbl FROM reach GROUP BY v),
+      b AS (
+        SELECT d.source,
+          ('0x' || substr(md5(CAST(COALESCE(l.lbl, d.doc_id) AS VARCHAR)),
+            1, 4))::INT % 10 AS bucket,
+          len(list_filter(string_split(lower(d.text), ' '), t -> t <> ''))
+            AS n_toks
+        FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+      SELECT CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+        source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM b GROUP BY 1, 2 ORDER BY split, source""".stripMargin),
+    "cluster-safe reproducible split: membership hashes the q72 cluster representative (own id when unclustered) so near-dup clusters move as one unit — the leakage guard composing CC + q67's hash split; labels frame is pair-graph-sized, broadcast join + one small agg")
+
+  // ---------------------------------------------------------------------
   // q68 — incremental (snapshot-delta) dedup
   // ---------------------------------------------------------------------
 
@@ -1173,5 +1247,5 @@ object TrainingOps {
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
     q77Decontaminate, q78TokenPacking, q80EvalCarveout, q100ChunkWindows,
     q101ChunkPacking, q102ShuffledPacking, q110SnapshotMerge,
-    q111StarClusters)
+    q111StarClusters, q112ClusterSafeSplit)
 }

@@ -254,4 +254,28 @@ class TrainingOpsSpec extends SparkSpec {
       baseIds.keys.count(_ % 97 == 0)
     assert(rows.size === expectedSize)
   }
+
+  test("q112 leakage guard: every near-dup pair lands in the same split") {
+    // recompute each doc's split with q112's rule, then assert no q32
+    // pair straddles splits — the property the query exists to enforce
+    val pairs = graft.queries.LlmOps.q32NearDupPairs.fn(spark, sf)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = TrainingOps.minLabelClusters(
+        graft.queries.LlmOps.q32NearDupPairs.fn(spark, sf)
+          .select(col("id_a"), col("id_b")).localCheckpoint())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def split(id: Long): String = {
+      val rep = labels.getOrElse(id, id)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(rep.toString.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      val bucket = Integer.parseInt(md5, 16) % 10
+      if (bucket < 8) "train" else if (bucket == 8) "val" else "test"
+    }
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"near-dup pair ($a, $b) straddles splits")
+    }
+    assert(pairs.nonEmpty)
+  }
 }
