@@ -241,6 +241,10 @@ object Multimodal {
       var compDc = new Array[Int](0); var compAc = new Array[Int](0)
       while (scanStart < 0) {
         if (u8(i) != 0xff) fail(s"JPEG marker sync lost at $i")
+        // ISO 10918 B.1.1.2: any number of 0xFF fill bytes may precede the
+        // marker code byte; without skipping them a legal file reads as a
+        // 0xFF "marker" with a garbage length.
+        while (u8(i + 1) == 0xff) i += 1
         val marker = u8(i + 1)
         i += 2
         marker match {
@@ -391,6 +395,12 @@ object Multimodal {
       }
 
       // --- MCU loop ---
+      // ISO 10918 A.2.2/A.2.3: a single-component scan is non-interleaved —
+      // its MCU is one 8x8 block and the frame's sampling factors do not
+      // apply to the scan layout. Forcing H=V=1 makes the interleaved loop
+      // below degenerate to exactly that (ceil(w/8) x ceil(h/8) blocks), so
+      // a legal grayscale file declaring e.g. H=V=2 still decodes correctly.
+      if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
       val hMax = compH.max; val vMax = compV.max
       val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
       val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
@@ -698,8 +708,15 @@ object Multimodal {
         var off = 0
         while (off < raw.length && !inf.finished()) {
           val n = inf.inflate(raw, off, raw.length - off)
-          require(n > 0 || !inf.needsInput(),
-            s"PNG IDAT stream truncated ($off of ${raw.length}): media_id=${m.media_id}")
+          // A zero-byte round that isn't the end of the stream means either
+          // the input ran out (truncated IDAT), the stream demands state we
+          // refuse to supply (FDICT preset dictionary), or the inflater is
+          // otherwise stuck; without failing here a crafted zlib header
+          // spins this loop forever inside an executor task.
+          require(!inf.needsDictionary(),
+            s"PNG zlib stream requires a preset dictionary (FDICT): media_id=${m.media_id}")
+          require(n > 0 || inf.finished(),
+            s"PNG IDAT truncated or stalled at $off of ${raw.length}: media_id=${m.media_id}")
           off += n
         }
         require(off == raw.length,

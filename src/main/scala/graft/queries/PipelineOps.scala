@@ -907,8 +907,12 @@ object PipelineOps {
   val q106WinnowDup = Q(
     "q106_winnow_dup",
     (s, dir) => {
+      // localCheckpoint, not persist: the self-joined index frame must be
+      // materialized once (two branches below), but a persist here would
+      // outlive the query across a bench run — same leak class q72/q89
+      // already converted away from.
       val fp = winnowed(s, dir).select(col("doc_id"), col("fp")).distinct()
-        .persist()
+        .localCheckpoint()
       val cands = fp.as("x").join(fp.as("y"),
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))

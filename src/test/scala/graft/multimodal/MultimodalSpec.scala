@@ -461,6 +461,71 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG with an FDICT zlib stream is rejected loudly, not spun forever") {
+    // zlib header 0x78 0x20: CMF=0x78, FLG sets the FDICT bit and keeps the
+    // (CMF*256+FLG) % 31 == 0 check valid (30720+32 = 31*992). The JDK
+    // Inflater then returns 0 from inflate() with needsInput()==false and
+    // needsDictionary()==true — before the fix this looped an executor task
+    // forever on crafted crawl bytes instead of honoring the reject-loudly
+    // contract.
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val fdictIdat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0x5a, 0x5a, 0x5a)
+    val bytes = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", fdictIdat) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException] {
+      new ImageFileDecoder().decode(Media(94L, "image", bytes))
+    }
+    assert(e.getMessage.toLowerCase.contains("dictionary"), e.getMessage)
+  }
+
+  test("JPEG fill bytes and grayscale sampling factors decode per ISO 10918") {
+    import java.awt.image.BufferedImage
+    def jpeg(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpeg", bos))
+      bos.toByteArray
+    }
+    val gray = new BufferedImage(21, 14, BufferedImage.TYPE_BYTE_GRAY)
+    val r = gray.getRaster
+    for (y <- 0 until 14; x <- 0 until 21) r.setSample(x, y, 0, (x * 9 + y * 3) % 256)
+    val base = jpeg(gray)
+    val d = new ImageFileDecoder
+    val ref = d.decode(Media(95L, "image", base))
+
+    // B.1.1.2: any number of 0xFF fill bytes may precede a marker. Insert
+    // one before the first DQT — the decode must be byte-identical.
+    val dqt = base.indices.drop(2).find(i =>
+      (base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xdb).get
+    val filled = base.take(dqt) ++ Array(0xff.toByte) ++ base.drop(dqt)
+    val f1 = d.decode(Media(96L, "image", filled))
+    assert((f1.width, f1.height, f1.channels, f1.mean_byte) ===
+      (ref.width, ref.height, ref.channels, ref.mean_byte))
+
+    // A.2.2/A.2.3: a single-component scan is non-interleaved and ignores
+    // the frame's sampling factors, so patching H=V from 1x1 to 2x2 in the
+    // SOF must not change the decode.
+    val sof = base.indices.drop(2).find(i =>
+      (base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xc0).get
+    assert((base(sof + 9) & 0xff) == 1, "expected single-component SOF")
+    assert((base(sof + 11) & 0xff) == 0x11, "expected 1x1 sampling to patch")
+    val patched = base.clone()
+    patched(sof + 11) = 0x22.toByte
+    val f2 = d.decode(Media(97L, "image", patched))
+    assert((f2.width, f2.height, f2.channels, f2.mean_byte) ===
+      (ref.width, ref.height, ref.channels, ref.mean_byte))
+  }
+
   test("PNG decode runs through the batched Spark featurizer seam") {
     val s = spark
     import s.implicits._
