@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *
   *  - large-star: per node u, link every LARGER neighbor to the
   *    minimum of u's closed neighborhood — safe at any skew because
-  *    the hub's adjacency is grouped once per round.
+  *    that minimum is a map-side-combined partial aggregate (never a
+  *    window over the hub's full adjacency in one task).
   *  - small-star: per node u, link every neighbor ≤ u (and u) to that
   *    minimum — contracts the stars the large-star built.
   *
@@ -66,26 +67,36 @@ object ConnectedComponents {
       require(rounds <= 64, "star contraction failed to converge in 64 rounds")
       // ---- large-star ----
       // neighborhood of u (both directions), m = min(Γ(u) ∪ {u});
-      // emit (v, m) for strictly larger neighbors v > u
+      // emit (v, m) for strictly larger neighbors v > u.
+      // m comes from groupBy+min — a PARTIAL aggregate with map-side
+      // combine — joined back on u, NOT from min().over(Window
+      // .partitionBy(u)): WindowExec buffers a node's entire adjacency
+      // in one task, a straggler/OOM hazard on exactly the mega-hub
+      // graphs (boilerplate pages, degree 10^7+) this class exists to
+      // handle. The join back streams per-row (sort-merge buffers only
+      // the single matching min row per key), and AQE is free to
+      // broadcast the node-sized min frame.
       val nbrs = edges.select(col("src").as("u"), col("dst").as("v"))
         .union(edges.select(col("dst").as("u"), col("src").as("v")))
-      val withMin = nbrs
-        .withColumn("m", min(least(col("v"), col("u")))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
-      val large = withMin.filter(col("v") > col("u"))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val large = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
         .localCheckpoint()
-      // ---- small-star ----
+      // ---- small-star ---- (same partial-agg shape; the (u, m) branch
+      // reads the one-row-per-node min frame directly instead of the
+      // per-neighbor-duplicated join output)
       val nbrs2 = large.select(col("src").as("u"), col("dst").as("v"))
         .union(large.select(col("dst").as("u"), col("src").as("v")))
-      val withMin2 = nbrs2
-        .withColumn("m", min(least(col("v"), col("u")))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
-      val small = withMin2.filter(col("v") <= col("u"))
+      val mins2 = nbrs2.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val small = nbrs2.join(mins2, "u")
+        .filter(col("v") <= col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
-        .union(withMin2.select(col("u").as("src"), col("m").as("dst")))
+        .union(mins2.select(col("u").as("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
         .localCheckpoint()

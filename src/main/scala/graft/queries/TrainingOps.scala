@@ -150,10 +150,17 @@ object TrainingOps {
     * rollup, same shape as q67's.
     *
     * Scale shape: the cluster labels are a pair-graph-sized frame
-    * (near-dups only, tiny relative to the corpus) — the label join
-    * is a broadcast-able left join, the rest is q67's map + one small
-    * hash agg. Composes q72's O(diameter) or q111's O(log n) CC —
-    * identical labels either way (ConnectedComponentsSpec).
+    * (near-dups only) — broadcast-able on corpora where near-dups are
+    * rare, but on a real crawl with 20–30% near-dup membership it is
+    * corpus-fraction-sized and a forced broadcast OOMs the driver. The
+    * hint is therefore CONDITIONAL: vertices are bounded by 2× the
+    * already-materialized pair count, so one cheap count on the
+    * checkpointed pair frame decides; over the threshold the
+    * degradation path is a plain shuffled left join on doc_id (AQE may
+    * still upgrade it to broadcast from runtime stats). The rest is
+    * q67's map + one small hash agg. Composes q72's O(diameter) or
+    * q111's O(log n) CC — identical labels either way
+    * (ConnectedComponentsSpec).
     */
   val q112ClusterSafeSplit = Q(
     "q112_cluster_safe_split",
@@ -162,8 +169,20 @@ object TrainingOps {
         .select(col("id_a"), col("id_b")).localCheckpoint()
       val labels = minLabelClusters(pairs)
         .select(col("v").as("doc_id"), col("lbl"))
+      // ~64 bytes/row is a deliberately fat estimate (two longs + row
+      // overhead) so the hint stays on the safe side of the threshold.
+      // plain-long first: JavaUtils rejects "-1", the disabled sentinel
+      val thrStr =
+        s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+      val thresholdBytes = scala.util.Try(thrStr.toLong).getOrElse(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thrStr))
+      val labelBytesUpperBound = pairs.count() * 2 * 64
+      val labelSide =
+        if (thresholdBytes > 0 && labelBytesUpperBound <= thresholdBytes)
+          broadcast(labels)
+        else labels
       T.documentsSpread(s, dir)
-        .join(broadcast(labels), Seq("doc_id"), "left")
+        .join(labelSide, Seq("doc_id"), "left")
         .withColumn("rep", coalesce(col("lbl"), col("doc_id")))
         .withColumn("bucket",
           expr("cast(conv(substring(md5(cast(rep as string)), 1, 4), 16, 10) as int) % 10"))
@@ -207,7 +226,7 @@ object TrainingOps {
                   WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
         source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
       FROM b GROUP BY 1, 2 ORDER BY split, source""".stripMargin),
-    "cluster-safe reproducible split: membership hashes the q72 cluster representative (own id when unclustered) so near-dup clusters move as one unit — the leakage guard composing CC + q67's hash split; labels frame is pair-graph-sized, broadcast join + one small agg")
+    "cluster-safe reproducible split: membership hashes the q72 cluster representative (own id when unclustered) so near-dup clusters move as one unit — the leakage guard composing CC + q67's hash split; label join broadcasts only when the pair-count bound fits the threshold, else plain shuffled left join")
 
   // ---------------------------------------------------------------------
   // q68 — incremental (snapshot-delta) dedup

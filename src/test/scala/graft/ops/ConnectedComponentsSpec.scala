@@ -59,6 +59,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(m.size === 200 && m.values.forall(_ == 0L))
   }
 
+  test("mega-hub skew (degree 1e5) resolves without windowing the adjacency") {
+    // One hub (node 1) adjacent to 100k larger ids, plus a chain hanging
+    // off the far end and a smaller id bridged in so the hub is not the
+    // component minimum. The per-node neighborhood min is a partial
+    // aggregate (map-side combine) — this graph is the shape that
+    // serializes through one WindowExec task in the window formulation.
+    import spark.implicits._
+    val n = 100000L
+    val hub = (2L to n).map(i => (1L, i + 1000000L))
+    val bridge = Seq((1L, 0L), (1000002L, 2000000L), (2000000L, 2000001L))
+    val df = (hub ++ bridge).toDF("id_a", "id_b").repartition(8)
+    val out = ConnectedComponents.largeStarSmallStar(df)
+    val labels = out.select(countDistinct(col("lbl")),
+      min(col("lbl")), count(lit(1))).head
+    assert(labels.getLong(0) === 1L, "expected a single component")
+    assert(labels.getLong(1) === 0L, "component label must be the global min")
+    // vertices: hub 1, its n-1 neighbors (1000002..1000000+n), 0,
+    // 2000000, 2000001
+    assert(labels.getLong(2) === n + 3, "every vertex must be labeled")
+  }
+
   test("empty and self-loop-only inputs yield an empty labeling") {
     assert(labelsOf(Nil).isEmpty)
     assert(labelsOf(Seq((5L, 5L))).isEmpty)

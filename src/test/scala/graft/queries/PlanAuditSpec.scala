@@ -78,6 +78,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), scan)
   }
 
+  test("q112 broadcasts the label side only when the pair-count bound fits the threshold") {
+    // Regime 1 (default 10 MB threshold, tiny pair graph): the hint fires
+    // and the label join is a broadcast join.
+    val broad = executedPlan(TrainingOps.q112ClusterSafeSplit)
+    assert(broad.contains("BroadcastHashJoin"), broad)
+    // Regime 2 (threshold disabled, standing in for a corpus-fraction-
+    // sized label frame): no forced hint — the degradation path is a
+    // plain shuffled join, never a driver-side broadcast build.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = executedPlan(TrainingOps.q112ClusterSafeSplit)
+      assert(!shuffled.contains("BroadcastHashJoin"), shuffled)
+      assert(shuffled.contains("SortMergeJoin") || shuffled.contains("ShuffledHashJoin"),
+        shuffled)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("a hive-partitioned layout gets PARTITION pruning: filtered dirs never reach the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
