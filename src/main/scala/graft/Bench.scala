@@ -14,11 +14,64 @@ import scala.collection.immutable.ListMap
   *  - failures are NOT swallowed: a failed query records `-1` in the
   *    per-query map, is listed in an `errors` object, and flips the exit
   *    code — a regression can't masquerade as a fast run.
+  *
+  * Contention hygiene (round-8 verdict #1 — the recorded gate artifact
+  * was contention-polluted three rounds running; make it self-describing
+  * and self-healing):
+  *  - the host's 1/5/15-min load averages are read BEFORE any Spark work
+  *    and recorded in the JSON (`load`), with the 1-min load re-read at
+  *    the end (`load_end`): a polluted run is visibly marked in the
+  *    artifact itself, no forensic appendix needed;
+  *  - if the starting 1-min load exceeds SPARK_GRAFT_LOAD_GATE (default
+  *    1.5 — an idle host with sbt's compile threads just wound down sits
+  *    well under it), sleep SPARK_GRAFT_LOAD_GATE_SLEEP_S (default 60)
+  *    and re-read once, letting a transient spike (the sbt compile that
+  *    launched us, a co-tenant burst) decay out of the 1-min window;
+  *    `gated` records whether the gate fired;
+  *  - total JVM GC time across the timed region is recorded (`gc_ms`) —
+  *    GC pressure is the other non-code cause of phantom regressions;
+  *  - if the two timed passes' totals disagree by more than 20%, ONE
+  *    extra pass runs and the per-query min is taken across all passes
+  *    (`passes` records how many ran): the min of repeated runs is the
+  *    noise-robust estimator, and a third sample under disagreement is
+  *    what makes two consecutive artifacts agree within ~10% on a noisy
+  *    host instead of needing adjudication.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    def loadAvgs(): Array[Double] =
+      try {
+        val s = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+          .split("\\s+")
+        Array(s(0).toDouble, s(1).toDouble, s(2).toDouble)
+      } catch {
+        case _: Throwable =>
+          val l = java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean.getSystemLoadAverage
+          Array(l, -1.0, -1.0)
+      }
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    }
+
+    // quiet-host gate: measure BEFORE any Spark work so the reading is
+    // the co-tenant load, not our own
+    val gateThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.5").toDouble
+    var loadStart = loadAvgs()
+    var gated = 0
+    if (loadStart(0) > gateThreshold) {
+      gated = 1
+      Thread.sleep(
+        sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_SLEEP_S", "60").toLong * 1000)
+      loadStart = loadAvgs()
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,14 +107,14 @@ object Bench {
       .filter(n => only.forall(_.exists(n.startsWith)))
     names.foreach(n => try materialize(n) catch { case _: Throwable => () })
     var errors = ListMap.empty[String, String]
-    // TWO timed passes, per-query value = min. The min of repeated runs
-    // is the standard noise-robust estimator for a deterministic
-    // workload: a query's true cost is its fastest observed run; any
-    // excess is interference (GC pause, CPU contention from co-located
-    // processes, page-cache miss). Round-3 showed exactly that failure
-    // mode — identical code timed 10-30× slower late in a long run on a
+    // Timed passes, per-query value = min. The min of repeated runs is
+    // the standard noise-robust estimator for a deterministic workload:
+    // a query's true cost is its fastest observed run; any excess is
+    // interference (GC pause, CPU contention from co-located processes,
+    // page-cache miss). Round-3 showed exactly that failure mode —
+    // identical code timed 10-30× slower late in a long run on a
     // contended host while early queries matched local runs.
-    def timedPass(): Seq[(String, Double)] = names.map { name =>
+    def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       try {
         materialize(name)
@@ -71,14 +124,22 @@ object Bench {
           errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           name -> -1.0
       }
-    }
-    val pass1 = timedPass().toMap
-    val pass2 = timedPass().toMap
+    }.toMap
+    val gc0 = gcMs()
+    def passTotal(p: Map[String, Double]): Double =
+      p.values.filter(_ >= 0).sum
+    var passes = List(timedPass(), timedPass())
+    // disagreement between the two passes is the contention signature —
+    // buy one more sample rather than record a polluted min
+    val (t1, t2) = (passTotal(passes.head), passTotal(passes(1)))
+    if (t1 > 0 && t2 > 0 && math.abs(t1 - t2) / math.min(t1, t2) > 0.20)
+      passes :+= timedPass()
+    val gcSpent = gcMs() - gc0
     val results = names.map { n =>
-      val (a, b) = (pass1(n), pass2(n))
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val ok = passes.map(_.getOrElse(n, -1.0)).filter(_ >= 0)
+      n -> (if (ok.nonEmpty) ok.min else -1.0)
     }
-    // a query that succeeded in EITHER pass is not a failure
+    // a query that succeeded in ANY pass is not a failure
     errors = errors.filter { case (n, _) => results.toMap.getOrElse(n, -1.0) < 0 }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -96,8 +157,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val loadEnd = loadAvgs()
+    def d2(x: Double) = math.rint(x * 100) / 100
     println(
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(loadStart(0))},${d2(loadStart(1))},${d2(loadStart(2))}],"load_end":${d2(loadEnd(0))},"gated":$gated,"gc_ms":$gcSpent,"passes":${passes.size}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
