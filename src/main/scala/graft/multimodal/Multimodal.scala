@@ -33,9 +33,9 @@ import org.apache.spark.sql.functions._
   * GIF-LZW decoder; and baseline JFIF/JPEG with canonical Huffman,
   * dequant + double IDCT, 4:2:0/4:2:2/4:4:4 sampling and YCbCr→RGB —
   * still zero external deps), and [[FakeDecoder]] parses the toy
-  * "GRFT" container for deterministic fixtures. Video remains the one
-  * modality needing an external codec at the [[MediaDecoder]] seam;
-  * nothing above the seam changes.
+  * "GRFT" container for deterministic fixtures. Video is covered by
+  * Motion-JPEG in AVI (RIFF walk + per-frame baseline-JPEG decode);
+  * other video codecs would plug in at the same [[MediaDecoder]] seam.
   */
 object Multimodal {
 
@@ -181,7 +181,10 @@ object Multimodal {
   final class ImageFileDecoder extends MediaDecoder {
     def decode(m: Media): MediaFeatures = {
       val p = m.payload
-      if (p.length >= 4 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F')
+      if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' ')
+        decodeAviMjpeg(m)
+      else if (p.length >= 4 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F')
         decodeWav(m)
       else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
         p(2) == 'N' && p(3) == 'G' && (p(4) & 0xff) == 0x0d &&
@@ -195,7 +198,68 @@ object Multimodal {
       else if (p.length >= 2 && p(0) == 'P' && p(1) == '6') decodePpm(m)
       else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(m)
       else throw new IllegalArgumentException(
-        s"unsupported media container (want P6 PPM, BM BMP, PNG, GIF, JPEG or RIFF WAV): media_id=${m.media_id}")
+        s"unsupported media container (want P6 PPM, BM BMP, PNG, GIF, JPEG, RIFF WAV or RIFF AVI/MJPEG): media_id=${m.media_id}")
+    }
+
+    /** Motion-JPEG in AVI (RIFF form 'AVI ') — the video modality,
+      * riding the baseline-JPEG decoder: every '##dc'/'##db' chunk
+      * inside the 'movi' LIST (including 'rec ' sub-lists) is an
+      * independent JPEG frame (MJPEG frames each carry their own
+      * tables; frames without them are rejected by the JPEG path).
+      * Non-frame chunks (hdrl headers, idx1, padding) are walked and
+      * bounds-checked but not decoded — RIFF semantics. Features map
+      * onto the shared schema as: geometry/channels of the FIRST frame
+      * (all frames must agree — MJPEG streams are constant-geometry),
+      * n_bytes = container length, mean_byte = pixel-weighted mean
+      * over ALL decoded frames, making the feature a property of the
+      * decoded video, not the container framing (same contract as the
+      * image and WAV paths).
+      */
+    private def decodeAviMjpeg(m: Media): MediaFeatures = {
+      val p = m.payload
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"$msg: media_id=${m.media_id}")
+      def leU32(off: Int): Long =
+        (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+          ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def isFrameId(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db"))
+      // chunk walk; RIFF/LIST recurse with their 4-byte form type skipped
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var i = start
+        while (i + 8 <= end) {
+          val id = new String(p, i, 4, "US-ASCII")
+          val len = leU32(i + 4)
+          if (len < 0 || i + 8 + len > end)
+            fail(s"AVI chunk '$id' overruns its enclosing list ($len bytes at $i)")
+          if (id == "RIFF" || id == "LIST") {
+            if (len < 4) fail(s"AVI list at $i too short for a form type")
+            val form = new String(p, i + 8, 4, "US-ASCII")
+            walk(i + 12, i + 8 + len.toInt,
+              inMovi || form == "movi" || form == "rec ")
+          } else if (inMovi && isFrameId(id) && len > 0) {
+            frames += ((i + 8, len.toInt))
+          }
+          i += 8 + len.toInt + (len.toInt & 1) // word-aligned, like WAV
+        }
+      }
+      walk(0, p.length, inMovi = false)
+      if (frames.isEmpty) fail("AVI without MJPEG frame chunks in a movi list")
+      var w = -1; var h = -1; var ch = -1
+      var pxSum = 0.0; var pxCnt = 0L
+      frames.foreach { case (off, len) =>
+        val f = decodeJpeg(Media(m.media_id, m.kind,
+          java.util.Arrays.copyOfRange(p, off, off + len)))
+        if (w < 0) { w = f.width; h = f.height; ch = f.channels }
+        else if (f.width != w || f.height != h || f.channels != ch)
+          fail(s"AVI frames disagree on geometry (${f.width}x${f.height}x${f.channels} vs ${w}x${h}x$ch)")
+        val n = f.width.toLong * f.height * f.channels
+        pxSum += f.mean_byte * n; pxCnt += n
+      }
+      MediaFeatures(m.media_id, m.kind, w, h, ch, p.length.toLong,
+        if (pxCnt == 0) 0.0 else pxSum / pxCnt)
     }
 
     /** Baseline sequential JFIF/JPEG (SOF0), decoded by hand: marker

@@ -461,6 +461,69 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageFileDecoder decodes MJPEG-in-AVI video (RIFF walk + per-frame JPEG)") {
+    import java.awt.image.BufferedImage
+    def jpeg(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpeg", bos))
+      bos.toByteArray
+    }
+    def meanOf(bytes: Array[Byte]): Double = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var s = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      s.toDouble / (3L * img.getWidth * img.getHeight)
+    }
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(form: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", form.getBytes("US-ASCII") ++ inner)
+
+    // two same-geometry frames with different content
+    val a = new BufferedImage(32, 24, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 32)
+      a.setRGB(x, y, ((x * 8) << 16) | ((y * 10) << 8) | 0x40)
+    val b = new BufferedImage(32, 24, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 32) b.setRGB(x, y, 0x2a9a5a)
+    val (fa, fb) = (jpeg(a), jpeg(b))
+    val avi = {
+      val hdrl = list("hdrl", chunk("avih", Array.fill[Byte](56)(0)))
+      val movi = list("movi", chunk("00dc", fa) ++ chunk("00dc", fb))
+      val idx1 = chunk("idx1", Array.fill[Byte](16)(0))
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ idx1
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val f = new ImageFileDecoder().decode(Media(98L, "video", avi))
+    assert((f.width, f.height, f.channels) === (32, 24, 3))
+    assert(f.n_bytes === avi.length.toLong)
+    // pixel-weighted mean over both frames == average of per-frame means
+    // (same geometry); reference = ImageIO's decode of the same lossy bytes
+    val ref = (meanOf(fa) + meanOf(fb)) / 2
+    assert(math.abs(f.mean_byte - ref) < 1.5, s"video mean ${f.mean_byte} vs $ref")
+
+    // a movi-less AVI is rejected, not silently empty
+    val noFrames = {
+      val body = "AVI ".getBytes("US-ASCII") ++
+        list("hdrl", chunk("avih", Array.fill[Byte](56)(0)))
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val e = intercept[IllegalArgumentException] {
+      new ImageFileDecoder().decode(Media(99L, "video", noFrames))
+    }
+    assert(e.getMessage.contains("frame"), e.getMessage)
+
+    // truncated container fails the bounds check loudly
+    intercept[IllegalArgumentException] {
+      new ImageFileDecoder().decode(Media(100L, "video", avi.dropRight(40)))
+    }
+  }
+
   test("PNG with an FDICT zlib stream is rejected loudly, not spun forever") {
     // zlib header 0x78 0x20: CMF=0x78, FLG sets the FDICT bit and keeps the
     // (CMF*256+FLG) % 31 == 0 check valid (30720+32 = 31*992). The JDK
