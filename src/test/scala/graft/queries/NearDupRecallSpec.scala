@@ -102,6 +102,72 @@ class NearDupRecallSpec extends SparkSpec {
       s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
 
+  test("q42 banded simhash pairs == driver-side brute-force hamming<=3 at sf0.1") {
+    // The sf0.01 oracle already checks the FINGERPRINTS independently
+    // (DuckDB re-derives every md5/majority bit); what it cannot check
+    // at bench scale is the pigeonhole-banding claim — that 4x15-bit
+    // band buckets lose NO pair at hamming <= 3. Truth here is the
+    // all-pairs scan over collected fingerprints (5k docs -> 12.5M
+    // Long.bitCount calls, milliseconds driver-side), which exercises
+    // none of the band/bucket join machinery under test.
+    val fps = LlmOps.shingled(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.md5Longs(col("sh"), 15).as("vals"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash(col("vals"), 60).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      i <- fps.indices.iterator
+      j <- (i + 1) until fps.length
+      (ida, fa) = fps(i)
+      (idb, fb) = fps(j)
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h <= 3
+    } yield (math.min(ida, idb), math.max(ida, idb), h)).toSet
+    val got = PipelineOps.q42SimhashHammingDup.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(truth.nonEmpty, "vacuous: no hamming<=3 pairs planted at sf0.1")
+    assert(got === truth,
+      s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+
+  test("q44 blocked-cosine pairs == independent driver-side within-block scan at sf0.1") {
+    // within-block is the stated contract (entity-resolution blocking);
+    // the gate re-derives it with a driver-side per-label all-pairs
+    // cosine in the SAME pinned left-fold order, independent of the
+    // join pipeline and the native dot kernel.
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map { r =>
+        (r.getLong(0), r.getAs[Number](1).longValue,
+          r.getSeq[Float](2).map(_.toDouble).toArray)
+      }
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val byLabel = rows.groupBy(_._2)
+    val truth = (for {
+      (_, vs) <- byLabel.iterator
+      sorted = vs.sortBy(_._1)
+      i <- sorted.indices.iterator
+      j <- (i + 1) until sorted.length
+      (ida, _, va) = sorted(i)
+      (idb, _, vb) = sorted(j)
+      cos = dotL(va, vb) / (math.sqrt(dotL(va, va)) * math.sqrt(dotL(vb, vb)))
+      if cos >= 0.35
+    } yield ((ida, idb), cos)).toMap
+    val got = PipelineOps.q44BlockedNearDup.fn(spark, sf)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(truth.nonEmpty, "vacuous: no within-block cosine>=0.35 pairs at sf0.1")
+    assert(got.keySet === truth.keySet,
+      s"missed=${(truth.keySet -- got.keySet).take(5)} extra=${(got.keySet -- truth.keySet).take(5)}")
+    val maxDiff = truth.keys.map(k => math.abs(truth(k) - got(k))).max
+    assert(maxDiff < 1e-12, s"cosine drift vs independent fold: $maxDiff")
+  }
+
   test("q72 Pregel clusters == driver-side union-find over truth pairs at sf0.1") {
     // independent transitive closure: path-compressing union-find
     val parent = scala.collection.mutable.Map[Long, Long]()
