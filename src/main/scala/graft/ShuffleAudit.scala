@@ -48,19 +48,26 @@ object ShuffleAudit {
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_REPEAT=N runs the (filtered) list N times in ONE
+    // session — the warm-vs-cold session experiment (BENCH_NOTES round
+    // 8's residual-exchange investigation): occurrence k>1 of a query
+    // reports with a "#k" key suffix.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
-    val rows = names.map { name =>
+    val runList = (1 to repeat).flatMap(k => names.map(n => (n, k)))
+    val rows = runList.map { case (name, k) =>
       shuffleBytes.reset(); inputBytes.reset()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
       // listener events are posted asynchronously; drain before reading
       org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
-      (name, inputBytes.sum(), shuffleBytes.sum())
+      (if (k == 1) name else s"$name#$k", inputBytes.sum(), shuffleBytes.sum())
     }
     val qs = rows.map { case (n, in, sh) =>
-      s""""${n.takeWhile(_ != '_')}":{"in":$in,"sh":$sh}"""
+      val short = n.takeWhile(_ != '_') + (if (n.contains('#')) n.dropWhile(_ != '#') else "")
+      s""""$short":{"in":$in,"sh":$sh}"""
     }.mkString("{", ",", "}")
     println(s"""{"sf":"$sfDir","queries":$qs}""")
     spark.stop()

@@ -328,7 +328,7 @@ object LlmOps {
       // hashed shingle sets: the persisted frame carries int64s only
       // (see shingledHashed — the string-array cache thrashed at the
       // sf1 decade), and the index key IS the element value
-      val sh = shingledHashed(s, dir).persist()
+      val sh = shingledHashed(s, dir).localCheckpoint()
       val inv0 = sh.select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shk"))
       // document frequency as a COUNT window over the inverted index —
@@ -392,7 +392,7 @@ object LlmOps {
       // hashed shingles (8-byte cache, see shingledHashed); the minhash
       // kernel's Long-input path starts from the same xxhash64 base, so
       // the sketch is bit-identical to the string form
-      val sh = shingledHashed(s, dir).persist()
+      val sh = shingledHashed(s, dir).localCheckpoint()
       // native one-pass sketch (HashKernels.minhash64): 32 splitmix
       // derivations per pre-hashed shingle, vs the interpreted
       // `transform(sequence(0,31), k -> array_min(transform(sh, t ->
@@ -542,7 +542,7 @@ object LlmOps {
   val q94ContainmentDedup = Q(
     "q94_containment_dedup",
     (s, dir) => {
-      val sh = shingledHashed(s, dir).persist()
+      val sh = shingledHashed(s, dir).localCheckpoint()
       val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shk"))
       val wDf = Window.partitionBy(col("shk"))
