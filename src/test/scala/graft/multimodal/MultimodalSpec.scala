@@ -139,6 +139,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq(MediaFeatures(21L, "ppm", 2, 1, 3, ppm.length.toLong, 3.5)))
   }
 
+  test("video (MJPEG/AVI) runs through the batched Spark featurizer seam alongside images") {
+    // mixed-modality batch: the seam must route container sniffing
+    // per-row, video and image in the same partition
+    val s = spark
+    import s.implicits._
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, 0x405060)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpeg", bos))
+    val frame = bos.toByteArray
+    val avi = {
+      val movi = chunk("LIST",
+        "movi".getBytes("US-ASCII") ++ chunk("00dc", frame) ++ chunk("00dc", frame))
+      val body = "AVI ".getBytes("US-ASCII") ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val header = "P6 2 1 255\n".getBytes("US-ASCII")
+    val ppm = header ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    val ds = Seq(Media(22L, "video", avi), Media(23L, "image", ppm))
+      .toDS().repartition(2)
+    val out = extractFeatures(ds, () => new ImageFileDecoder)
+      .collect().toSeq.sortBy(_.media_id)
+    assert(out.map(f => (f.media_id, f.kind, f.width, f.height, f.channels)) ===
+      Seq((22L, "video", 8, 6, 3), (23L, "image", 2, 1, 3)))
+    assert(out.head.n_bytes === avi.length.toLong)
+  }
+
   test("ImageFileDecoder rejects unknown containers and truncated rasters") {
     val d = new ImageFileDecoder
     intercept[IllegalArgumentException] {
