@@ -78,6 +78,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), scan)
   }
 
+  test("q32 reads its shingle frame from a checkpoint, not a lazily-persisted cache") {
+    // round-9 regression pin: the hashed shingle frame must be
+    // localCheckpoint'ed (lineage truncated). A lazy persist() here
+    // re-runs the documentsSpread exchange through fresh AQE
+    // sub-executions on any warm-session block miss (+70 MB constant
+    // per run at sf1 — SCALING.md round-9 closure).
+    val plan = executedPlan(LlmOps.q32NearDupPairs)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed shingle frame (Scan ExistingRDD):\n$plan")
+    // every document access must come from the checkpoint: a parquet
+    // scan in this plan means the shingle DAG re-derives from source
+    // (the prefix frame's own InMemoryRelation is fine — its child is
+    // the checkpoint scan, so a miss re-windows 8-byte rows, it never
+    // re-reads the corpus)
+    assert(!plan.contains("Scan parquet"),
+      s"q32 must not re-scan parquet below the checkpointed shingles:\n$plan")
+  }
+
   test("q112 broadcasts the label side only when the pair-count bound fits the threshold") {
     // Regime 1 (default 10 MB threshold, tiny pair graph): the hint fires
     // and the label join is a broadcast join.
