@@ -328,6 +328,7 @@ object Multimodal {
               if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
                 fail(s"unsupported JPEG sampling ${compH(c)}x${compV(c)}")
               compQ(c) = u8(i + 10 + 3 * c)
+              if (compQ(c) > 3) fail(s"SOF quant table id out of range (${compQ(c)})")
             }
             i += len
           case 0xc2 => fail("progressive JPEG (SOF2) unsupported")
@@ -375,6 +376,13 @@ object Multimodal {
               if (idx < 0) fail("SOS references unknown component")
               compDc(idx) = u8(i + 4 + 2 * c) >> 4
               compAc(idx) = u8(i + 4 + 2 * c) & 0xf
+              // table ids are 2 bits in baseline JPEG; a crafted scan
+              // header indexing past the 4-slot table array (or a scan
+              // referencing a table no DHT defined) must reject, not AIOOBE/NPE
+              if (compDc(idx) > 3 || compAc(idx) > 3)
+                fail(s"SOS Huffman table id out of range (${compDc(idx)}/${compAc(idx)})")
+              if (huff(0)(compDc(idx)) == null || huff(1)(compAc(idx)) == null)
+                fail("SOS references an undefined Huffman table")
             }
             scanStart = i + u16(i)
           case 0xd9 => fail("JPEG ended before scan data")
@@ -601,6 +609,8 @@ object Multimodal {
       }
       require(i < p.length && (p(i) & 0xff) == 0x2c,
         s"GIF without an image descriptor: media_id=${m.media_id}")
+      require(i + 10 <= p.length,
+        s"GIF image descriptor truncated: media_id=${m.media_id}")
       val width = leU16(i + 5); val height = leU16(i + 7)
       val iflags = p(i + 9) & 0xff
       require(width > 0 && height > 0 && width.toLong * height <= (1L << 26),
@@ -614,6 +624,8 @@ object Multimodal {
       }
       require(ct >= 0 && ct + 3 * ctSize <= p.length,
         s"GIF color table missing or truncated: media_id=${m.media_id}")
+      require(i < p.length,
+        s"GIF ends before the LZW min code size: media_id=${m.media_id}")
       val minCode = p(i) & 0xff
       require(minCode >= 1 && minCode <= 11,
         s"bad GIF LZW min code size $minCode: media_id=${m.media_id}")
