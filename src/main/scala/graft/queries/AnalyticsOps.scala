@@ -616,6 +616,72 @@ object AnalyticsOps {
       ORDER BY s.col_name""".stripMargin),
     "sketched column profile: q75 with KMV (k=64) cardinality estimates over an order-faithful string unpivot — no Expand row multiplication, bounded-memory per-column sketches, engine-exact estimate pinned by the oracle")
 
+  // ---------------------------------------------------------------------
+  // q113 — mergeable KMV-sample quantiles (the sketch family's quantile op)
+  // ---------------------------------------------------------------------
+
+  /** Quantile estimation from a DETERMINISTIC k-minimum-values sample:
+    * keep the k=256 rows whose md5-derived 60-bit key hash is smallest —
+    * a uniform corpus sample both engines derive identically (no
+    * rand(), the q67 reproducibility argument) — and read quantiles
+    * off the sample's order statistics. The classic mergeable shape:
+    * the k-min of a union is the k-min of per-shard k-mins, so shard
+    * samples combine into the corpus sample without re-reading data
+    * (SketchSpec pins this merge law for value samples, the q79 gate
+    * shape, plus a 5σ sampling-error envelope vs exact quantiles).
+    *
+    * Scale: `orderBy(h).limit(k)` plans as TakeOrderedAndProject —
+    * per-partition k-mins, one k·P-row merge, the corpus never
+    * globally sorts (the exact alternative at 100 TB is a full sort;
+    * approx_percentile's GK sketch is engine-private like q99's HLL —
+    * the KMV sample is the cross-engine-checkable middle). The
+    * quantile-extraction window orders the k-row sample only —
+    * bounded, never corpus-sized.
+    *
+    * Determinism: values ride as DECIMAL(18,2) (exact at 2 decimals,
+    * Qdsl discipline); the k-cut orders by (h, v) and the sample rank
+    * by (v, h), so both selections are total orders shared by the
+    * engines (h collisions: ~n²/2⁶¹, the family's documented bound).
+    * Sample ranks ceil(q·k) are inlined as integer literals so no
+    * float rounding of q·k can diverge.
+    */
+  val q113KmvQuantiles = Q(
+    "q113_kmv_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val k = 256
+      val sample = T.lineitem(s, dir)
+        .select(
+          col("l_extendedprice").cast(graft.Qdsl.D2).as("v"),
+          expr("cast(conv(substring(md5(concat(cast(l_orderkey as string), '_', " +
+            "cast(l_linenumber as string))), 1, 15), 16, 10) as bigint)").as("h"))
+        .orderBy(col("h"), col("v"))
+        .limit(k)
+      val ranked = sample.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"), col("h"))))
+      val qdf = Seq(0.25, 0.5, 0.75, 0.9)
+        .map(q => (q, math.ceil(q * k).toInt)).toDF("q", "sample_rank")
+      ranked.join(qdf, col("rn") === col("sample_rank"))
+        .select(col("q"), lit(k).cast("bigint").as("k"),
+          col("sample_rank").cast("bigint").as("sample_rank"),
+          col("v").as("v_at_q"))
+        .orderBy(col("q"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+          ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+            CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM lineitem ORDER BY h, v LIMIT 256),
+      r AS (SELECT v, h, ROW_NUMBER() OVER (ORDER BY v, h) AS rn FROM s),
+      qr(q, sample_rank) AS (VALUES (0.25, 64), (0.5, 128), (0.75, 192), (0.9, 231))
+      SELECT CAST(qr.q AS DOUBLE) AS q, CAST(256 AS BIGINT) AS k,
+        CAST(qr.sample_rank AS BIGINT) AS sample_rank, r.v AS v_at_q
+      FROM qr JOIN r ON r.rn = qr.sample_rank
+      ORDER BY q""".stripMargin),
+    "mergeable quantile sketch: deterministic k-min-values sample (k=256, md5 hash order) + order statistics at inlined ranks — TakeOrderedAndProject, no corpus sort; merge law + error envelope pinned in SketchSpec")
+
   /** Offset + distribution window functions — the slice of the window
     * surface q15/q16/q58 (ranking, ROWS, RANGE frames) don't touch:
     * `lag`/`lead` (previous/next order price along each customer's
@@ -835,5 +901,5 @@ object AnalyticsOps {
     q53FullOuter, q54RangeJoin, q55AsofJoin, q56BagSetOps, q57MapFuncs,
     q58RangeFrame, q59SqlEntry, q65CorruptJson, q75ColumnProfile,
     q76WindowOffsets, q91RangeBinned, q92OverlapBinned, q97SketchProfile,
-    q107GraphPagerank)
+    q107GraphPagerank, q113KmvQuantiles)
 }

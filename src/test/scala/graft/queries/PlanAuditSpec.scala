@@ -96,6 +96,12 @@ class PlanAuditSpec extends SparkSpec {
       s"q32 must not re-scan parquet below the checkpointed shingles:\n$plan")
   }
 
+  test("q113 plans the sample cut as TakeOrdered, never a global sort of the corpus") {
+    val plan = executedPlan(AnalyticsOps.q113KmvQuantiles)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-min sample must plan as per-partition top-k + merge:\n$plan")
+  }
+
   test("q112 broadcasts the label side only when the pair-count bound fits the threshold") {
     // Regime 1 (default 10 MB threshold, tiny pair graph): the hint fires
     // and the label join is a broadcast join.

@@ -79,4 +79,48 @@ class SketchSpec extends SparkSpec {
     val est = hashed.groupBy("source").count().collect()(0).getLong(1).toDouble
     assert(est === 10.0)
   }
+
+  test("q113 KMV value sample obeys the merge law: k-min of shard k-mins == global k-min") {
+    import org.apache.spark.sql.functions._
+    val k = 256
+    val sf = "/root/testdata/sf0.01"
+    val hashed = graft.Tables.lineitem(spark, sf)
+      .select(
+        col("l_extendedprice").cast(graft.Qdsl.D2).as("v"),
+        expr("cast(conv(substring(md5(concat(cast(l_orderkey as string), '_', " +
+          "cast(l_linenumber as string))), 1, 15), 16, 10) as bigint)").as("h"),
+        (col("l_suppkey") % 7).as("shard"))
+    val global = hashed.orderBy(col("h"), col("v")).limit(k)
+      .collect().map(r => (r.getLong(1), r.getDecimal(0))).toSet
+    // per-shard k-min samples, then k-min of their union — the
+    // mergeable path a 100 TB run takes (no re-read of shard data)
+    val merged = (0 until 7).map { g =>
+        hashed.filter(col("shard") === g).orderBy(col("h"), col("v")).limit(k)
+      }.reduce(_ union _)
+      .orderBy(col("h"), col("v")).limit(k)
+      .collect().map(r => (r.getLong(1), r.getDecimal(0))).toSet
+    assert(merged === global, "shard-merged KMV sample must equal the direct global sample")
+  }
+
+  test("q113 sample quantiles land within the k=256 sampling-error envelope of exact quantiles") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val got = AnalyticsOps.q113KmvQuantiles.fn(spark, sf).collect()
+      .map(r => r.getDouble(r.fieldIndex("q")) ->
+        r.getDecimal(r.fieldIndex("v_at_q")).doubleValue).toMap
+    assert(got.keySet === Set(0.25, 0.5, 0.75, 0.9))
+    val values = graft.Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val n = values.length.toDouble
+    got.foreach { case (q, v) =>
+      // empirical CDF at the sampled quantile value vs the target rank:
+      // sd of a k=256 sample rank is sqrt(q(1-q)/k); 5 sigma + 1/k slack
+      // makes this a deterministic wiring check on fixed data, not a
+      // flaky statistical one
+      val cdf = values.count(_ <= v) / n
+      val bound = 5 * math.sqrt(q * (1 - q) / 256) + 1.0 / 256
+      assert(math.abs(cdf - q) <= bound,
+        s"quantile $q: sampled value $v sits at CDF $cdf, outside +-$bound")
+    }
+  }
 }
