@@ -248,6 +248,86 @@ object CurationOps {
     "linear quality-model scoring (fasttext-style): exact integer features, per-row codegen projection, identical multiply-add sequence both engines; learned weights would arrive as a broadcast map, same plan")
 
   // ---------------------------------------------------------------------
+  // q114 — quality-threshold sweep (the planning step before q83's filter)
+  // ---------------------------------------------------------------------
+
+  /** The curve a data team reads BEFORE fixing a quality cutoff: for
+    * every candidate threshold, how many documents and tokens survive?
+    * q83 applies one threshold (0.05); this sweeps them — scores are
+    * bucketed to 1/20ths and the kept-from-the-top cumulative gives
+    * docs/tokens/token-share at threshold = bucket/20 (the standard
+    * "keep the top X% of tokens by quality" planning table, cf. the
+    * classifier-threshold sweeps in CCNet/Gopher-style curation).
+    *
+    * Determinism: the score is q83's bit-identical multiply-add; the
+    * bucket routes through FLOOR on both engines (DuckDB's int cast
+    * rounds half-even, Spark's truncates — the repo's documented
+    * pitfall); threshold = bucket/20.0 and token share are the same
+    * IEEE divisions of identical ints. Scale shape: one doc-level
+    * projection into a bucket-keyed partial agg (map-side combine),
+    * then windows over the BUCKET table only — score ∈ [-5, 1.2]
+    * bounds it to ≤ ~130 rows at any corpus size, so the unpartitioned
+    * cumulative window is constant-sized by construction, never
+    * corpus-sized.
+    */
+  val q114QualityThresholdCurve = Q(
+    "q114_quality_threshold_curve",
+    (s, dir) => {
+      val byBucket = qualityScored(s, dir)
+        .select(col("n_toks"),
+          floor(col("score") * 20).cast("int").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("n_tokens"))
+      val fromTop = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      byBucket
+        .withColumn("threshold", (col("bucket") / lit(20.0)).cast("double"))
+        .withColumn("kept_docs", sum(col("n_docs")).over(fromTop).cast("long"))
+        .withColumn("kept_tokens", sum(col("n_tokens")).over(fromTop).cast("long"))
+        .withColumn("kept_token_share",
+          col("kept_tokens").cast("double")
+            / sum(col("n_tokens")).over(whole).cast("double"))
+        .select(col("bucket"), col("threshold"), col("n_docs"), col("n_tokens"),
+          col("kept_docs"), col("kept_tokens"), col("kept_token_share"))
+        .orderBy(col("bucket").desc)
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS INTEGER) AS n_toks,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> list_contains(['the','a','of','and','to','in','is','was'], t)))
+               AS INTEGER) AS n_stop,
+          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+            AS n_punct,
+          length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+            AS n_upper
+        FROM documents),
+      sc AS (
+        SELECT n_toks,
+          1.2*(CAST(n_stop AS DOUBLE)/n_toks)
+            - 3.0*(CAST(n_punct AS DOUBLE)/n_chars)
+            - 2.0*(CAST(n_upper AS DOUBLE)/n_chars) AS score
+        FROM f WHERE n_toks >= 1),
+      b AS (
+        SELECT CAST(FLOOR(score * 20) AS INTEGER) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        FROM sc GROUP BY 1)
+      SELECT bucket, CAST(bucket / 20.0 AS DOUBLE) AS threshold,
+        n_docs, n_tokens,
+        CAST(SUM(n_docs) OVER (ORDER BY bucket DESC) AS BIGINT) AS kept_docs,
+        CAST(SUM(n_tokens) OVER (ORDER BY bucket DESC) AS BIGINT) AS kept_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY bucket DESC) AS DOUBLE)
+          / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS kept_token_share
+      FROM b ORDER BY bucket DESC""".stripMargin),
+    "quality-threshold sweep: score buckets (floor on both engines) -> bucket-keyed partial agg -> cumulative kept docs/tokens/share from the top — the planning table behind q83's cutoff; windows run over the <=130-row bucket table, never the corpus")
+
+  // ---------------------------------------------------------------------
   // q84 — source-mixture rebalancing
   // ---------------------------------------------------------------------
 
@@ -988,5 +1068,6 @@ object CurationOps {
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
     q89NeardupPrune, q90SourceLeakage, q93MixtureApply, q95SaltedJoin,
-    q96NoveltyCurve, q98IncrementalNovelty, q103EpochUpsample)
+    q96NoveltyCurve, q98IncrementalNovelty, q103EpochUpsample,
+    q114QualityThresholdCurve)
 }

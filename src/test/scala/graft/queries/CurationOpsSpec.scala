@@ -366,4 +366,26 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(got === expected)
   }
+
+  test("q114 threshold curve == driver-side recomputation; share reaches 1 at the bottom") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val scored = CurationOps.qualityScored(spark, sf)
+      .select(col("n_toks"), col("score"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val byBucket = scored.groupBy { case (_, sc) => math.floor(sc * 20).toInt }
+      .map { case (b, rows) => (b, rows.length.toLong, rows.map(_._1.toLong).sum) }
+      .toSeq.sortBy(-_._1)
+    val total = byBucket.map(_._3).sum
+    var kd = 0L; var kt = 0L
+    val expected = byBucket.map { case (b, nd, nt) =>
+      kd += nd; kt += nt
+      (b, b / 20.0, nd, nt, kd, kt, kt.toDouble / total.toDouble)
+    }
+    val got = CurationOps.q114QualityThresholdCurve.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got === expected)
+    assert(got.last._7 === 1.0, "the lowest threshold must keep every token")
+  }
 }
