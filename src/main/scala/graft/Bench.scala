@@ -38,6 +38,41 @@ import scala.collection.immutable.ListMap
   *    host instead of needing adjudication.
   */
 object Bench {
+
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private[graft] def d2(x: Double): Double = math.rint(x * 100) / 100
+
+  /** The ONE output line, as a pure function of the measurements — so
+    * BenchLineSpec can render it at the live registry size and assert it
+    * fits the driver's ~2000-char tail window (round-9 verdict #2: at
+    * ~12 B/query growth the artifact would outgrow the window near ~150
+    * queries and the driver's parse would fail SILENTLY — the spec turns
+    * that cliff into a test failure). Compactness rules: per-query keys
+    * are the unique `qNN` prefix, values 2-decimal, no spaces anywhere.
+    * `loadPregate` preserves the pre-sleep load sample when the
+    * quiet-host gate fired — the evidence of the contention that
+    * triggered it (round-9 advice: the post-sleep re-read used to
+    * overwrite it).
+    */
+  private[graft] def renderLine(results: Seq[(String, Double)],
+      errors: Map[String, String], sfDir: String, load: Array[Double],
+      loadPregate: Option[Double], loadEnd: Double, gated: Int,
+      gcMs: Long, passes: Int): String = {
+    val qs = results.map { case (k, v) =>
+      s"${jstr(k.takeWhile(_ != '_'))}:${d2(v)}"
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val pregate = loadPregate.map(l => s""","load_pregate":${d2(l)}""").getOrElse("")
+    s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(load(0))},${d2(load(1))},${d2(load(2))}]$pregate,"load_end":${d2(loadEnd)},"gated":$gated,"gc_ms":$gcMs,"passes":$passes}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,9 +99,11 @@ object Bench {
     val gateThreshold =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.5").toDouble
     var loadStart = loadAvgs()
+    var loadPregate: Option[Double] = None
     var gated = 0
     if (loadStart(0) > gateThreshold) {
       gated = 1
+      loadPregate = Some(loadStart(0)) // keep the triggering sample
       Thread.sleep(
         sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_SLEEP_S", "60").toLong * 1000)
       loadStart = loadAvgs()
@@ -126,15 +163,19 @@ object Bench {
       }
     }.toMap
     val gc0 = gcMs()
-    def passTotal(p: Map[String, Double]): Double =
-      p.values.filter(_ >= 0).sum
     var passes = List(timedPass(), timedPass())
     // disagreement between the two passes is the contention signature —
     // buy one more sample rather than record a polluted min. 10%
     // mirrors the round-to-round agreement target: back-to-back full
     // runs landed 12% apart with thinly-spread drift that a 20%
-    // trigger never caught.
-    val (t1, t2) = (passTotal(passes.head), passTotal(passes(1)))
+    // trigger never caught. Compare only the queries that succeeded in
+    // BOTH passes — a one-pass failure contributes 0 to one total and
+    // its full time to the other, which could spuriously fire (or,
+    // offsetting, mask) the disagreement check (round-9 advice).
+    val (p1, p2) = (passes.head, passes(1))
+    val inBoth = names.filter(n =>
+      p1.getOrElse(n, -1.0) >= 0 && p2.getOrElse(n, -1.0) >= 0)
+    val (t1, t2) = (inBoth.map(p1).sum, inBoth.map(p2).sum)
     if (t1 > 0 && t2 > 0 && math.abs(t1 - t2) / math.min(t1, t2) > 0.10)
       passes :+= timedPass()
     val gcSpent = gcMs() - gc0
@@ -144,26 +185,13 @@ object Bench {
     }
     // a query that succeeded in ANY pass is not a failure
     errors = errors.filter { case (n, _) => results.toMap.getOrElse(n, -1.0) < 0 }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     // The driver records only the LAST ~2000 chars of output and parses
     // the JSON line out of that tail (BENCH_r04 came back `parsed:null`
-    // because 80 full-length query names at 9-decimal precision pushed
-    // the line past the window and its head got truncated). Keep the
-    // line compact: short keys (q01..q80 — the registry prefix is
-    // unique) and ms-precision values. ~1.1 KB for 80 queries.
-    val qs = results.map { case (k, v) =>
-      s"${jstr(k.takeWhile(_ != '_'))}:${math.rint(v * 1000) / 1000}"
-    }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // when the line outgrew the window). renderLine is the compact
+    // serializer; BenchLineSpec pins its size at the live registry.
     val loadEnd = loadAvgs()
-    def d2(x: Double) = math.rint(x * 100) / 100
-    println(
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(loadStart(0))},${d2(loadStart(1))},${d2(loadStart(2))}],"load_end":${d2(loadEnd(0))},"gated":$gated,"gc_ms":$gcSpent,"passes":${passes.size}}""")
+    println(renderLine(results, errors, sfDir, loadStart, loadPregate,
+      loadEnd(0), gated, gcSpent, passes.size))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -226,8 +226,15 @@ object Multimodal {
       def isFrameId(id: String): Boolean =
         id.length == 4 && id(0).isDigit && id(1).isDigit &&
           (id.endsWith("dc") || id.endsWith("db"))
-      // chunk walk; RIFF/LIST recurse with their 4-byte form type skipped
-      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      // chunk walk; RIFF/LIST recurse with their 4-byte form type
+      // skipped. Depth-bounded: real AVIs nest RIFF>LIST(hdrl/movi)>
+      // LIST(rec ) ≤ 4 deep, but a crafted file can nest LISTs tens of
+      // thousands deep and blow the stack (StackOverflowError is an
+      // Error, not the reject-loudly contract) — found by the round-10
+      // RIFF structure fuzzer.
+      def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
+        if (depth > 16)
+          fail(s"AVI list nesting deeper than 16 at $start — not a real AVI")
         var i = start
         while (i + 8 <= end) {
           val id = new String(p, i, 4, "US-ASCII")
@@ -238,18 +245,26 @@ object Multimodal {
             if (len < 4) fail(s"AVI list at $i too short for a form type")
             val form = new String(p, i + 8, 4, "US-ASCII")
             walk(i + 12, i + 8 + len.toInt,
-              inMovi || form == "movi" || form == "rec ")
+              inMovi || form == "movi" || form == "rec ", depth + 1)
           } else if (inMovi && isFrameId(id) && len > 0) {
             frames += ((i + 8, len.toInt))
           }
           i += 8 + len.toInt + (len.toInt & 1) // word-aligned, like WAV
         }
       }
-      walk(0, p.length, inMovi = false)
+      walk(0, p.length, inMovi = false, depth = 0)
       if (frames.isEmpty) fail("AVI without MJPEG frame chunks in a movi list")
       var w = -1; var h = -1; var ch = -1
       var pxSum = 0.0; var pxCnt = 0L
       frames.foreach { case (off, len) =>
+        // '##db' conventionally carries uncompressed DIB frames in AVI;
+        // some MJPEG encoders use it for JPEG frames too, so accept
+        // either id but check the payload IS a JPEG before handing it to
+        // the JPEG path — a DIB stream should get a scope message, not a
+        // confusing marker-sync error from inside the JPEG decoder.
+        if (len < 2 || (p(off) & 0xff) != 0xff || (p(off + 1) & 0xff) != 0xd8)
+          fail("AVI stream chunk is not a JPEG frame — only MJPEG AVI is " +
+            "supported (uncompressed DIB '##db' streams are out of scope)")
         val f = decodeJpeg(Media(m.media_id, m.kind,
           java.util.Arrays.copyOfRange(p, off, off + len)))
         if (w < 0) { w = f.width; h = f.height; ch = f.channels }

@@ -45,4 +45,34 @@ object ZOrderLayout {
       .repartitionByRange(n, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(path)
+
+  /** Write `df` z-clustered under `path` with EXPLICIT, curve-aligned
+    * cuts instead of `repartitionByRange`'s sampled ones.
+    *
+    * When the digest domain is known (`bitsPerDim` bits per dimension —
+    * the common case, since the caller built the digests), sampling buys
+    * nothing and costs a full extra pass over the input: RangePartitioner
+    * runs a sketch job before the real shuffle, and on skewed inputs its
+    * quantile cuts land mid-quadrant, widening seam files' bounding
+    * boxes. Cutting the z-domain `[0, 4^bitsPerDim)` into `n` equal
+    * intervals instead (with `n` a power of 4, each interval IS a curve
+    * quadrant) gives every file an exactly square bounding box, no
+    * sampling job, and bit-for-bit deterministic layout — the variant a
+    * 100 TB compaction wants. Files land as one directory per z-bucket
+    * (`zb=<i>/`), which doubles as a partition-pruning column for readers
+    * that carry the z-bucket predicate.
+    */
+  def writeZOrderedAligned(df: DataFrame, xDigest: Column, yDigest: Column,
+      bitsPerDim: Int, n: Int, path: String): Unit = {
+    require(n > 0 && (n & (n - 1)) == 0, s"n must be a power of two, got $n")
+    val zBits = 2 * bitsPerDim
+    require(Integer.numberOfTrailingZeros(n) <= zBits,
+      s"n=$n exceeds the $zBits-bit z-domain")
+    val width = (1L << zBits) / n
+    withZ(df, xDigest, yDigest)
+      .withColumn("zb", (col("z") / width).cast("int"))
+      .repartition(n, col("zb"))
+      .sortWithinPartitions(col("z"))
+      .write.partitionBy("zb").mode("overwrite").parquet(path)
+  }
 }

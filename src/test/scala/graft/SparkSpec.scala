@@ -18,6 +18,24 @@ trait SparkSpec extends AnyFunSuite {
   }
 
   def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
+
+  /** Run `body` with session confs temporarily set, then restore each
+    * key to its prior value (or unset it if it had none).
+    *
+    * All 36+ suites share ONE JVM-wide session, so a conf left behind by
+    * any suite silently changes every later suite's plans — the
+    * suite-order-drift class behind round 9's ZOrderSpec flake. Every
+    * conf-mutating test must go through this (or an equivalent
+    * try/finally restore); never bare `spark.conf.set`.
+    */
+  def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach { case (k, prev) =>
+      prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
 
 object SparkSpec {

@@ -2,9 +2,7 @@ package graft.multimodal
 
 import graft.SparkSpec
 import graft.multimodal.Multimodal._
-import scala.concurrent.{Await, Future}
 import scala.concurrent.duration._
-import scala.concurrent.ExecutionContext.Implicits.global
 
 /** Fuzz contract for [[ImageFileDecoder]] on untrusted crawl bytes:
   * every input either decodes or is REJECTED LOUDLY within a time
@@ -29,23 +27,71 @@ class DecoderFuzzSpec extends SparkSpec {
   private val rnd = new scala.util.Random(0x9E3779B97F4A7C15L)
 
   private def decodeBounded(id: Long, bytes: Array[Byte]): Unit = {
-    val f = Future(new ImageFileDecoder().decode(Media(id, "fuzz", bytes)))
-    try Await.result(f, timeout)
+    // Each decode gets its OWN single-thread executor, shutdownNow()'d
+    // on timeout: the decode loops are CPU-bound, so a genuinely
+    // non-terminating parser on a shared pool would keep spinning after
+    // the timeout and starve later cases into cascading timeouts,
+    // obscuring the real offender (round-9 advice). The interrupt can't
+    // stop a tight loop, but the daemon thread is abandoned in
+    // isolation — one hang costs one thread, not the pool.
+    import java.util.concurrent._
+    val exec = Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, s"fuzz-$id"); t.setDaemon(true); t
+    })
+    val fut = exec.submit(new Callable[Unit] {
+      def call(): Unit = { new ImageFileDecoder().decode(Media(id, "fuzz", bytes)); () }
+    })
+    try fut.get(timeout.toSeconds, TimeUnit.SECONDS)
     catch {
-      case _: java.util.concurrent.TimeoutException =>
+      case _: TimeoutException =>
         fail(s"decoder hung > $timeout on fuzz case $id (${bytes.length} bytes)")
       // the decode contract: reject via IllegalArgumentException (or
       // a require's IllegalArgumentException subclass); anything else
       // escaping — NPE, ArrayIndexOutOfBounds, NegativeArraySize,
-      // OutOfMemory from a crafted geometry — is a parser bug
-      case _: IllegalArgumentException => ()
+      // StackOverflow, OutOfMemory from a crafted geometry — is a
+      // parser bug
+      case e: ExecutionException =>
+        e.getCause match {
+          case _: IllegalArgumentException => ()
+          case other => throw other
+        }
+    } finally exec.shutdownNow()
+  }
+
+  private def expectReject(id: Long, bytes: Array[Byte], msgPart: String): Unit = {
+    val e = intercept[IllegalArgumentException] {
+      new ImageFileDecoder().decode(Media(id, "fuzz", bytes))
     }
+    assert(e.getMessage.contains(msgPart),
+      s"case $id rejected with the wrong message: ${e.getMessage}")
   }
 
   private def randomBytes(n: Int): Array[Byte] = {
     val a = new Array[Byte](n)
     rnd.nextBytes(a)
     a
+  }
+
+  // RIFF construction kit, shared by the mutation and structure tests
+  private def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def chunk(cid: String, data: Array[Byte]): Array[Byte] =
+    cid.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+  private def aviOf(frameChunks: Array[Byte]*): Array[Byte] = {
+    val movi = chunk("LIST",
+      "movi".getBytes("US-ASCII") ++ frameChunks.flatten.toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+  private def jpegOf(w: Int, h: Int): Array[Byte] = {
+    val b = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      b.setRGB(x, y, ((x * 37) << 16) | ((y * 53) << 8) | ((x + y) * 11 & 0xff))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(b, "jpeg", bos))
+    bos.toByteArray
   }
 
   test("random bytes behind each container magic reject loudly, within the time bound") {
@@ -77,17 +123,8 @@ class DecoderFuzzSpec extends SparkSpec {
       assert(javax.imageio.ImageIO.write(img(24, 16), fmt, bos))
       bos.toByteArray
     }
-    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def chunk(cid: String, data: Array[Byte]): Array[Byte] =
-      cid.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
-        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
     val jpegBytes = encoded("jpeg")
-    val avi = {
-      val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++ chunk("00dc", jpegBytes))
-      val body = "AVI ".getBytes("US-ASCII") ++ movi
-      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
-    }
+    val avi = aviOf(chunk("00dc", jpegBytes))
     val ppm = "P6 4 3 255\n".getBytes("US-ASCII") ++ randomBytes(36)
     val valids = Seq(encoded("png"), encoded("gif"), jpegBytes, avi, ppm)
     var id = 5000L
@@ -98,6 +135,81 @@ class DecoderFuzzSpec extends SparkSpec {
       decodeBounded(id, m); id += 1
       // truncations at random points, same contract
       decodeBounded(id, v.take(rnd.nextInt(v.length))); id += 1
+    }
+  }
+
+  test("AVI RIFF structure attacks: boundary, nesting, duplication, geometry") {
+    val jpegA = jpegOf(24, 16)
+    val jpegB = jpegOf(16, 8)
+    val dec = new ImageFileDecoder()
+
+    // baseline: two same-geometry frames decode, mean over both frames
+    val two = dec.decode(Media(1L, "video",
+      aviOf(chunk("00dc", jpegA), chunk("01dc", jpegA))))
+    assert(two.width === 24 && two.height === 16)
+
+    // a duplicated movi LIST is structurally legal RIFF — frames from
+    // both lists count (4 frames, same geometry)
+    val movi = chunk("LIST",
+      "movi".getBytes("US-ASCII") ++ chunk("00dc", jpegA) ++ chunk("01dc", jpegA))
+    val dupBody = "AVI ".getBytes("US-ASCII") ++ movi ++ movi
+    val dupMovi = "RIFF".getBytes("US-ASCII") ++ le32(dupBody.length) ++ dupBody
+    assert(dec.decode(Media(2L, "video", dupMovi)).width === 24)
+
+    // geometry-mismatched frames must reject with the geometry message
+    expectReject(3L, aviOf(chunk("00dc", jpegA), chunk("01dc", jpegB)),
+      "disagree on geometry")
+
+    // '##db' carrying a non-JPEG (DIB-style) payload: scope message,
+    // not a JPEG marker-sync error (round-9 advice; regression fixture)
+    expectReject(4L, aviOf(chunk("00db", randomBytes(64))),
+      "only MJPEG AVI is supported")
+
+    // an oversized chunk length overruns its enclosing list
+    expectReject(5L, aviOf(
+      chunk("00dc", jpegA).patch(4, le32(Int.MaxValue), 4)), "overruns")
+
+    // a LIST too short to carry its form type
+    val shortList = {
+      val body = "AVI ".getBytes("US-ASCII") ++
+        "LIST".getBytes("US-ASCII") ++ le32(2) ++ Array[Byte](1, 2)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    expectReject(6L, shortList, "too short for a form type")
+
+    // only zero-length / non-frame chunks inside movi: no frames
+    expectReject(7L, aviOf(chunk("00dc", Array.emptyByteArray),
+      chunk("idx1", randomBytes(16))), "without MJPEG frame chunks")
+
+    // pathological nesting must hit the depth guard, not blow the stack
+    // (the recursive walk had no bound — a crafted file nested ~10k+
+    // deep would StackOverflowError, an Error outside the reject-loudly
+    // contract; the guard at 16 makes 1000 levels equivalent evidence)
+    val deep = {
+      var inner = chunk("00dc", Array[Byte](1, 2, 3, 4))
+      (1 to 1000).foreach { _ =>
+        inner = chunk("LIST", "rec ".getBytes("US-ASCII") ++ inner)
+      }
+      val body = "AVI ".getBytes("US-ASCII") ++ inner
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    expectReject(8L, deep, "nesting deeper than 16")
+
+    // length-field fuzz sweep: every interesting value in every length
+    // slot of a valid file rejects-or-decodes within the bound
+    val valid = aviOf(chunk("00dc", jpegA))
+    val lenOffsets = Seq(4, 16, 28) // RIFF len, movi LIST len, 00dc len
+    val evil = Seq(0, 1, 2, 3, 4, 7, 8, jpegA.length - 1, jpegA.length + 1,
+      0x7fffffff, -1) // -1 = 0xffffffff unsigned
+    var id = 9000L
+    for (off <- lenOffsets; v <- evil) {
+      decodeBounded(id, valid.clone().patch(off, le32(v), 4)); id += 1
+    }
+    // random 4-byte splats anywhere in the header region, same contract
+    for (_ <- 1 to 300) {
+      val m = valid.clone()
+      val pos = rnd.nextInt(m.length - 4)
+      decodeBounded(id, m.patch(pos, randomBytes(4), 4)); id += 1
     }
   }
 }

@@ -81,15 +81,8 @@ class CompactionSpec extends SparkSpec {
     val df = (0 until 4000).toDF("id")
       .select(col("id"), md5(col("id").cast("string")).as("a"))
     val conf = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-    val prev = spark.conf.getOption(conf)
-    try {
-      spark.conf.set(conf, "32k")
-      Compaction.writeRebalanced(df, s"$tmp/fine")
-      spark.conf.set(conf, "64m")
-      Compaction.writeRebalanced(df, s"$tmp/coarse")
-    } finally {
-      prev.fold(spark.conf.unset(conf))(spark.conf.set(conf, _))
-    }
+    withConf(conf -> "32k") { Compaction.writeRebalanced(df, s"$tmp/fine") }
+    withConf(conf -> "64m") { Compaction.writeRebalanced(df, s"$tmp/coarse") }
     val fine = dataFiles(s"$tmp/fine").size
     val coarse = dataFiles(s"$tmp/coarse").size
     assert(coarse == 1, s"64m advisory over ~200KB of exchange bytes must coalesce to 1, got $coarse")

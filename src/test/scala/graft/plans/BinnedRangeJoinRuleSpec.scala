@@ -28,10 +28,8 @@ class BinnedRangeJoinRuleSpec extends SparkSpec {
       .select(col("f_id"), col("i_id"))
   }
 
-  private def withWidth[A](w: String)(body: => A): A = {
-    spark.conf.set(BinnedRangeJoinRule.WidthKey, w)
-    try body finally spark.conf.unset(BinnedRangeJoinRule.WidthKey)
-  }
+  private def withWidth[A](w: String)(body: => A): A =
+    withConf(BinnedRangeJoinRule.WidthKey -> w)(body)
 
   test("with the width conf set, the naive join plans as a hash join on bin ids") {
     val plan = withWidth("8.0")(naiveJoin.queryExecution.executedPlan.toString)

@@ -110,14 +110,12 @@ class PlanAuditSpec extends SparkSpec {
     // Regime 2 (threshold disabled, standing in for a corpus-fraction-
     // sized label frame): no forced hint — the degradation path is a
     // plain shuffled join, never a driver-side broadcast build.
-    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val shuffled = executedPlan(TrainingOps.q112ClusterSafeSplit)
       assert(!shuffled.contains("BroadcastHashJoin"), shuffled)
       assert(shuffled.contains("SortMergeJoin") || shuffled.contains("ShuffledHashJoin"),
         shuffled)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
   }
 
   test("a hive-partitioned layout gets PARTITION pruning: filtered dirs never reach the scan") {
@@ -144,5 +142,41 @@ class PlanAuditSpec extends SparkSpec {
     val expect = graft.Tables.events(spark, sf)
       .filter(col("event_type") === "click").count()
     assert(df.count() === expect)
+  }
+
+  test("registry sweep: every unpartitioned Window sits above a bounded frame") {
+    // An unpartitioned window funnels the WHOLE input through one task —
+    // fine over a provably bounded frame, fatal over a corpus-sized one
+    // at 100 TB. All current global windows are bounded by construction;
+    // this sweep pins the invariant REGISTRY-WIDE so the next
+    // corpus-sized global window fails the suite, not the production run
+    // (round-9 verdict #3). A window whose subtree contains a
+    // GlobalLimit is structurally bounded; anything else must be
+    // whitelisted here WITH its boundedness proof.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val whitelist = Map(
+      // cumulative windows over the ≤130-row threshold-bucket AGGREGATE
+      // (score quantized to buckets before the window — constant-sized
+      // at any corpus; CurationOps.q114 scaladoc)
+      "q114_quality_threshold_curve" ->
+        "window over the quantized score-bucket aggregate (≤130 rows)")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val unbounded = plan.collect {
+          case w: Window if w.partitionSpec.isEmpty &&
+            w.collectFirst { case g: GlobalLimit => g }.isEmpty => w
+        }
+        if (unbounded.nonEmpty && !whitelist.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over a frame with no GlobalLimit and no " +
+        s"whitelisted boundedness proof in: ${offenders.mkString(", ")} — " +
+        "a corpus-sized global window serializes through one task at scale")
+    // the whitelist must not rot: every entry names a live query that
+    // still HAS an unpartitioned window
+    whitelist.keys.foreach { name =>
+      assert(graft.SparkEntry.queries.contains(name), s"whitelist names dead query $name")
+    }
   }
 }

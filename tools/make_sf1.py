@@ -6,9 +6,17 @@ gate, whose data is the driver-generated /root/testdata).
 Usage: python3 tools/make_sf1.py /root/testdata/sf0.1 /tmp/sf1 [replicas]
 
 Scaling model (the honest 10x shape):
-- documents: R replicas; replica k>0 prefixes every token with 'r{k}q',
-  so cross-replica gram/token spaces are DISJOINT — the similarity
-  graph becomes R disjoint copies of the original and every planted
+- documents: R replicas; replica k>0 prefixes every NON-STOPWORD token
+  with 'r{k}q'. Stopwords (the q83 scorer's fixed set) stay verbatim,
+  so replica docs keep their stop_ratio and the quality gate passes
+  the same fraction at every decade — a fully-prefixed replica zeroed
+  the stopword feature and every replica doc failed q83, collapsing
+  the composed Curate.run funnel to the sf0.1 survivor set (round-9
+  SCALING.md caveat). Near-dup gram spaces stay effectively disjoint:
+  any 3-gram shingle containing >=1 non-stop token is replica-unique,
+  and the rare all-stopword shingles shared across replicas cannot
+  push a cross-replica pair near the 0.8 Jaccard gate. The similarity
+  graph is R disjoint copies of the original and every planted
   near-dup structure scales linearly, exactly what a 10x-bigger crawl
   with the same duplicate density looks like. Vocabulary scales too
   (it would; a replicated-verbatim corpus instead plants R-cliques of
@@ -37,6 +45,10 @@ import pyarrow.parquet as pq
 
 OFF = 10_000_000
 
+# q83's scorer set (CurationOps.qualityScored) — tokens the scorer
+# lowercases before matching, so the membership test lowercases too
+STOPWORDS = {"the", "a", "of", "and", "to", "in", "is", "was"}
+
 
 def replicate(src, dst, name, r, mutate):
     t = pq.read_table(f"{src}/{name}.parquet")
@@ -60,7 +72,9 @@ def main(src, dst, r):
         if k:
             pref = f"r{k}q"
             d["text"] = d["text"].map(
-                lambda s: " ".join(pref + tok for tok in s.split(" ")))
+                lambda s: " ".join(
+                    tok if tok.lower() in STOPWORDS else pref + tok
+                    for tok in s.split(" ")))
             d["n_chars"] = d["text"].str.len().astype("int64")
 
     def orders(d, k):
