@@ -167,9 +167,11 @@ object Multimodal {
     * uncompressed BMP (BITMAPFILEHEADER "BM" + BITMAPINFOHEADER;
     * little-endian geometry at fixed offsets; 24/32-bit pixels;
     * rows padded to 4 bytes, bottom-up unless height < 0), and RIFF
-    * WAV (PCM 16-bit; "RIFF"/"WAVE" magic, chunked "fmt "/"data"
-    * layout — the audio modality decoded from real container bytes,
-    * not a stub). All are byte-exact hand-parses — mean_byte covers
+    * WAV ("RIFF"/"WAVE" magic, chunked "fmt "/"data" layout; PCM
+    * 16-bit plus three COMPRESSED audio encodings — G.711 mu-law,
+    * G.711 A-law, and IMA ADPCM, each expanded by hand, see
+    * [[decodeWav]] — the audio modality decoded from real container
+    * bytes, not a stub). All are byte-exact hand-parses — mean_byte covers
     * PAYLOAD bytes only (headers, BMP row padding and non-data RIFF
     * chunks excluded), so the feature is a property of the media, not
     * of the container framing. WAV maps onto the shared feature
@@ -928,12 +930,26 @@ object Multimodal {
         p.length.toLong, if (n == 0) 0.0 else sum.toDouble / n)
     }
 
-    /** RIFF WAV, PCM 16-bit only: walk the chunk list (each chunk is
-      * 4-byte id + LE u32 length + payload, word-aligned), read
-      * "fmt " for geometry and "data" for the sample bytes. The
-      * feature mapping onto the shared schema is documented on the
-      * class: width = sample rate, height = frames, channels = PCM
-      * channels; mean_byte averages the DATA chunk's bytes only.
+    /** RIFF WAV: walk the chunk list (each chunk is 4-byte id + LE u32
+      * length + payload, word-aligned), read "fmt " for geometry and
+      * "data" for the sample bytes. FOUR sample encodings, three of
+      * them genuinely compressed, all decoded by hand from the
+      * published algorithms (ITU-T G.711 for the log-companded pair,
+      * the IMA/DVI "Recommended Practices for Enhancing Digital Audio
+      * Compatibility" spec for ADPCM) — no codec library:
+      *
+      *   - tag 1   PCM 16-bit      (uncompressed)
+      *   - tag 6   G.711 A-law    (8-bit log-companded, 2:1)
+      *   - tag 7   G.711 mu-law   (8-bit log-companded, 2:1)
+      *   - tag 17  IMA ADPCM      (4-bit predictive, 4:1, block-coded)
+      *
+      * Compressed data is EXPANDED to 16-bit PCM and mean_byte is the
+      * mean over the DECODED little-endian sample bytes, so the feature
+      * is a property of the audio, not its wire encoding — the same
+      * contract as PNG/GIF/JPEG vs PPM/BMP on the image side (raw PCM
+      * averages its data bytes directly; they already ARE the decoded
+      * LE sample bytes). Feature mapping: width = sample rate,
+      * height = sample frames per channel, channels = channels.
       */
     private def decodeWav(m: Media): MediaFeatures = {
       val p = m.payload
@@ -945,7 +961,8 @@ object Multimodal {
         (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
           ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
       var i = 12
-      var sampleRate = -1L; var channels = -1; var bits = -1
+      var fmtTag = -1; var sampleRate = -1L; var channels = -1; var bits = -1
+      var blockAlign = -1; var samplesPerBlock = -1
       var dataOff = -1; var dataLen = -1L
       while (i + 8 <= p.length && (dataOff < 0 || sampleRate < 0)) {
         val id = new String(p, i, 4, "US-ASCII")
@@ -954,31 +971,189 @@ object Multimodal {
           s"WAV chunk '$id' overruns the payload: media_id=${m.media_id}")
         if (id == "fmt ") {
           require(len >= 16, s"fmt chunk too short: media_id=${m.media_id}")
-          require(leU16(i + 8) == 1,
-            s"only PCM WAV supported (format=${leU16(i + 8)}): media_id=${m.media_id}")
+          fmtTag = leU16(i + 8)
           channels = leU16(i + 10)
           sampleRate = leU32(i + 12)
+          blockAlign = leU16(i + 20)
           bits = leU16(i + 22)
-          require(channels > 0 && sampleRate > 0 &&
-            sampleRate <= Int.MaxValue && bits == 16,
-            s"only 16-bit PCM with sane geometry supported " +
-              s"(ch=$channels rate=$sampleRate bits=$bits): media_id=${m.media_id}")
+          // the ADPCM extension block: cbSize u16, then samples/block
+          if (fmtTag == 0x11) {
+            require(len >= 20 && leU16(i + 24) >= 2,
+              s"IMA ADPCM fmt without a samples-per-block extension: " +
+                s"media_id=${m.media_id}")
+            samplesPerBlock = leU16(i + 26)
+          }
+          require(channels > 0 && sampleRate > 0 && sampleRate <= Int.MaxValue,
+            s"WAV with degenerate geometry (ch=$channels rate=$sampleRate): " +
+              s"media_id=${m.media_id}")
         } else if (id == "data") { dataOff = i + 8; dataLen = len }
         i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
       }
       require(sampleRate > 0, s"WAV without fmt chunk: media_id=${m.media_id}")
       require(dataOff >= 0, s"WAV without data chunk: media_id=${m.media_id}")
-      val bytesPerFrame = channels * 2
-      require(dataLen % bytesPerFrame == 0,
-        s"data chunk not frame-aligned: media_id=${m.media_id}")
-      val frames = dataLen / bytesPerFrame
-      var sum = 0L
-      var j = dataOff
-      val end = dataOff + dataLen.toInt
-      while (j < end) { sum += (p(j) & 0xff); j += 1 }
-      MediaFeatures(m.media_id, m.kind, sampleRate.toInt, frames.toInt, channels,
-        p.length.toLong, if (dataLen == 0) 0.0 else sum.toDouble / dataLen)
+      fmtTag match {
+        case 1 =>
+          require(bits == 16,
+            s"only 16-bit PCM supported (bits=$bits): media_id=${m.media_id}")
+          val bytesPerFrame = channels * 2
+          require(dataLen % bytesPerFrame == 0,
+            s"data chunk not frame-aligned: media_id=${m.media_id}")
+          val frames = dataLen / bytesPerFrame
+          var sum = 0L
+          var j = dataOff
+          val end = dataOff + dataLen.toInt
+          while (j < end) { sum += (p(j) & 0xff); j += 1 }
+          MediaFeatures(m.media_id, m.kind, sampleRate.toInt, frames.toInt,
+            channels, p.length.toLong,
+            if (dataLen == 0) 0.0 else sum.toDouble / dataLen)
+        case 6 | 7 =>
+          require(bits == 8,
+            s"G.711 WAV must be 8-bit (bits=$bits): media_id=${m.media_id}")
+          require(dataLen % channels == 0,
+            s"data chunk not frame-aligned: media_id=${m.media_id}")
+          var sum = 0L
+          var j = dataOff
+          val end = dataOff + dataLen.toInt
+          while (j < end) {
+            val s16 = (if (fmtTag == 7) G711.ulawToPcm(p(j))
+                       else G711.alawToPcm(p(j))) & 0xffff
+            sum += (s16 & 0xff) + (s16 >> 8)
+            j += 1
+          }
+          MediaFeatures(m.media_id, m.kind, sampleRate.toInt,
+            (dataLen / channels).toInt, channels, p.length.toLong,
+            if (dataLen == 0) 0.0 else sum.toDouble / (dataLen * 2))
+        case 0x11 =>
+          require(bits == 4,
+            s"IMA ADPCM must be 4-bit (bits=$bits): media_id=${m.media_id}")
+          decodeImaAdpcm(m, p, dataOff, dataLen.toInt, channels,
+            sampleRate.toInt, blockAlign, samplesPerBlock)
+        case t => throw new IllegalArgumentException(
+          s"unsupported WAV format tag $t (want 1 PCM, 6 A-law, 7 mu-law, " +
+            s"17 IMA ADPCM): media_id=${m.media_id}")
+      }
     }
+
+    /** IMA ADPCM block decode. Each block of `blockAlign` bytes carries,
+      * per channel, a 4-byte header (LE s16 predictor — which IS the
+      * block's first output sample — then step index, then a reserved
+      * byte), followed by nibble data in 4-byte-per-channel interleave
+      * groups (8 samples per group, low nibble first). The
+      * samples-per-block declared in the fmt extension must equal the
+      * count the geometry implies — a mismatched file is rejected, not
+      * guessed at (the fuzzer's contract: reject loudly).
+      */
+    private def decodeImaAdpcm(m: Media, p: Array[Byte], dataOff: Int,
+        dataLen: Int, channels: Int, sampleRate: Int, blockAlign: Int,
+        samplesPerBlock: Int): MediaFeatures = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"$msg: media_id=${m.media_id}")
+      val headBytes = 4 * channels
+      if (blockAlign <= headBytes) fail(s"ADPCM blockAlign $blockAlign too small for $channels channel header(s)")
+      val body = blockAlign - headBytes
+      if (body % (4 * channels) != 0)
+        fail(s"ADPCM block body $body not a multiple of the $channels-channel interleave group")
+      val implied = 1 + body * 2 / channels
+      if (samplesPerBlock != implied)
+        fail(s"ADPCM samples-per-block $samplesPerBlock contradicts blockAlign geometry (implies $implied)")
+      if (dataLen % blockAlign != 0)
+        fail(s"ADPCM data ($dataLen bytes) not a whole number of $blockAlign-byte blocks")
+      val nBlocks = dataLen / blockAlign
+      val frames = nBlocks.toLong * samplesPerBlock
+      if (frames > Int.MaxValue) fail(s"ADPCM frame count $frames overflows")
+      val pred = new Array[Int](channels)
+      val idx = new Array[Int](channels)
+      var sum = 0L
+      def emit(c: Int): Unit = { val v = pred(c) & 0xffff; sum += (v & 0xff) + (v >> 8) }
+      def step(c: Int, delta: Int): Unit = {
+        val st = ImaAdpcm.StepTable(idx(c))
+        var diff = st >> 3
+        if ((delta & 4) != 0) diff += st
+        if ((delta & 2) != 0) diff += st >> 1
+        if ((delta & 1) != 0) diff += st >> 2
+        val s = if ((delta & 8) != 0) pred(c) - diff else pred(c) + diff
+        pred(c) = if (s > 32767) 32767 else if (s < -32768) -32768 else s
+        val ni = idx(c) + ImaAdpcm.IndexTable(delta & 7)
+        idx(c) = if (ni < 0) 0 else if (ni > 88) 88 else ni
+        emit(c)
+      }
+      var b = 0
+      while (b < nBlocks) {
+        val o = dataOff + b * blockAlign
+        var c = 0
+        while (c < channels) {
+          val ho = o + 4 * c
+          val raw = (p(ho) & 0xff) | ((p(ho + 1) & 0xff) << 8)
+          pred(c) = (raw << 16) >> 16 // sign-extend LE s16
+          val si = p(ho + 2) & 0xff
+          if (si > 88) fail(s"ADPCM step index $si out of range in block $b")
+          idx(c) = si
+          emit(c)
+          c += 1
+        }
+        var pos = o + headBytes
+        val end = o + blockAlign
+        while (pos < end) {
+          c = 0
+          while (c < channels) {
+            var k = 0
+            while (k < 4) {
+              val by = p(pos + 4 * c + k) & 0xff
+              step(c, by & 0x0f)
+              step(c, by >> 4)
+              k += 1
+            }
+            c += 1
+          }
+          pos += 4 * channels
+        }
+        b += 1
+      }
+      val decodedBytes = frames * channels * 2
+      MediaFeatures(m.media_id, m.kind, sampleRate, frames.toInt, channels,
+        p.length.toLong,
+        if (decodedBytes == 0) 0.0 else sum.toDouble / decodedBytes)
+    }
+  }
+
+  /** ITU-T G.711 expansion, transcribed from the recommendation's
+    * segmented-companding definition (the classic CCITT reference
+    * arithmetic): 8-bit log-companded byte -> 16-bit linear PCM.
+    * Public so the audio spec can bound the WAV path against
+    * javax.sound.sampled's independent ULAW/ALAW converters.
+    */
+  object G711 {
+    /** mu-law byte -> linear (range ±32124). */
+    def ulawToPcm(b: Byte): Int = {
+      val u = (~b) & 0xff
+      val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** A-law byte -> linear (range ±32256). */
+    def alawToPcm(b: Byte): Int = {
+      val a = (b ^ 0x55) & 0xff
+      val seg = (a & 0x70) >> 4
+      var t = (a & 0x0f) << 4
+      t = if (seg == 0) t + 8 else ((t + 0x108) << (seg - 1))
+      if ((a & 0x80) != 0) t else -t
+    }
+  }
+
+  /** IMA/DVI ADPCM quantizer tables (the 89-entry step-size table and
+    * the 8-entry index-adaptation table from the IMA Recommended
+    * Practices document). Public for the spec's round-trip encoder.
+    */
+  object ImaAdpcm {
+    val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    val StepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
   }
 
   /** The resize seam — same contract as [[MediaDecoder]]: constructed

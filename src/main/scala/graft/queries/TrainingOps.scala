@@ -1275,10 +1275,104 @@ object TrainingOps {
       FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin),
     "hash-shuffled packing: chunks packed in deterministic md5 order (reproducible global shuffle, no rand(seed) order dependence) via the same two-pass block prefix sum over the hash domain; per-shard source/doc mixing reported as the decorrelation evidence")
 
+  // ---------------------------------------------------------------------
+  // q115 — exact substring-duplication coverage (ExactSubstr dedup)
+  // ---------------------------------------------------------------------
+
+  /** Substring-LEVEL dedup — the third granularity after whole-doc
+    * (q29) and whole-doc-near (q32/q33/...): what fraction of each
+    * document's token 6-gram POSITIONS also occur verbatim in some
+    * OTHER document. Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better") show this cross-doc repeated-span
+    * mass — boilerplate, licenses, quoted passages — is what doc-level
+    * dedup cannot see and substring dedup should cut; their ExactSubstr
+    * uses a corpus suffix array, which is inherently single-machine.
+    * The distributed rendering here is the standard k-gram inverted
+    * index: a span duplicated across docs with length ≥ k contributes
+    * every one of its k-gram positions, so per-doc duplicated-position
+    * coverage equals duplicated-span coverage up to k-1 tokens of edge
+    * resolution — and candidate generation stays KEYED (gram hash),
+    * never all-pairs, never suffix-sorted.
+    *
+    * Scale shape: tokenized scan → explode 6-gram xxhash64 keys (the
+    * shuffle moves 8-byte hashes, never gram text) → per-(gram,doc)
+    * count (map-side combinable; also the dedup for the distinct-doc
+    * test) → gram-keyed filter ndocs ≥ 2 → doc-keyed sum joined back
+    * to the doc spine. Per-gram fanout after the pre-aggregation is
+    * bounded by document count, not occurrence count, so a
+    * corpus-universal gram (a stop-phrase) cannot produce a hot key
+    * larger than the doc count. Only within-doc repeats of a gram
+    * never seen elsewhere stay "unique" — within-doc repetition is
+    * q73's axis. The oracle groups by the gram STRING; Spark groups by
+    * its xxhash64 (a collision needs ~2^32 distinct grams corpus-wide
+    * to be likely; at that scale the 64-bit risk is the same one the
+    * whole minhash family already carries). The verdict is the exact
+    * integer comparison 2·dup ≥ n, so no float threshold crosses the
+    * engine boundary; dup_frac itself is a single exact-int division.
+    */
+  val q115SubstringDup = Q(
+    "q115_substring_dup",
+    (s, dir) => {
+      val k = 6
+      // localCheckpoint, not persist — the (gram, doc) frame feeds two
+      // branches (the distinct-doc filter and the coverage sum) and a
+      // persist would outlive the query across a bench run (the q106/
+      // q72/q89 leak class). The doc spine needs no second scan: a
+      // doc's total gram positions is the sum of its per-gram counts.
+      val perDocGram = T.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= k)
+        .select(col("doc_id"),
+          explode(expr(
+            s"transform(sequence(1, size(ts) - ${k - 1}), " +
+              s"i -> xxhash64(concat_ws(' ', slice(ts, i, $k))))")).as("gh"))
+        .groupBy(col("gh"), col("doc_id")).agg(count(lit(1)).as("pos"))
+        .localCheckpoint()
+      val spine = perDocGram.groupBy(col("doc_id"))
+        .agg(sum(col("pos")).as("n_grams"))
+      val dupKeys = perDocGram.groupBy(col("gh"))
+        .agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2).select("gh")
+      val dupPos = perDocGram.join(dupKeys, "gh")
+        .groupBy(col("doc_id")).agg(sum(col("pos")).as("dup"))
+      spine.join(dupPos, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_grams").cast("int").as("n_grams"),
+          coalesce(col("dup"), lit(0L)).cast("int").as("dup_grams"))
+        .withColumn("dup_frac",
+          col("dup_grams").cast("double") / col("n_grams"))
+        .withColumn("trim_doc", col("dup_grams") * 2 >= col("n_grams"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id, array_to_string(ts[i:i+5], ' ') AS gram
+        FROM d, UNNEST(generate_series(1, len(ts) - 5)) AS u(i)
+        WHERE len(ts) >= 6),
+      dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      per AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+          SUM(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) AS dup_grams
+        FROM g LEFT JOIN dup ON g.gram = dup.gram
+        GROUP BY g.doc_id)
+      SELECT doc_id,
+        CAST(n_grams AS INTEGER) AS n_grams,
+        CAST(dup_grams AS INTEGER) AS dup_grams,
+        CAST(dup_grams AS DOUBLE) / n_grams AS dup_frac,
+        dup_grams * 2 >= n_grams AS trim_doc
+      FROM per ORDER BY doc_id""".stripMargin),
+    "substring-level dedup coverage (Lee et al. ExactSubstr, k-gram inverted-index rendering): per-doc fraction of token 6-gram positions duplicated verbatim in another doc + integer-exact trim verdict; 8-byte hashed gram keys, per-gram fanout bounded by doc count")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
     q77Decontaminate, q78TokenPacking, q80EvalCarveout, q100ChunkWindows,
     q101ChunkPacking, q102ShuffledPacking, q110SnapshotMerge,
-    q111StarClusters, q112ClusterSafeSplit)
+    q111StarClusters, q112ClusterSafeSplit, q115SubstringDup)
 }

@@ -126,7 +126,22 @@ class DecoderFuzzSpec extends SparkSpec {
     val jpegBytes = encoded("jpeg")
     val avi = aviOf(chunk("00dc", jpegBytes))
     val ppm = "P6 4 3 255\n".getBytes("US-ASCII") ++ randomBytes(36)
-    val valids = Seq(encoded("png"), encoded("gif"), jpegBytes, avi, ppm)
+    // compressed-audio WAVs (round-11 codecs): mu-law and a one-block
+    // mono IMA ADPCM file (any nibble pattern is valid ADPCM data, so
+    // a random body exercises the decode loop, not just the header)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def wavOf(tag: Int, ba: Int, bits: Int, ext: Array[Byte], data: Array[Byte]) = {
+      val fmtBody = le16(tag) ++ le16(1) ++ le32(8000) ++ le32(8000 * ba) ++
+        le16(ba) ++ le16(bits) ++ ext
+      val body = "WAVE".getBytes("US-ASCII") ++ chunk("fmt ", fmtBody) ++
+        chunk("data", data)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val ulawWav = wavOf(7, 1, 8, Array.emptyByteArray, randomBytes(32))
+    val adpcmBody = { val b = randomBytes(12); b(2) = 40; b(3) = 0; b }
+    val adpcmWav = wavOf(0x11, 12, 4, le16(2) ++ le16(17), adpcmBody)
+    val valids = Seq(encoded("png"), encoded("gif"), jpegBytes, avi, ppm,
+      ulawWav, adpcmWav)
     var id = 5000L
     for (v <- valids; _ <- 1 to 200) {
       val m = v.clone()
