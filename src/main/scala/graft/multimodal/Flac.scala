@@ -1,0 +1,404 @@
+package graft.multimodal
+
+/** Hand-rolled FLAC decoder — the lossless compressed-audio format the
+  * multimodal column set was still missing (PCM/G.711/ADPCM ride the
+  * WAV container; MJPEG rides AVI). Implemented from the public xiph
+  * format specification (RFC 9639): metadata block walk, frame sync
+  * with CRC-8-verified headers, subframe types CONSTANT / VERBATIM /
+  * FIXED (orders 0-4) / LPC (arbitrary order, 64-bit accumulator),
+  * Rice-coded residual partitions (4- and 5-bit parameters, raw
+  * escape), wasted-bits shifts, all four channel assignments
+  * (independent, left/side, right/side, mid/side), and the frame
+  * CRC-16 footer. No codec library — a bit reader over the payload
+  * and integer arithmetic.
+  *
+  * Losslessness is SELF-CHECKED: STREAMINFO carries the MD5 of the
+  * raw interleaved PCM, and when present (nonzero) the decoder
+  * recomputes it over its own output and rejects on mismatch — a
+  * decode bug cannot return silently wrong samples.
+  *
+  * Geometry guards (same contract as the BMP/PPM paths): declared
+  * total-sample counts are capped before allocation, because Rice
+  * coding means a few crafted bytes can claim gigabytes of output.
+  */
+object Flac {
+
+  /** Interleaved decoded samples plus stream geometry. */
+  final case class Decoded(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, samples: Array[Int])
+
+  /** Decoded samples per channel may not exceed this (~67M) — an
+    * allocation cap, not a format limit.
+    */
+  val MaxTotalSamples: Long = 1L << 24
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  private final class BitReader(p: Array[Byte], var bytePos: Int) {
+    private var bitPos = 0 // 0..7, MSB first
+
+    def readBit(): Int = {
+      if (bytePos >= p.length) fail("FLAC bitstream truncated")
+      val b = (p(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      b
+    }
+
+    def readBits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+
+    def readBitsLong(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+
+    def readSigned(n: Int): Int =
+      if (n == 0) 0 else { val v = readBits(n); (v << (32 - n)) >> (32 - n) }
+
+    /** FLAC unary: count of 0 bits before the terminating 1. */
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) {
+        q += 1
+        if (q > (1 << 24)) fail("FLAC unary run exceeds any sane quotient")
+      }
+      q
+    }
+
+    def alignToByte(): Unit =
+      if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+
+    def atByteBoundary: Boolean = bitPos == 0
+  }
+
+  // CRC-8, polynomial x^8 + x^2 + x^1 + x^0 (0x07), init 0 — frame headers.
+  def crc8(p: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (p(i) & 0xff)
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // CRC-16, polynomial x^16 + x^15 + x^2 + x^0 (0x8005), init 0 — whole frame.
+  def crc16(p: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (p(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** UTF-8-style extended number (frame/sample index, up to 36 bits). */
+  private def readUtf8Number(br: BitReader): Long = {
+    val b0 = br.readBits(8)
+    val cont =
+      if ((b0 & 0x80) == 0) return b0.toLong
+      else if ((b0 & 0xe0) == 0xc0) 1
+      else if ((b0 & 0xf0) == 0xe0) 2
+      else if ((b0 & 0xf8) == 0xf0) 3
+      else if ((b0 & 0xfc) == 0xf8) 4
+      else if ((b0 & 0xfe) == 0xfc) 5
+      else if (b0 == 0xfe) 6
+      else fail(s"invalid FLAC UTF-8 number lead byte 0x${b0.toHexString}")
+    var v = (b0 & (0x7f >> cont)).toLong
+    var i = 0
+    while (i < cont) {
+      val b = br.readBits(8)
+      if ((b & 0xc0) != 0x80) fail("invalid FLAC UTF-8 continuation byte")
+      v = (v << 6) | (b & 0x3f)
+      i += 1
+    }
+    v
+  }
+
+  private val SampleRateTable = Array(
+    -1, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+    32000, 44100, 48000, 96000)
+
+  /** Decode one subframe into `out` (length = blocksize). */
+  private def decodeSubframe(br: BitReader, blocksize: Int, bps: Int,
+      out: Array[Int]): Unit = {
+    if (br.readBit() != 0) fail("FLAC subframe padding bit set")
+    val tpe = br.readBits(6)
+    var wasted = 0
+    if (br.readBit() == 1) wasted = br.readUnary() + 1
+    val eb = bps - wasted
+    if (eb < 0) fail(s"FLAC wasted bits $wasted exceed sample width $bps")
+    tpe match {
+      case 0 => // CONSTANT
+        val v = br.readSigned(eb)
+        java.util.Arrays.fill(out, 0, blocksize, v)
+      case 1 => // VERBATIM
+        var i = 0
+        while (i < blocksize) { out(i) = br.readSigned(eb); i += 1 }
+      case t if t >= 8 && t <= 12 => // FIXED, order 0-4
+        val order = t - 8
+        if (order > blocksize) fail("FLAC fixed order exceeds blocksize")
+        var i = 0
+        while (i < order) { out(i) = br.readSigned(eb); i += 1 }
+        decodeResidual(br, blocksize, order, out)
+        // polynomial predictors, applied in-place over the residuals
+        order match {
+          case 0 => ()
+          case 1 =>
+            i = 1
+            while (i < blocksize) { out(i) += out(i - 1); i += 1 }
+          case 2 =>
+            i = 2
+            while (i < blocksize) { out(i) += 2 * out(i - 1) - out(i - 2); i += 1 }
+          case 3 =>
+            i = 3
+            while (i < blocksize) {
+              out(i) += 3 * out(i - 1) - 3 * out(i - 2) + out(i - 3); i += 1
+            }
+          case _ =>
+            i = 4
+            while (i < blocksize) {
+              out(i) += 4 * out(i - 1) - 6 * out(i - 2) + 4 * out(i - 3) - out(i - 4)
+              i += 1
+            }
+        }
+      case t if t >= 32 => // LPC, order 1-32
+        val order = (t & 31) + 1
+        if (order > blocksize) fail("FLAC LPC order exceeds blocksize")
+        var i = 0
+        while (i < order) { out(i) = br.readSigned(eb); i += 1 }
+        val precision = br.readBits(4) + 1
+        if (precision == 16) fail("FLAC LPC precision code 1111 is invalid")
+        val shift = br.readSigned(5)
+        if (shift < 0) fail("FLAC negative LPC shift")
+        val coefs = Array.fill(order)(br.readSigned(precision))
+        decodeResidual(br, blocksize, order, out)
+        i = order
+        while (i < blocksize) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j).toLong * out(i - 1 - j); j += 1 }
+          out(i) += (acc >> shift).toInt
+          i += 1
+        }
+      case t => fail(s"reserved FLAC subframe type code $t")
+    }
+    if (wasted > 0) {
+      var i = 0
+      while (i < blocksize) { out(i) <<= wasted; i += 1 }
+    }
+  }
+
+  /** Rice-partitioned residual into out(predOrder until blocksize). */
+  private def decodeResidual(br: BitReader, blocksize: Int, predOrder: Int,
+      out: Array[Int]): Unit = {
+    val method = br.readBits(2)
+    if (method > 1) fail(s"reserved FLAC residual coding method $method")
+    val paramBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 15 else 31
+    val pOrder = br.readBits(4)
+    val nParts = 1 << pOrder
+    if (blocksize % nParts != 0)
+      fail(s"FLAC blocksize $blocksize not divisible into $nParts partitions")
+    val perPart = blocksize / nParts
+    if (perPart < predOrder)
+      fail("FLAC first partition shorter than the predictor order")
+    var idx = predOrder
+    var part = 0
+    while (part < nParts) {
+      val n = if (part == 0) perPart - predOrder else perPart
+      val param = br.readBits(paramBits)
+      if (param == escape) {
+        val raw = br.readBits(5)
+        var i = 0
+        while (i < n) { out(idx) = br.readSigned(raw); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < n) {
+          val q = br.readUnary()
+          val r = if (param == 0) 0 else br.readBits(param)
+          val u = (q.toLong << param) | r
+          out(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // zigzag
+          idx += 1; i += 1
+        }
+      }
+      part += 1
+    }
+  }
+
+  /** Full-stream decode: "fLaC" magic, metadata walk, every frame. */
+  def decode(p: Array[Byte]): Decoded = {
+    if (p.length < 42 || p(0) != 'f' || p(1) != 'L' || p(2) != 'a' || p(3) != 'C')
+      fail("not a FLAC stream (missing fLaC magic)")
+    // metadata blocks; STREAMINFO is mandatory and first
+    var pos = 4
+    def u24(off: Int) =
+      ((p(off) & 0xff) << 16) | ((p(off + 1) & 0xff) << 8) | (p(off + 2) & 0xff)
+    var last = false
+    var first = true
+    var sampleRate = -1; var channels = -1; var bps = -1
+    var totalSamples = -1L
+    var md5 = Array.emptyByteArray
+    while (!last) {
+      if (pos + 4 > p.length) fail("FLAC metadata block header truncated")
+      last = (p(pos) & 0x80) != 0
+      val tpe = p(pos) & 0x7f
+      val len = u24(pos + 1)
+      if (pos + 4 + len > p.length) fail("FLAC metadata block overruns payload")
+      if (first) {
+        if (tpe != 0 || len != 34) fail("FLAC stream must open with a 34-byte STREAMINFO")
+        val o = pos + 4
+        // skip min/max blocksize (4B) + min/max framesize (6B)
+        val b = o + 10
+        sampleRate = ((p(b) & 0xff) << 12) | ((p(b + 1) & 0xff) << 4) | ((p(b + 2) & 0xff) >> 4)
+        channels = ((p(b + 2) >> 1) & 0x7) + 1
+        bps = (((p(b + 2) & 1) << 4) | ((p(b + 3) & 0xff) >> 4)) + 1
+        totalSamples = ((p(b + 3) & 0xfL) << 32) | ((p(b + 4) & 0xffL) << 24) |
+          ((p(b + 5) & 0xffL) << 16) | ((p(b + 6) & 0xffL) << 8) | (p(b + 7) & 0xffL)
+        md5 = java.util.Arrays.copyOfRange(p, o + 18, o + 34)
+        first = false
+      }
+      pos += 4 + len
+    }
+    if (sampleRate <= 0) fail("FLAC STREAMINFO with zero sample rate")
+    if (totalSamples > MaxTotalSamples)
+      fail(s"FLAC declares $totalSamples samples — over this decoder's allocation cap")
+    if (bps != 8 && bps != 16 && bps != 24)
+      fail(s"unsupported FLAC bits-per-sample $bps (want 8/16/24)")
+
+    val out = new scala.collection.mutable.ArrayBuffer[Int](
+      math.min(if (totalSamples > 0) totalSamples * channels else 1L << 12,
+        1L << 20).toInt)
+    val br = new BitReader(p, pos)
+    val chBuf = Array.ofDim[Int](channels, 65536)
+    var decoded = 0L
+    while ((totalSamples <= 0 || decoded < totalSamples) && br.bytePos < p.length - 1) {
+      val frameStart = br.bytePos
+      if (!br.atByteBoundary) fail("FLAC frame not byte-aligned")
+      if (br.readBits(14) != 0x3ffe) fail(s"FLAC frame sync lost at byte $frameStart")
+      if (br.readBit() != 0) fail("FLAC reserved frame-header bit set")
+      br.readBit() // blocking strategy — frame ordinal, not needed for decode
+      val bsCode = br.readBits(4)
+      val srCode = br.readBits(4)
+      val chanAsgn = br.readBits(4)
+      val ssCode = br.readBits(3)
+      if (br.readBit() != 0) fail("FLAC reserved frame-header bit set")
+      readUtf8Number(br)
+      val blocksize = bsCode match {
+        case 0 => fail("reserved FLAC blocksize code 0")
+        case 1 => 192
+        case c if c <= 5 => 576 << (c - 2)
+        case 6 => br.readBits(8) + 1
+        case 7 => br.readBits(16) + 1
+        case c => 256 << (c - 8)
+      }
+      srCode match {
+        case 0 => ()
+        case c if c <= 11 =>
+          if (SampleRateTable(c) != sampleRate) fail("FLAC frame sample rate contradicts STREAMINFO")
+        case 12 => br.readBits(8)
+        case 13 | 14 => br.readBits(16)
+        case _ => fail("invalid FLAC frame sample-rate code 15")
+      }
+      val nCh = if (chanAsgn < 8) chanAsgn + 1
+        else if (chanAsgn <= 10) 2
+        else fail(s"reserved FLAC channel assignment $chanAsgn")
+      if (nCh != channels) fail("FLAC frame channel count contradicts STREAMINFO")
+      val frameBps = ssCode match {
+        case 0 => bps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case _ => fail(s"reserved FLAC sample-size code $ssCode")
+      }
+      if (frameBps != bps) fail("FLAC frame sample size contradicts STREAMINFO")
+      if (!br.atByteBoundary) fail("FLAC header UTF-8/extras left a bit offset")
+      val declaredCrc8 = { val c = crc8(p, frameStart, br.bytePos); val d = br.readBits(8); (c, d) }
+      if (declaredCrc8._1 != declaredCrc8._2)
+        fail(s"FLAC frame header CRC-8 mismatch at byte $frameStart")
+      if (blocksize > 65536) fail(s"FLAC blocksize $blocksize over spec maximum")
+      if (decoded + blocksize > MaxTotalSamples)
+        fail("FLAC frames exceed this decoder's allocation cap")
+      var c = 0
+      while (c < nCh) {
+        val sideBit = chanAsgn match {
+          case 8 => if (c == 1) 1 else 0 // left/side
+          case 9 => if (c == 0) 1 else 0 // side/right
+          case 10 => if (c == 1) 1 else 0 // mid/side
+          case _ => 0
+        }
+        decodeSubframe(br, blocksize, bps + sideBit, chBuf(c))
+        c += 1
+      }
+      br.alignToByte()
+      val computedCrc16 = crc16(p, frameStart, br.bytePos)
+      if (computedCrc16 != br.readBits(16))
+        fail(s"FLAC frame CRC-16 mismatch at byte $frameStart")
+      // undo inter-channel decorrelation
+      chanAsgn match {
+        case 8 => // left/side: right = left - side
+          var i = 0
+          while (i < blocksize) { chBuf(1)(i) = chBuf(0)(i) - chBuf(1)(i); i += 1 }
+        case 9 => // side/right: left = side + right
+          var i = 0
+          while (i < blocksize) { chBuf(0)(i) = chBuf(0)(i) + chBuf(1)(i); i += 1 }
+        case 10 => // mid/side
+          var i = 0
+          while (i < blocksize) {
+            val side = chBuf(1)(i)
+            val mid = (chBuf(0)(i) << 1) | (side & 1)
+            chBuf(0)(i) = (mid + side) >> 1
+            chBuf(1)(i) = (mid - side) >> 1
+            i += 1
+          }
+        case _ => ()
+      }
+      var i = 0
+      while (i < blocksize) {
+        c = 0
+        while (c < nCh) { out += chBuf(c)(i); c += 1 }
+        i += 1
+      }
+      decoded += blocksize
+    }
+    if (totalSamples > 0 && decoded != totalSamples)
+      fail(s"FLAC stream ended after $decoded of $totalSamples samples")
+    val samples = out.toArray
+    // losslessness self-check against the STREAMINFO PCM MD5
+    if (md5.exists(_ != 0)) {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+      val bytesPer = bps / 8
+      val buf = new Array[Byte](samples.length * bytesPer)
+      var j = 0
+      var i = 0
+      while (i < samples.length) {
+        var b = 0
+        while (b < bytesPer) { buf(j) = ((samples(i) >> (8 * b)) & 0xff).toByte; j += 1; b += 1 }
+        i += 1
+      }
+      dig.update(buf)
+      if (!java.util.Arrays.equals(dig.digest(), md5))
+        fail("FLAC PCM MD5 mismatch — decode is not bit-exact")
+    }
+    Decoded(sampleRate, channels, bps, samples)
+  }
+}

@@ -199,8 +199,36 @@ object Multimodal {
         decodeJpeg(m)
       else if (p.length >= 2 && p(0) == 'P' && p(1) == '6') decodePpm(m)
       else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(m)
+      else if (p.length >= 4 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C')
+        decodeFlac(m)
       else throw new IllegalArgumentException(
-        s"unsupported media container (want P6 PPM, BM BMP, PNG, GIF, JPEG, RIFF WAV or RIFF AVI/MJPEG): media_id=${m.media_id}")
+        s"unsupported media container (want P6 PPM, BM BMP, PNG, GIF, JPEG, fLaC, RIFF WAV or RIFF AVI/MJPEG): media_id=${m.media_id}")
+    }
+
+    /** FLAC — the lossless compressed-audio path (full decoder in
+      * [[Flac]]: Rice-coded residuals, fixed + LPC predictors, stereo
+      * decorrelation, CRC-8/16 checks, STREAMINFO-MD5 losslessness
+      * self-check). Feature mapping and decoded-byte mean follow the
+      * WAV contract: width = sample rate, height = frames per channel,
+      * mean_byte over the decoded little-endian sample bytes.
+      */
+    private def decodeFlac(m: Media): MediaFeatures = {
+      val d = try Flac.decode(m.payload) catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"${e.getMessage}: media_id=${m.media_id}")
+      }
+      val bytesPer = d.bitsPerSample / 8
+      var sum = 0L
+      var i = 0
+      while (i < d.samples.length) {
+        var b = 0
+        while (b < bytesPer) { sum += (d.samples(i) >> (8 * b)) & 0xff; b += 1 }
+        i += 1
+      }
+      val n = d.samples.length.toLong * bytesPer
+      MediaFeatures(m.media_id, m.kind, d.sampleRate,
+        d.samples.length / d.channels, d.channels, m.payload.length.toLong,
+        if (n == 0) 0.0 else sum.toDouble / n)
     }
 
     /** Motion-JPEG in AVI (RIFF form 'AVI ') — the video modality,

@@ -103,6 +103,7 @@ class DecoderFuzzSpec extends SparkSpec {
       "BM".getBytes("US-ASCII"),
       "RIFF1234WAVE".getBytes("US-ASCII"),
       "RIFF1234AVI ".getBytes("US-ASCII"),
+      "fLaC".getBytes("US-ASCII"),
       Array.emptyByteArray) // sniffer itself
     var id = 1000L
     for (m <- magics; size <- Seq(0, 3, 64, 4096); _ <- 1 to 25) {
@@ -140,8 +141,39 @@ class DecoderFuzzSpec extends SparkSpec {
     val ulawWav = wavOf(7, 1, 8, Array.emptyByteArray, randomBytes(32))
     val adpcmBody = { val b = randomBytes(12); b(2) = 40; b(3) = 0; b }
     val adpcmWav = wavOf(0x11, 12, 4, le16(2) ++ le16(17), adpcmBody)
+    // a valid FLAC stream (verbatim subframe so any PCM is encodable
+    // without a predictor): STREAMINFO + one 16-sample mono frame
+    val flacFixture: Array[Byte] = {
+      val bits = new java.io.ByteArrayOutputStream()
+      var cur = 0; var n = 0
+      def wb(v: Long, w: Int): Unit = {
+        var i = w - 1
+        while (i >= 0) {
+          cur = (cur << 1) | ((v >> i) & 1L).toInt; n += 1
+          if (n == 8) { bits.write(cur); cur = 0; n = 0 }
+          i -= 1
+        }
+      }
+      val pcm = Array.tabulate(16)(i => (i * 731 - 4000) & 0xffff)
+      wb(0x664c6143L, 32) // fLaC
+      wb(1, 1); wb(0, 7); wb(34, 24)
+      wb(16, 16); wb(16, 16); wb(0, 24); wb(0, 24)
+      wb(8000, 20); wb(0, 3); wb(15, 5); wb(16, 36)
+      for (_ <- 0 until 16) wb(0, 8) // md5 zero -> self-check skipped
+      val head = bits.size
+      wb(0x3ffe, 14); wb(0, 1); wb(0, 1); wb(7, 4); wb(0, 4); wb(0, 4); wb(4, 3); wb(0, 1)
+      wb(0, 8); wb(15, 16) // frame 0, blocksize-1
+      wb(Flac.crc8(bits.toByteArray, head, bits.size), 8)
+      wb(0, 1); wb(1, 6); wb(0, 1) // VERBATIM subframe
+      pcm.foreach(v => wb(v, 16))
+      // verbatim 16x16 bits stays byte-aligned; frame CRC
+      wb(Flac.crc16(bits.toByteArray, head, bits.size), 16)
+      bits.toByteArray
+    }
+    assert(new ImageFileDecoder().decode(Media(4999L, "audio", flacFixture)).height == 16,
+      "fuzz FLAC fixture must itself be valid")
     val valids = Seq(encoded("png"), encoded("gif"), jpegBytes, avi, ppm,
-      ulawWav, adpcmWav)
+      ulawWav, adpcmWav, flacFixture)
     var id = 5000L
     for (v <- valids; _ <- 1 to 200) {
       val m = v.clone()

@@ -1,0 +1,250 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal._
+
+/** Round-trip contract for the hand-rolled FLAC decoder: an in-test
+  * FLAC ENCODER (fixed predictors, Rice residuals, all three stereo
+  * decorrelation modes, real CRC-8/16 and STREAMINFO MD5) produces
+  * streams the decoder must reproduce BIT-EXACTLY — FLAC is lossless,
+  * so unlike the JPEG tolerance bound this equality is absolute. The
+  * decoder additionally self-checks against the embedded PCM MD5, so
+  * a corrupt stream cannot decode silently.
+  */
+class FlacCodecSpec extends SparkSpec {
+
+  // ---- minimal FLAC encoder (test-side reference implementation) ----
+
+  private final class BitWriter {
+    val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def writeBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nbits += 1
+      if (nbits == 8) { buf.write(cur); cur = 0; nbits = 0 }
+    }
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit(((v >> i) & 1L).toInt); i -= 1 }
+    }
+    def align(): Unit = while (nbits != 0) writeBit(0)
+    def size: Int = { require(nbits == 0, "unaligned"); buf.size }
+    def bytes: Array[Byte] = { require(nbits == 0, "unaligned"); buf.toByteArray }
+  }
+
+  private def zigzag(v: Int): Long = ((v.toLong << 1) ^ (v.toLong >> 63)) & 0xffffffffL
+
+  /** Write one subframe: fixed predictor of the given order, single
+    * Rice partition with a cost-chosen parameter.
+    */
+  private def writeSubframe(w: BitWriter, xs: Array[Int], order: Int, bps: Int): Unit = {
+    w.writeBit(0)
+    w.writeBits(8 + order, 6) // FIXED, order 0-2 used here
+    w.writeBit(0) // no wasted bits
+    for (i <- 0 until order) w.writeBits(xs(i).toLong & ((1L << bps) - 1), bps)
+    val res = new Array[Int](xs.length - order)
+    for (i <- order until xs.length) {
+      res(i - order) = order match {
+        case 0 => xs(i)
+        case 1 => xs(i) - xs(i - 1)
+        case 2 => xs(i) - 2 * xs(i - 1) + xs(i - 2)
+      }
+    }
+    val p = (0 to 14).minBy(p => res.map(r => (zigzag(r) >>> p) + 1 + p).sum)
+    w.writeBits(0, 2) // 4-bit Rice parameters
+    w.writeBits(0, 4) // partition order 0
+    w.writeBits(p, 4)
+    res.foreach { r =>
+      val u = zigzag(r)
+      val q = (u >>> p).toInt
+      require(q < (1 << 20), s"rice quotient $q blew up — pick a better order")
+      for (_ <- 0 until q) w.writeBit(0)
+      w.writeBit(1)
+      if (p > 0) w.writeBits(u & ((1L << p) - 1), p)
+    }
+  }
+
+  private def writeUtf8(w: BitWriter, v: Long): Unit = {
+    require(v < 0x80, "test frames stay below 128") // 1-byte form suffices
+    w.writeBits(v, 8)
+  }
+
+  /** Encode 16-bit channels as a FLAC stream.
+    * stereoMode: -1 independent, 8 left/side, 9 right/side, 10 mid/side.
+    */
+  private def encodeFlac(chans: Array[Array[Int]], sampleRate: Int,
+      blocksize: Int, stereoMode: Int = -1): Array[Byte] = {
+    val nCh = chans.length
+    val total = chans(0).length
+    val bps = 16
+    val md5 = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val b = new Array[Byte](total * nCh * 2)
+      var j = 0
+      for (i <- 0 until total; c <- 0 until nCh) {
+        b(j) = (chans(c)(i) & 0xff).toByte
+        b(j + 1) = ((chans(c)(i) >> 8) & 0xff).toByte
+        j += 2
+      }
+      d.digest(b)
+    }
+    val w = new BitWriter
+    w.writeBits(0x664c6143L, 32) // fLaC
+    w.writeBits(1, 1); w.writeBits(0, 7); w.writeBits(34, 24) // last, STREAMINFO
+    val lastBs = if (total % blocksize == 0) blocksize else total % blocksize
+    w.writeBits(math.min(blocksize, lastBs), 16)
+    w.writeBits(blocksize, 16)
+    w.writeBits(0, 24); w.writeBits(0, 24) // frame sizes unknown
+    w.writeBits(sampleRate, 20)
+    w.writeBits(nCh - 1, 3)
+    w.writeBits(bps - 1, 5)
+    w.writeBits(total.toLong, 36)
+    md5.foreach(b => w.writeBits(b & 0xffL, 8))
+
+    var pos = 0
+    var frameNo = 0L
+    while (pos < total) {
+      val bs = math.min(blocksize, total - pos)
+      val frameStart = w.size
+      w.writeBits(0x3ffe, 14); w.writeBit(0); w.writeBit(0) // sync, fixed-bs
+      w.writeBits(7, 4) // 16-bit explicit blocksize
+      w.writeBits(0, 4) // sample rate from STREAMINFO
+      val chanAsgn = if (stereoMode >= 0) stereoMode else nCh - 1
+      w.writeBits(chanAsgn, 4)
+      w.writeBits(4, 3) // 16-bit samples
+      w.writeBit(0)
+      writeUtf8(w, frameNo)
+      w.writeBits(bs - 1, 16)
+      w.writeBits(Flac.crc8(w.bytes, frameStart, w.size), 8)
+      // derive the coded channels for this block
+      val coded: Array[(Array[Int], Int)] = if (stereoMode < 0) {
+        chans.map(ch => (ch.slice(pos, pos + bs), bps))
+      } else {
+        val l = chans(0).slice(pos, pos + bs)
+        val r = chans(1).slice(pos, pos + bs)
+        val side = Array.tabulate(bs)(i => l(i) - r(i))
+        stereoMode match {
+          case 8 => Array((l, bps), (side, bps + 1))
+          case 9 => Array((side, bps + 1), (r, bps))
+          case 10 =>
+            val mid = Array.tabulate(bs)(i => (l(i) + r(i)) >> 1)
+            Array((mid, bps), (side, bps + 1))
+        }
+      }
+      coded.foreach { case (xs, b) =>
+        val order = if (xs.length >= 3) 2 else 0
+        writeSubframe(w, xs, order, b)
+      }
+      w.align()
+      w.writeBits(Flac.crc16(w.bytes, frameStart, w.size), 16)
+      pos += bs
+      frameNo += 1
+    }
+    w.bytes
+  }
+
+  private def sig(n: Int, seed: Int): Array[Int] =
+    Array.tabulate(n)(i => ((i * (331 + seed)) % 4001) - 2000 + (i % 11) * (17 + seed))
+
+  test("FLAC mono round-trip is bit-exact (fixed predictors, Rice residuals, short last block)") {
+    val xs = sig(1000, 0) // blocksize 256 -> 3 full frames + a 232 last block
+    val flac = encodeFlac(Array(xs), 22050, 256)
+    val d = Flac.decode(flac)
+    assert(d.sampleRate == 22050 && d.channels == 1 && d.bitsPerSample == 16)
+    assert(d.samples.toSeq == xs.toSeq, "lossless means EXACT")
+  }
+
+  test("FLAC stereo round-trips bit-exactly in all four channel assignments") {
+    val l = sig(600, 1)
+    val r = sig(600, 5)
+    for (mode <- Seq(-1, 8, 9, 10)) {
+      val flac = encodeFlac(Array(l, r), 44100, 192, mode)
+      val d = Flac.decode(flac)
+      assert(d.channels == 2, s"mode $mode")
+      val (gotL, gotR) = d.samples.zipWithIndex.partition(_._2 % 2 == 0)
+      assert(gotL.map(_._1).toSeq == l.toSeq, s"left channel, mode $mode")
+      assert(gotR.map(_._1).toSeq == r.toSeq, s"right channel, mode $mode")
+    }
+  }
+
+  test("FLAC features ride the shared media schema through ImageFileDecoder") {
+    val xs = sig(500, 3)
+    val flac = encodeFlac(Array(xs), 8000, 250)
+    val f = new ImageFileDecoder().decode(Media(90L, "audio", flac))
+    assert(f.width == 8000 && f.height == 500 && f.channels == 1)
+    val expected = xs.map { s =>
+      val v = s & 0xffff; (v & 0xff) + (v >> 8)
+    }.sum.toDouble / (500 * 2)
+    assert(f.mean_byte == expected)
+  }
+
+  test("FLAC corruption is rejected loudly: CRC, MD5, truncation, bad magic") {
+    val xs = sig(400, 2)
+    val flac = encodeFlac(Array(xs), 8000, 200)
+    def reject(bytes: Array[Byte], msgPart: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Flac.decode(bytes) }
+      assert(e.getMessage.contains(msgPart), s"got: ${e.getMessage}")
+    }
+    // flip a bit inside the first frame body (past STREAMINFO's 42
+    // bytes + frame header) -> rejected loudly; usually the frame
+    // CRC-16, but a flip that derails the Rice bitstream first may
+    // surface as a unary-run or truncation failure — all are the same
+    // loud-rejection contract
+    val bodyFlip = flac.clone()
+    bodyFlip(60) = (bodyFlip(60) ^ 0x10).toByte
+    val e = intercept[IllegalArgumentException] { Flac.decode(bodyFlip) }
+    assert(Seq("CRC", "truncated", "unary", "sync").exists(e.getMessage.contains),
+      s"got: ${e.getMessage}")
+    // corrupt the stored MD5 -> the losslessness self-check fires
+    val md5Flip = flac.clone()
+    md5Flip(30) = (md5Flip(30) ^ 0x01).toByte // inside STREAMINFO md5
+    reject(md5Flip, "MD5 mismatch")
+    reject(flac.dropRight(7), "truncated")
+    reject("fLaX".getBytes("US-ASCII") ++ flac.drop(4), "fLaC magic")
+    // declared-sample-count bomb: huge STREAMINFO total must be capped
+    // BEFORE any allocation (bytes 21..25 hold the 36-bit total)
+    val bomb = flac.clone()
+    bomb(21) = (bomb(21) | 0x0f).toByte; bomb(22) = 0xff.toByte
+    reject(bomb, "allocation cap")
+  }
+
+  test("FLAC LPC subframes decode: hand-built order-1 LPC stream round-trips") {
+    // the in-test encoder emits FIXED subframes; build one LPC frame by
+    // hand to pin the LPC path (order 1, coef 1 -> same as fixed order
+    // 1, but through the LPC header/precision/shift machinery)
+    val xs = sig(64, 7)
+    val w = new BitWriter
+    w.writeBits(0x664c6143L, 32)
+    w.writeBits(1, 1); w.writeBits(0, 7); w.writeBits(34, 24)
+    w.writeBits(64, 16); w.writeBits(64, 16)
+    w.writeBits(0, 24); w.writeBits(0, 24)
+    w.writeBits(8000, 20); w.writeBits(0, 3); w.writeBits(15, 5)
+    w.writeBits(64, 36)
+    for (_ <- 0 until 16) w.writeBits(0, 8) // md5 zero -> self-check skipped
+    val fs = w.size
+    w.writeBits(0x3ffe, 14); w.writeBit(0); w.writeBit(0)
+    w.writeBits(7, 4); w.writeBits(0, 4); w.writeBits(0, 4); w.writeBits(4, 3); w.writeBit(0)
+    w.writeBits(0, 8) // frame 0
+    w.writeBits(63, 16)
+    w.writeBits(Flac.crc8(w.bytes, fs, w.size), 8)
+    w.writeBit(0); w.writeBits(32, 6); w.writeBit(0) // LPC order 1
+    w.writeBits(xs(0).toLong & 0xffff, 16) // warmup
+    w.writeBits(14, 4) // precision 15
+    w.writeBits(0, 5) // shift 0
+    w.writeBits(1L, 15) // coefficient +1
+    w.writeBits(0, 2); w.writeBits(0, 4) // rice4, 1 partition
+    val res = (1 until 64).map(i => xs(i) - xs(i - 1))
+    val p = (0 to 14).minBy(p => res.map(r => (zigzag(r) >>> p) + 1 + p).sum)
+    w.writeBits(p, 4)
+    res.foreach { r =>
+      val u = zigzag(r)
+      for (_ <- 0 until (u >>> p).toInt) w.writeBit(0)
+      w.writeBit(1)
+      if (p > 0) w.writeBits(u & ((1L << p) - 1), p)
+    }
+    w.align()
+    w.writeBits(Flac.crc16(w.bytes, fs, w.size), 16)
+    val d = Flac.decode(w.bytes)
+    assert(d.samples.toSeq == xs.toSeq, "LPC(1, coef=1, shift=0) ≡ fixed order 1")
+  }
+}

@@ -278,4 +278,50 @@ class TrainingOpsSpec extends SparkSpec {
     }
     assert(pairs.nonEmpty)
   }
+
+  test("q115 counts every position of a planted cross-doc span; within-doc repeats stay unique") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q115").toString
+    // k=6. docs 1/2 share exactly ONE 6-gram ("p q r s t u": doc1
+    // position 1, doc2 position 2); doc 3 repeats its own 6-gram three
+    // times but shares nothing cross-doc (q73's axis, not q115's);
+    // docs 4/5 are verbatim copies of each other (every position
+    // duplicated -> trim); doc 6 is below the gram length and must be
+    // excluded on both engines.
+    Seq(
+      (1L, "p q r s t u v w", "en", "s1"),
+      (2L, "z p q r s t u y", "en", "s1"),
+      (3L, "a b c d e f a b c d e f a b c d e f", "en", "s2"),
+      (4L, "m n o h i j k l", "en", "s2"),
+      (5L, "m n o h i j k l", "en", "s2"),
+      (6L, "x1 x2 x3 x4 x5", "en", "s2"))
+      .map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rs = TrainingOps.q115SubstringDup.fn(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(4)))
+    assert(rs === Seq(
+      (1L, 3, 1, false),
+      (2L, 3, 1, false),
+      (3L, 13, 0, false),
+      (4L, 3, 3, true),
+      (5L, 3, 3, true)))
+  }
+
+  test("q115 shuffles 8-byte hashed gram keys, never gram text") {
+    val df = TrainingOps.q115SubstringDup.fn(spark, sf)
+    df.collect() // materialize so the executed plan (incl. AQE) is final
+    val plan = df.queryExecution.executedPlan.toString
+    // (the gram DERIVATION — explode + xxhash64 — lives behind the
+    // eager localCheckpoint and is not part of this executed plan; what
+    // must hold downstream is that every gram-keyed exchange moves the
+    // 8-byte hash column, and nothing reassembles gram text)
+    assert(plan.contains("hashpartitioning(gh#"),
+      "the gram-keyed exchanges must partition on the hashed key column")
+    val gramFieldInExchange = "Exchange[^\\n]*concat_ws".r.findFirstIn(plan)
+    assert(gramFieldInExchange.isEmpty,
+      s"an exchange carries gram text: $gramFieldInExchange")
+    assert(!plan.contains("concat_ws"),
+      "no stage above the checkpoint may reassemble gram strings")
+  }
 }
