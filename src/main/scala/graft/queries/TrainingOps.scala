@@ -1369,10 +1369,95 @@ object TrainingOps {
       FROM per ORDER BY doc_id""".stripMargin),
     "substring-level dedup coverage (Lee et al. ExactSubstr, k-gram inverted-index rendering): per-doc fraction of token 6-gram positions duplicated verbatim in another doc + integer-exact trim verdict; 8-byte hashed gram keys, per-gram fanout bounded by doc count")
 
+  // ---------------------------------------------------------------------
+  // q116 — duplicated-span localization (the substring CUT plan)
+  // ---------------------------------------------------------------------
+
+  /** q115 tells which docs carry duplicated mass; this query tells
+    * WHERE — the longest contiguous run of duplicated 6-gram positions
+    * per document, as (start, length). Lee et al.'s ExactSubstr removes
+    * the duplicated SUBSTRING and keeps the rest of the document, so
+    * the operator a curation pipeline actually executes needs span
+    * boundaries, not a per-doc verdict: a run of L consecutive
+    * duplicated gram positions pins a duplicated token span of
+    * L + k - 1 tokens starting at the run start.
+    *
+    * Rendering: duplicated positions (same inverted-index derivation
+    * as q115, positions retained) → gaps-and-islands with the
+    * row-number difference trick — island id = pos - row_number, a
+    * doc-keyed window (never global) — → per-island (length, start) →
+    * per-doc argmax with the deterministic tie rule (longest, then
+    * leftmost). Every shuffle is gram-hash- or doc-keyed; windows are
+    * per-doc sequences bounded by document length.
+    */
+  val q116DupSpanLocalize = Q(
+    "q116_dup_span_localize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 6
+      val grams = T.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= k)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(1, size(ts) - ${k - 1}), " +
+              s"i -> xxhash64(concat_ws(' ', slice(ts, i, $k))))")))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gh"))
+        .localCheckpoint()
+      val dupKeys = grams.groupBy(col("gh"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("gh")
+      val isl = grams.join(dupKeys, "gh")
+        .select(col("doc_id"), col("i"))
+        .withColumn("isl",
+          col("i") - row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      val runs = isl.groupBy(col("doc_id"), col("isl"))
+        .agg(count(lit(1)).cast("int").as("run_len"),
+          min(col("i")).cast("int").as("run_start"))
+      runs.withColumn("rn",
+          row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("run_len").desc, col("run_start"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("run_len"), col("run_start"),
+          (col("run_len") + (k - 1)).as("span_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id, i, array_to_string(ts[i:i+5], ' ') AS gram
+        FROM d, UNNEST(generate_series(1, len(ts) - 5)) AS u(i)
+        WHERE len(ts) >= 6),
+      dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      dp AS (SELECT g.doc_id, g.i FROM g JOIN dup ON g.gram = dup.gram),
+      isl AS (
+        SELECT doc_id, i,
+          i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        FROM dp),
+      runs AS (
+        SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS run_len,
+          CAST(MIN(i) AS INTEGER) AS run_start
+        FROM isl GROUP BY doc_id, isl),
+      best AS (
+        SELECT doc_id, run_len, run_start,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY run_len DESC, run_start) AS rn
+        FROM runs)
+      SELECT doc_id, run_len, run_start, run_len + 5 AS span_tokens
+      FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "duplicated-span localization: longest contiguous run of cross-doc-duplicated 6-gram positions per doc as (start, length) via doc-keyed gaps-and-islands — the substring CUT plan ExactSubstr pipelines execute; q115's verdict, resolved to boundaries")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
     q77Decontaminate, q78TokenPacking, q80EvalCarveout, q100ChunkWindows,
     q101ChunkPacking, q102ShuffledPacking, q110SnapshotMerge,
-    q111StarClusters, q112ClusterSafeSplit, q115SubstringDup)
+    q111StarClusters, q112ClusterSafeSplit, q115SubstringDup,
+    q116DupSpanLocalize)
 }

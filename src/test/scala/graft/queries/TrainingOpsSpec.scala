@@ -308,6 +308,30 @@ class TrainingOpsSpec extends SparkSpec {
       (5L, 3, 3, true)))
   }
 
+  test("q116 localizes the longest duplicated run exactly; equal runs break leftmost") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q116").toString
+    // docs 1/2 share the 10-token span "a..j": 5 consecutive duplicated
+    // 6-gram positions starting at 1 (doc 1) and 4 (doc 2); docs 3/4
+    // share TWO disjoint 6-token spans (run length 1 each) — the tie
+    // must resolve to the LEFTMOST start on both sides.
+    Seq(
+      (1L, "a b c d e f g h i j k l", "en", "s1"),
+      (2L, "z z z a b c d e f g h i j q r s", "en", "s1"),
+      (3L, "p1 p2 p3 p4 p5 p6 x1 x2 x3 q1 q2 q3 q4 q5 q6", "en", "s2"),
+      (4L, "p1 p2 p3 p4 p5 p6 y1 y2 q1 q2 q3 q4 q5 q6", "en", "s2"))
+      .map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rs = TrainingOps.q116DupSpanLocalize.fn(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rs === Seq(
+      (1L, 5, 1, 10),
+      (2L, 5, 4, 10),
+      (3L, 1, 1, 6),
+      (4L, 1, 1, 6)))
+  }
+
   test("q115 shuffles 8-byte hashed gram keys, never gram text") {
     val df = TrainingOps.q115SubstringDup.fn(spark, sf)
     df.collect() // materialize so the executed plan (incl. AQE) is final
