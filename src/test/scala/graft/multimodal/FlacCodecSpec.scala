@@ -208,6 +208,75 @@ class FlacCodecSpec extends SparkSpec {
     reject(bomb, "allocation cap")
   }
 
+  test("FLAC and WAV-PCM of the same signal produce identical features") {
+    // cross-codec invariant: the feature is a property of the AUDIO, so
+    // the lossless codec must agree with raw PCM bit-for-bit
+    val xs = sig(300, 4)
+    val flac = encodeFlac(Array(xs), 8000, 150)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmtBody = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val data = xs.flatMap(v => le16(v & 0xffff))
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(fmtBody.length) ++ fmtBody ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val d = new ImageFileDecoder
+    val ff = d.decode(Media(91L, "audio", flac))
+    val fw = d.decode(Media(92L, "audio", wav))
+    assert(ff.width == fw.width && ff.height == fw.height &&
+      ff.channels == fw.channels && ff.mean_byte == fw.mean_byte,
+      s"codec must be transparent: flac=$ff wav=$fw")
+  }
+
+  test("FLAC high-order LPC with a nonzero shift round-trips through the 64-bit accumulator") {
+    // LPC round-trips are exact for ANY quantized coefficients — the
+    // residual absorbs prediction error — so fixed nontrivial coefs
+    // pin the accumulator/shift arithmetic without a real LPC fit
+    val xs = sig(96, 9)
+    val order = 4
+    val coefs = Array(9, -7, 3, 2) // applied as sum(c_j * x[i-1-j]) >> shift
+    val shift = 3
+    val res = (order until xs.length).map { i =>
+      val acc = (0 until order).map(j => coefs(j).toLong * xs(i - 1 - j)).sum
+      xs(i) - (acc >> shift).toInt
+    }
+    val w = new BitWriter
+    w.writeBits(0x664c6143L, 32)
+    w.writeBits(1, 1); w.writeBits(0, 7); w.writeBits(34, 24)
+    w.writeBits(96, 16); w.writeBits(96, 16)
+    w.writeBits(0, 24); w.writeBits(0, 24)
+    w.writeBits(8000, 20); w.writeBits(0, 3); w.writeBits(15, 5)
+    w.writeBits(96, 36)
+    for (_ <- 0 until 16) w.writeBits(0, 8)
+    val fs = w.size
+    w.writeBits(0x3ffe, 14); w.writeBit(0); w.writeBit(0)
+    w.writeBits(7, 4); w.writeBits(0, 4); w.writeBits(0, 4); w.writeBits(4, 3); w.writeBit(0)
+    w.writeBits(0, 8)
+    w.writeBits(95, 16)
+    w.writeBits(Flac.crc8(w.bytes, fs, w.size), 8)
+    w.writeBit(0); w.writeBits(32 + order - 1, 6); w.writeBit(0)
+    for (i <- 0 until order) w.writeBits(xs(i).toLong & 0xffff, 16)
+    w.writeBits(13, 4) // precision 14
+    w.writeBits(shift, 5)
+    coefs.foreach(c => w.writeBits(c.toLong & 0x3fff, 14))
+    w.writeBits(0, 2); w.writeBits(0, 4)
+    val p = (0 to 14).minBy(p => res.map(r => (zigzag(r) >>> p) + 1 + p).sum)
+    w.writeBits(p, 4)
+    res.foreach { r =>
+      val u = zigzag(r)
+      for (_ <- 0 until (u >>> p).toInt) w.writeBit(0)
+      w.writeBit(1)
+      if (p > 0) w.writeBits(u & ((1L << p) - 1), p)
+    }
+    w.align()
+    w.writeBits(Flac.crc16(w.bytes, fs, w.size), 16)
+    val d = Flac.decode(w.bytes)
+    assert(d.samples.toSeq == xs.toSeq,
+      "order-4 LPC with shift 3 must reconstruct exactly")
+  }
+
   test("FLAC LPC subframes decode: hand-built order-1 LPC stream round-trips") {
     // the in-test encoder emits FIXED subframes; build one LPC frame by
     // hand to pin the LPC path (order 1, coef 1 -> same as fixed order
