@@ -27,8 +27,9 @@ object Flac {
   final case class Decoded(sampleRate: Int, channels: Int,
       bitsPerSample: Int, samples: Array[Int])
 
-  /** Decoded samples per channel may not exceed this (~67M) — an
-    * allocation cap, not a format limit.
+  /** Decoded samples per channel may not exceed this (2^24 ≈ 16.8M,
+    * ~6 minutes of 44.1 kHz audio) — an allocation cap, not a format
+    * limit.
     */
   val MaxTotalSamples: Long = 1L << 24
 
@@ -283,13 +284,18 @@ object Flac {
     if (bps != 8 && bps != 16 && bps != 24)
       fail(s"unsupported FLAC bits-per-sample $bps (want 8/16/24)")
 
-    val out = new scala.collection.mutable.ArrayBuffer[Int](
-      math.min(if (totalSamples > 0) totalSamples * channels else 1L << 12,
-        1L << 20).toInt)
+    // unboxed accumulator — an ArrayBuffer[Int] would box every sample
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    out.sizeHint(math.min(
+      if (totalSamples > 0) totalSamples * channels else 1L << 12,
+      1L << 20).toInt)
     val br = new BitReader(p, pos)
     val chBuf = Array.ofDim[Int](channels, 65536)
     var decoded = 0L
-    while ((totalSamples <= 0 || decoded < totalSamples) && br.bytePos < p.length - 1) {
+    // strict bound: any leftover byte after the last frame must parse
+    // as a frame or fail the sync check loudly — `p.length - 1` would
+    // silently swallow exactly one trailing garbage byte
+    while ((totalSamples <= 0 || decoded < totalSamples) && br.bytePos < p.length) {
       val frameStart = br.bytePos
       if (!br.atByteBoundary) fail("FLAC frame not byte-aligned")
       if (br.readBits(14) != 0x3ffe) fail(s"FLAC frame sync lost at byte $frameStart")
@@ -382,7 +388,7 @@ object Flac {
     }
     if (totalSamples > 0 && decoded != totalSamples)
       fail(s"FLAC stream ended after $decoded of $totalSamples samples")
-    val samples = out.toArray
+    val samples = out.result()
     // losslessness self-check against the STREAMINFO PCM MD5
     if (md5.exists(_ != 0)) {
       val dig = java.security.MessageDigest.getInstance("MD5")

@@ -1319,14 +1319,16 @@ object TrainingOps {
       // persist would outlive the query across a bench run (the q106/
       // q72/q89 leak class). The doc spine needs no second scan: a
       // doc's total gram positions is the sum of its per-gram counts.
+      // gram derivation through the codegen NGramsExpr kernel — the
+      // interpreted transform(sequence)+concat_ws HOF chain is the
+      // exact formulation q73's comment measured at ~10 s/scan
       val perDocGram = T.documentsSpread(s, dir)
         .select(col("doc_id"),
           expr(s"filter($toksSql, t -> t <> '')").as("ts"))
         .filter(size(col("ts")) >= k)
         .select(col("doc_id"),
-          explode(expr(
-            s"transform(sequence(1, size(ts) - ${k - 1}), " +
-              s"i -> xxhash64(concat_ws(' ', slice(ts, i, $k))))")).as("gh"))
+          explode(graft.functions.GraftFunctions.ngrams(col("ts"), k)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
         .groupBy(col("gh"), col("doc_id")).agg(count(lit(1)).as("pos"))
         .localCheckpoint()
       val spine = perDocGram.groupBy(col("doc_id"))
@@ -1395,15 +1397,16 @@ object TrainingOps {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val k = 6
+      // same codegen-kernel gram derivation as q115 (see the comment
+      // there), positions retained via posexplode
       val grams = T.documentsSpread(s, dir)
         .select(col("doc_id"),
           expr(s"filter($toksSql, t -> t <> '')").as("ts"))
         .filter(size(col("ts")) >= k)
         .select(col("doc_id"),
-          posexplode(expr(
-            s"transform(sequence(1, size(ts) - ${k - 1}), " +
-              s"i -> xxhash64(concat_ws(' ', slice(ts, i, $k))))")))
-        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gh"))
+          posexplode(graft.functions.GraftFunctions.ngrams(col("ts"), k)))
+        .select(col("doc_id"), (col("pos") + 1).as("i"),
+          xxhash64(col("col")).as("gh"))
         .localCheckpoint()
       val dupKeys = grams.groupBy(col("gh"))
         .agg(count_distinct(col("doc_id")).as("nd"))
