@@ -332,6 +332,35 @@ class TrainingOpsSpec extends SparkSpec {
       (4L, 1, 1, 6)))
   }
 
+  test("q115 hash-keyed grouping matches string-keyed grouping (collision audit)") {
+    import org.apache.spark.sql.functions._
+    // q115 groups by xxhash64(gram) for 8-byte shuffle keys; the DuckDB
+    // oracle groups by the gram STRING. This recomputes the string-keyed
+    // form IN SPARK at sf0.01 (50x the fixture corpus) and demands
+    // equality — a 64-bit collision, or any divergence between the
+    // kernel's gram text and the hash path, would split or merge keys
+    // and move these counts.
+    val dir = "/root/testdata/sf0.01"
+    val byString = graft.Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), t -> t <> '')").as("ts"))
+      .filter(size(col("ts")) >= 6)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.ngrams(col("ts"), 6)).as("g"))
+      .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("pos"))
+      .localCheckpoint()
+    val dupKeys = byString.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("g")
+    val expected = byString.join(dupKeys, "g")
+      .groupBy(col("doc_id")).agg(sum(col("pos")).cast("int").as("dup"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = TrainingOps.q115SubstringDup.fn(spark, dir)
+      .select(col("doc_id"), col("dup_grams"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.filter(_._2 > 0) === expected,
+      "hashed grouping must agree with string grouping on every doc")
+  }
+
   test("q115 shuffles 8-byte hashed gram keys, never gram text") {
     val df = TrainingOps.q115SubstringDup.fn(spark, sf)
     df.collect() // materialize so the executed plan (incl. AQE) is final
