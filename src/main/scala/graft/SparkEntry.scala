@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsOps, CurationOps, LlmOps, PipelineOps, Relational, TrainingOps, WikiOps}
+import graft.queries.{AnalyticsOps, ClusterOps, CurationOps, LlmOps, PipelineOps, Relational, TrainingOps, WikiOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   /** The full registry; order is the documentation order of SURVEY.md §2. */
   def registry: Seq[Q] =
     Relational.all ++ WikiOps.all ++ LlmOps.all ++ PipelineOps.all ++
-      AnalyticsOps.all ++ TrainingOps.all ++ CurationOps.all
+      AnalyticsOps.all ++ TrainingOps.all ++ CurationOps.all ++ ClusterOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline analysis — "category distribution"

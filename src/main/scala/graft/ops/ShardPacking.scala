@@ -59,15 +59,21 @@ import org.apache.spark.sql.functions._
   */
 object ShardPacking {
 
-  def assignShards(
+  /** EXCLUSIVE running sum of `n` over `order` within `source`, via the
+    * two-pass decomposition above — the primitive under both shard
+    * assignment and q118's systematic PPS sampling. Adds `outCol` =
+    * Σ n over all rows strictly before the current one (0 for the
+    * first). Same non-null contract and blockSpan trade as
+    * [[assignShards]].
+    */
+  def withPrefixSum(
       df: DataFrame,
       source: String,
       order: String,
       n: String,
-      budget: Long,
-      blockSpan: Long = 1L << 20,
-      shardCol: String = "shard_id"): DataFrame = {
-    require(budget > 0 && blockSpan > 0, "budget and blockSpan must be positive")
+      outCol: String,
+      blockSpan: Long = 1L << 20): DataFrame = {
+    require(blockSpan > 0, "blockSpan must be positive")
     val reserved = Seq("__blk", "__off", "__run")
     require(!df.columns.exists(reserved.contains),
       s"input must not contain reserved temp columns ${reserved.mkString(", ")}")
@@ -105,8 +111,24 @@ object ShardPacking {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.join(broadcast(offsets), Seq(source, "__blk"))
       .withColumn("__run", sum(col(n).cast("long")).over(wIn))
-      .withColumn(shardCol,
-        expr(s"(__off + __run - cast(`$n` as bigint)) div ${budget}L").cast("bigint"))
+      .withColumn(outCol,
+        (col("__off") + col("__run") - col(n).cast("bigint")).cast("bigint"))
       .drop("__blk", "__off", "__run")
+  }
+
+  def assignShards(
+      df: DataFrame,
+      source: String,
+      order: String,
+      n: String,
+      budget: Long,
+      blockSpan: Long = 1L << 20,
+      shardCol: String = "shard_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(!df.columns.contains("__pre"),
+      "input must not contain reserved temp column __pre")
+    withPrefixSum(df, source, order, n, "__pre", blockSpan)
+      .withColumn(shardCol, expr(s"__pre div ${budget}L").cast("bigint"))
+      .drop("__pre")
   }
 }

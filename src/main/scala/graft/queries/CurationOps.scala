@@ -1064,10 +1064,76 @@ object CurationOps {
       FROM e ORDER BY source""".stripMargin),
     "epoch-aware upsampling mixture: per-source repeat factor min(4, ceil(max/n)) with effective tokens and shares — the up-sampling dual of q84's rates; exact-int arithmetic to a single share division, bit-identical cross-engine")
 
+  // ---------------------------------------------------------------------
+  // q118 — systematic PPS (probability-proportional-to-size) sampling
+  // ---------------------------------------------------------------------
+
+  /** Deterministic weighted corpus subsampling — the integer-exact form
+    * of importance sampling. Classical weighted reservoir / A-ES
+    * sampling keys on `u^(1/w)` — a transcendental whose last-ulp
+    * behavior differs between libm implementations, so it can never be
+    * cross-engine exact. Systematic PPS sampling (Madow's method —
+    * survey-sampling textbook standard) is its integer-exact dual: lay
+    * the documents end-to-end on a 0..Σw character axis in doc_id
+    * order, drop a grid of points with stride S = Σw div (N div 10)
+    * anchored at S div 2, and select every document whose interval
+    * covers ≥1 grid point. Inclusion probability ∝ n_chars (docs longer
+    * than S are taken with multiplicity — the `n_hits` weight), the
+    * sample size is (Σw − anchor) div S + 1 by construction, and
+    * every quantity is integer arithmetic on non-negative operands —
+    * truncating and floor division agree, so both engines agree bit
+    * for bit.
+    *
+    * Scale shape: the scan reads TWO int64 columns (doc_id, n_chars —
+    * column pruning keeps the text out of the plan); the global
+    * prefix sum is [[graft.ops.ShardPacking.withPrefixSum]]'s two-pass
+    * block decomposition (block subtotals → tiny offsets window →
+    * bounded in-block windows), so no corpus-sized frame ever funnels
+    * through one task; the stride is a 1-row broadcast aggregate.
+    */
+  val q118PpsSample = Q(
+    "q118_pps_sample",
+    (s, dir) => {
+      val d = T.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), lit(0).as("__src"))
+      val cum = graft.ops.ShardPacking
+        .withPrefixSum(d, "__src", "doc_id", "n_chars", "cum_before")
+      val step = d.agg(
+        expr("sum(n_chars) div (count(1) div 10)").as("step"))
+      cum.join(broadcast(step))
+        .withColumn("n_hits",
+          expr("""((cum_before + n_chars - 1 - (step div 2) + step) div step)
+                 | - ((cum_before - 1 - (step div 2) + step) div step)""".stripMargin))
+        .filter(col("n_hits") >= 1)
+        .select(col("doc_id"), col("n_chars"), col("cum_before"),
+          col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, n_chars FROM documents),
+      t AS (
+        SELECT CAST(SUM(n_chars) AS BIGINT) AS tot,
+          CAST(COUNT(*) AS BIGINT) AS n FROM d),
+      s AS (SELECT tot // (n // 10) AS step FROM t),
+      p AS (
+        SELECT doc_id, n_chars,
+          CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cum_before
+        FROM d),
+      h AS (
+        SELECT doc_id, n_chars, cum_before,
+          ((cum_before + n_chars - 1 - (step // 2) + step) // step)
+          - ((cum_before - 1 - (step // 2) + step) // step) AS n_hits
+        FROM p CROSS JOIN s)
+      SELECT doc_id, n_chars, cum_before, CAST(n_hits AS BIGINT) AS n_hits
+      FROM h WHERE n_hits >= 1 ORDER BY doc_id""".stripMargin),
+    "systematic PPS sampling (Madow): integer-exact weighted subsampling — grid stride over the two-pass block prefix sum (never a corpus-sized window task), 2-int-column pruned scan, 1-row broadcast stride; the cross-engine-exact dual of transcendental A-ES keys")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
     q89NeardupPrune, q90SourceLeakage, q93MixtureApply, q95SaltedJoin,
     q96NoveltyCurve, q98IncrementalNovelty, q103EpochUpsample,
-    q114QualityThresholdCurve)
+    q114QualityThresholdCurve, q118PpsSample)
 }

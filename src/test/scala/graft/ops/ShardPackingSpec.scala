@@ -101,4 +101,20 @@ class ShardPackingSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("__blk"), "expected block-keyed window in plan")
   }
+
+  test("withPrefixSum: exclusive running sum equals the one-window form at several blockSpans") {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = fixture
+      .withColumn("pre", coalesce(sum(col("n").cast("long")).over(w), lit(0L)))
+      .orderBy(col("source"), col("doc_id"))
+      .collect().toSeq
+    for (span <- Seq(1L, 2L, 64L, 1L << 20)) {
+      val got = ShardPacking
+        .withPrefixSum(fixture, "source", "doc_id", "n", "pre", span)
+        .orderBy(col("source"), col("doc_id"))
+        .collect().toSeq
+      assert(got == naive, s"blockSpan=$span")
+    }
+  }
 }
