@@ -3,10 +3,11 @@ package graft.queries
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.functions._
 
-/** Embedding-space CLUSTERING — the trainer behind the ANN family's
-  * codebooks. q60's IVF assigns against a fixed stand-in codebook and
-  * documents "at scale the codebook comes from a sampled k-means job";
-  * q117 IS that job, end-to-end verifiable.
+/** Sixth capability wave — retrieval infrastructure: embedding-space
+  * CLUSTERING (q117 is the k-means job q60's IVF scaladoc promises),
+  * product-quantization ADC search (q119, the residency tier of the
+  * similarity family), and sparse lexical retrieval (q120, the
+  * inverted-index complement to the dense ANN queries).
   *
   * Shared discipline with the rest of the registry: engine-exact
   * arithmetic (fixed-point integer accumulation, pinned-order double
@@ -239,5 +240,117 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
       WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "product-quantization ADC search: 64-dim vector -> 8 codeword bytes (32x residency cut), per-query 8x8 distance table, approximate distance = 8 pinned-order lookups — encode is a map-side broadcast fold, the scan never touches a float vector; codebook training = q117's k-means per subspace (PqSpec)")
 
-  val all: Seq[Q] = Seq(q117KmeansLloyd, q119PqAdc)
+  // -------------------------------------------------------------------
+  // q120 — sparse lexical retrieval (inverted index, integer-exact)
+  // -------------------------------------------------------------------
+
+  private val toksSql = "split(lower(text), ' ')"
+
+  /** Sparse retrieval — the lexical complement to the dense family
+    * (q34/q43/q60/q108/q119): top-k documents per query document by an
+    * inverted-index match score. Terms are token 3-GRAM shingles, not
+    * tokens: the corpus vocabulary is ~31 words shared by ~80% of
+    * documents (the q42 scaladoc's measurement), so token-level df is
+    * uniformly stopword-like, while the 16k+ shingles are
+    * discriminative — the same reason the whole near-dup family keys
+    * on shingles. The scoring follows q66's RATIONAL idf convention
+    * (tf·(N·256 div df), no transcendentals — q109 measured 1-ulp
+    * ln() divergence between libms, so every engine-exact score in
+    * this registry is integer arithmetic), with idf applied ONCE
+    * (query-side weighting, the classic term-at-a-time accumulator
+    * form): score(q,d) = Σ_g tf_q·tf_d·W_g. Pure int64 — exact under
+    * any partitioning and any accumulation order, the same argument
+    * as q117's centroid sums. Overflow bound: N·256·tf_q·tf_d·|shared
+    * grams| must stay < 2^63 (SparseRetrievalSpec pins ≥2^10 margin).
+    *
+    * Stop-phrase guard: grams with df·4 > N carry no signal and
+    * quadratic posting lists — dropped BEFORE the match join (the
+    * standard posting-truncation move), bounding per-gram fanout at
+    * N/4 so a corpus-universal phrase cannot become a hot key.
+    *
+    * Scale shape: gram derivation rides the codegen NGramsExpr kernel
+    * (q115's lesson — interpreted HOF chains cost ~10 s/scan); tf and
+    * df are single hash-aggs over the exploded (doc, gram-hash)
+    * frame; the match join hashes the 10-query posting side
+    * (broadcast-sized by construction) against corpus postings keyed
+    * on xxhash64(gram) — 8-byte keys, never gram text (q115's
+    * convention; the DuckDB oracle joins on the gram STRING, so the
+    * hash-vs-string dual doubles as the collision audit,
+    * SparseRetrievalSpec). The only corpus-wide shuffles are the two
+    * hash-aggs and the (query, doc) partial agg.
+    */
+  val q120SparseRetrieval = Q(
+    "q120_sparse_retrieval",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = T.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.ngrams(col("ts"), 3)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        .groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("tf"))
+      val ndocs = T.documents(s, dir).agg(count(lit(1)).as("n"))
+      val wt = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .join(broadcast(ndocs))
+        .filter(col("df") * 4 <= col("n"))
+        .select(col("h"), expr("(n * 256) div df").as("wt"))
+      val postings = tf.join(wt, "h")
+      val qside = postings.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("h"),
+          col("tf").as("tfq"))
+      val scored = postings.join(broadcast(qside), "h")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("tfq") * col("tf") * col("wt")).as("score"),
+          count(lit(1)).as("n_shared"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"),
+          col("doc_id").as("neighbor_id"), col("score"), col("n_shared"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS gram
+        FROM d, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 3),
+      tf AS (
+        SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM g GROUP BY doc_id, gram),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      w AS (
+        SELECT gram, (n * 256) // df AS wt
+        FROM (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY gram)
+        CROSS JOIN nd WHERE df * 4 <= n),
+      p AS (
+        SELECT tf.doc_id, tf.gram, tf.tf, w.wt FROM tf JOIN w USING (gram)),
+      q AS (
+        SELECT doc_id AS query_id, gram, tf AS tfq FROM p WHERE doc_id < 10),
+      sc AS (
+        SELECT q.query_id, p.doc_id,
+          CAST(SUM(q.tfq * p.tf * p.wt) AS BIGINT) AS score,
+          CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM p JOIN q ON p.gram = q.gram
+        WHERE p.doc_id <> q.query_id
+        GROUP BY q.query_id, p.doc_id),
+      r AS (
+        SELECT query_id, doc_id AS neighbor_id, score, n_shared,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM sc)
+      SELECT query_id, rank, neighbor_id, score, n_shared FROM r
+      WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "sparse lexical retrieval over 3-gram shingle postings: rational idf (q66 convention, transcendental-free), pure int64 scoring exact under any partitioning; stop-phrase df-cutoff bounds posting fanout; codegen gram kernel + 8-byte hashed keys vs a broadcast query-posting side (string-keyed DuckDB dual = collision audit)")
+
+  val all: Seq[Q] = Seq(q117KmeansLloyd, q119PqAdc, q120SparseRetrieval)
 }

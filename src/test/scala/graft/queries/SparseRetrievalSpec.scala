@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q120 behavior beyond the oracle: the hash-vs-string collision audit
+  * (the Spark side joins postings on xxhash64(gram); a collision would
+  * silently merge two grams' scores), an independent driver-side
+  * recomputation, and the int64 overflow headroom the scaladoc claims.
+  */
+class SparseRetrievalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def gramTf(dir: String) = graft.Tables.documentsSpread(spark, dir)
+    .select(col("doc_id"),
+      expr("filter(split(lower(text), ' '), t -> t <> '')").as("ts"))
+    .filter(size(col("ts")) >= 3)
+    .select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.ngrams(col("ts"), 3)).as("g"))
+
+  test("hash-keyed match join equals a string-keyed one (collision audit)") {
+    def scored(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val tf = gramTf(sf).select(col("doc_id"), key(col("g")).as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
+      val ndocs = graft.Tables.documents(spark, sf).agg(count(lit(1)).as("n"))
+      val wt = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .join(broadcast(ndocs))
+        .filter(col("df") * 4 <= col("n"))
+        .select(col("h"), expr("(n * 256) div df").as("wt"))
+      val postings = tf.join(wt, "h")
+      val qside = postings.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("h"), col("tf").as("tfq"))
+      postings.join(broadcast(qside), "h")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("tfq") * col("tf") * col("wt")).as("score"),
+          count(lit(1)).as("n_shared"))
+        .orderBy(col("query_id"), col("doc_id"))
+        .collect().toSeq
+    }
+    assert(scored(xxhash64(_)) == scored(identity))
+  }
+
+  test("q120 equals an independent driver-side accumulator at sf0.001") {
+    val small = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, small)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1)
+        .filter(_.nonEmpty)).toMap
+    val n = docs.size.toLong
+    val grams = docs.collect { case (d, ts) if ts.length >= 3 =>
+      d -> ts.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val tf = grams.map { case (d, gs) =>
+      d -> gs.groupBy(identity).map { case (g, o) => g -> o.length.toLong }
+    }
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (g, o) => g -> o.size.toLong }
+    val wt = df.collect { case (g, f) if f * 4 <= n => g -> (n * 256) / f }
+    val expected = (0L until 10L).flatMap { q =>
+      val qtf = tf.getOrElse(q, Map.empty).filter { case (g, _) => wt.contains(g) }
+      val scored = tf.toSeq.collect { case (d, dtf) if d != q =>
+        val shared = qtf.keySet.intersect(dtf.keySet.filter(wt.contains))
+        val score = shared.toSeq.map(g => qtf(g) * dtf(g) * wt(g)).sum
+        (d, score, shared.size.toLong)
+      }.filter(_._3 >= 1)
+      scored.sortBy { case (d, s, _) => (-s, d) }.take(5).zipWithIndex.map {
+        case ((d, s, ns), r) => (q, r + 1, d, s, ns)
+      }
+    }
+    val got = ClusterOps.q120SparseRetrieval.fn(spark, small).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("int64 overflow headroom: max score carries >= 2^10 margin at this SF") {
+    val maxScore = ClusterOps.q120SparseRetrieval.fn(spark, sf)
+      .agg(max(col("score"))).collect()(0).getLong(0)
+    assert(maxScore < Long.MaxValue / 1024,
+      s"score $maxScore within 2^10 of int64 overflow — revisit the wt scale")
+  }
+}
