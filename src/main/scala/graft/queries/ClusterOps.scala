@@ -352,5 +352,164 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
       WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "sparse lexical retrieval over 3-gram shingle postings: rational idf (q66 convention, transcendental-free), pure int64 scoring exact under any partitioning; stop-phrase df-cutoff bounds posting fanout; codegen gram kernel + 8-byte hashed keys vs a broadcast query-posting side (string-keyed DuckDB dual = collision audit)")
 
-  val all: Seq[Q] = Seq(q117KmeansLloyd, q119PqAdc, q120SparseRetrieval)
+  // -------------------------------------------------------------------
+  // q121 — hybrid retrieval: reciprocal-rank fusion of dense + sparse
+  // -------------------------------------------------------------------
+
+  /** Hybrid search — the step every modern retrieval stack runs after
+    * q34's dense and q120's sparse lists exist separately: reciprocal-
+    * rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) of the two
+    * top-20 lists, fused(q,d) = Σ_lists 1/(K + rank), K = 60. RRF is
+    * rank-only — scores from incompatible scales (cosine vs integer
+    * match weight) never mix, which is exactly why it is the standard
+    * fusion — and 1/(60+r) for integer r is one IEEE division, so the
+    * fused score is engine-identical without any of the float-sum
+    * machinery.
+    *
+    * The id universes OVERLAP but differ (embeddings cover a prefix of
+    * the doc axis — 2,000 of 5,000 ids at sf0.1): fusion runs over the
+    * union of candidates, an absent list contributes nothing — the
+    * partial-embedding-coverage shape a real migration to hybrid
+    * search actually has (absence is reported as rank 0, not NULL, so
+    * the driver's pandas compare never sees nullable ints).
+    *
+    * Scale shape: strictly the union of the two parents' plans (one
+    * broadcast-queries corpus scan each) plus a (query, id)-keyed
+    * full-outer join of two ≤20-row-per-query rank lists — the fusion
+    * itself is candidate-sized, never corpus-sized.
+    */
+  val q121HybridRrf = Q(
+    "q121_hybrid_rrf",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dot
+      import org.apache.spark.sql.expressions.Window
+      // dense arm: q34's exact cosine, cut at top-20
+      val e = T.embeddings(s, dir)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
+      val qv = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val wD = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val dense = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+        .withColumn("rd", row_number().over(wD))
+        .filter(col("rd") <= 20)
+        .select(col("query_id"), col("neighbor_id"), col("rd"))
+      // sparse arm: q120's gram postings, cut at top-20
+      val tf = T.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.ngrams(col("ts"), 3)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        .groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("tf"))
+      val ndocs = T.documents(s, dir).agg(count(lit(1)).as("n"))
+      val wt = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .join(broadcast(ndocs))
+        .filter(col("df") * 4 <= col("n"))
+        .select(col("h"), expr("(n * 256) div df").as("wt"))
+      val postings = tf.join(wt, "h")
+      val qsideS = postings.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("h"), col("tf").as("tfq"))
+      val wS = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val sparse = postings.join(broadcast(qsideS), "h")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+        .agg(sum(col("tfq") * col("tf") * col("wt")).as("score"))
+        .withColumn("rs", row_number().over(wS))
+        .filter(col("rs") <= 20)
+        .select(col("query_id"), col("neighbor_id"), col("rs"))
+      // fusion over the candidate union; absent list -> rank 0
+      val fusedExpr =
+        expr("""coalesce(cast(1 as double) / cast(60 + rd as double), 0D)
+               | + coalesce(cast(1 as double) / cast(60 + rs as double), 0D)""".stripMargin)
+      val wF = Window.partitionBy(col("query_id"))
+        .orderBy(col("fused").desc, col("neighbor_id"))
+      dense.join(sparse, Seq("query_id", "neighbor_id"), "full_outer")
+        .withColumn("fused", fusedExpr)
+        .withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("fused"),
+          coalesce(col("rd"), lit(0)).as("dense_rank"),
+          coalesce(col("rs"), lit(0)).as("sparse_rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+          sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) nrm
+        FROM e),
+      pd AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_transform(generate_series(1, $embDim),
+            i -> q.v[i]*c.v[i]), (x,y) -> x+y) / (q.nrm*c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      dense AS (
+        SELECT query_id, neighbor_id, rd FROM (
+          SELECT query_id, neighbor_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rd
+          FROM pd) WHERE rd <= 20),
+      d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS gram
+        FROM d, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 3),
+      tf AS (
+        SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM g GROUP BY doc_id, gram),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      w AS (
+        SELECT gram, (n * 256) // df AS wt
+        FROM (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY gram)
+        CROSS JOIN nd WHERE df * 4 <= n),
+      p AS (
+        SELECT tf.doc_id, tf.gram, tf.tf, w.wt FROM tf JOIN w USING (gram)),
+      qs AS (
+        SELECT doc_id AS query_id, gram, tf AS tfq FROM p WHERE doc_id < 10),
+      sc AS (
+        SELECT qs.query_id, p.doc_id AS neighbor_id,
+          CAST(SUM(qs.tfq * p.tf * p.wt) AS BIGINT) AS score
+        FROM p JOIN qs ON p.gram = qs.gram
+        WHERE p.doc_id <> qs.query_id
+        GROUP BY qs.query_id, p.doc_id),
+      sparse AS (
+        SELECT query_id, neighbor_id, rs FROM (
+          SELECT query_id, neighbor_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS INTEGER) AS rs
+          FROM sc) WHERE rs <= 20),
+      f AS (
+        SELECT COALESCE(dense.query_id, sparse.query_id) AS query_id,
+          COALESCE(dense.neighbor_id, sparse.neighbor_id) AS neighbor_id,
+          COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rd AS DOUBLE), 0)
+            + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rs AS DOUBLE), 0) AS fused,
+          COALESCE(rd, 0) AS dense_rank, COALESCE(rs, 0) AS sparse_rank
+        FROM dense FULL OUTER JOIN sparse
+          ON dense.query_id = sparse.query_id
+         AND dense.neighbor_id = sparse.neighbor_id),
+      r AS (
+        SELECT query_id, neighbor_id, fused, dense_rank, sparse_rank,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY fused DESC, neighbor_id) AS INTEGER) AS rank
+        FROM f)
+      SELECT query_id, rank, neighbor_id, fused, dense_rank, sparse_rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "hybrid retrieval: reciprocal-rank fusion (RRF K=60) of the dense cosine and sparse shingle top-20 lists over partially-overlapping id universes — rank-only fusion never mixes incompatible score scales, fused = 2 IEEE divisions (engine-identical); fusion cost is candidate-sized, parents' plans unchanged")
+
+  val all: Seq[Q] =
+    Seq(q117KmeansLloyd, q119PqAdc, q120SparseRetrieval, q121HybridRrf)
 }

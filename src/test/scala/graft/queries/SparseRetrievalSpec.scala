@@ -75,6 +75,65 @@ class SparseRetrievalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q121 equals a driver-side RRF of independently recomputed dense+sparse arms") {
+    val small = "/root/testdata/sf0.001"
+    // dense arm: exact cosine, same pinned fold order as dot_f
+    val vecs = graft.Tables.embeddings(spark, small)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dotp(v, v)) }
+    val dense = (0L until 10L).flatMap { q =>
+      vecs.keys.toSeq.filter(_ != q)
+        .map(v => (v, dotp(vecs(q), vecs(v)) / (nrm(q) * nrm(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(20).zipWithIndex
+        .map { case ((v, _), r) => (q, v) -> (r + 1) }
+    }.toMap
+    // sparse arm: same accumulator as the q120 reference test
+    val docs = graft.Tables.documents(spark, small)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1)
+        .filter(_.nonEmpty)).toMap
+    val n = docs.size.toLong
+    val tf = docs.collect { case (d, ts) if ts.length >= 3 =>
+      d -> ts.sliding(3).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, o) => g -> o.length.toLong }
+    }
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (g, o) => g -> o.size.toLong }
+    val wts = df.collect { case (g, f) if f * 4 <= n => g -> (n * 256) / f }
+    val sparse = (0L until 10L).flatMap { q =>
+      val qtf = tf.getOrElse(q, Map.empty).filter { case (g, _) => wts.contains(g) }
+      tf.toSeq.collect { case (d, dtf) if d != q =>
+        val shared = qtf.keySet.intersect(dtf.keySet.filter(wts.contains))
+        (d, shared.toSeq.map(g => qtf(g) * dtf(g) * wts(g)).sum, shared.size)
+      }.filter(_._3 >= 1)
+        .sortBy { case (d, s, _) => (-s, d) }.take(20).zipWithIndex
+        .map { case ((d, _, _), r) => (q, d) -> (r + 1) }
+    }.toMap
+    val expected = (0L until 10L).flatMap { q =>
+      val cands = (dense.keySet ++ sparse.keySet).filter(_._1 == q).map(_._2)
+      cands.toSeq.map { v =>
+        val rd = dense.getOrElse((q, v), 0)
+        val rs = sparse.getOrElse((q, v), 0)
+        val fused = (if (rd > 0) 1.0d / (60 + rd) else 0.0d) +
+          (if (rs > 0) 1.0d / (60 + rs) else 0.0d)
+        (v, fused, rd, rs)
+      }.sortBy { case (v, f, _, _) => (-f, v) }.take(5).zipWithIndex.map {
+        case ((v, f, rd, rs), r) => (q, r + 1, v, f, rd, rs)
+      }
+    }
+    val got = ClusterOps.q121HybridRrf.fn(spark, small).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5))).toSeq
+    assert(got == expected)
+  }
+
   test("int64 overflow headroom: max score carries >= 2^10 margin at this SF") {
     val maxScore = ClusterOps.q120SparseRetrieval.fn(spark, sf)
       .agg(max(col("score"))).collect()(0).getLong(0)
