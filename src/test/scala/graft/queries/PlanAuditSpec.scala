@@ -56,6 +56,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
   }
 
+  test("q119 PQ keeps the corpus streaming: codebook and query tables broadcast, never the coded corpus") {
+    val plan = executedPlan(ClusterOps.q119PqAdc)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both the 1-row codebook join and the 10-row query-table join must
+    // build on the broadcast (right) side while the corpus streams
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"PQ encode must stay map-side — a vec_id exchange shuffles the corpus:\n$plan")
+  }
+
+  test("q120 match join broadcasts the query-posting side; corpus postings stream") {
+    val plan = executedPlan(ClusterOps.q120SparseRetrieval)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q42 candidate join is a hash join on (band, bucket), never a cross product") {
     val plan = executedPlan(PipelineOps.q42SimhashHammingDup)
     assert(!plan.contains("CartesianProduct"), plan)
