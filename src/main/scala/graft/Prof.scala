@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import scala.collection.concurrent.TrieMap
+
+/** Throwaway per-job wall profiler for bench-cost hunting:
+  * `sbt "runMain graft.Prof <sfDir> <query>"` prints one line per Spark
+  * job with its wall ms and the callsite, plus the total.
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, qname) = args
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val starts = TrieMap.empty[Int, (Long, String)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        starts(j.jobId) = (System.nanoTime(),
+          Option(j.properties.getProperty("callSite.short")).getOrElse("?"))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        starts.get(j.jobId).foreach { case (t0, cs) =>
+          println(f"job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e6}%8.1f ms  $cs")
+        }
+    })
+    val fn = SparkEntry.queries(SparkEntry.queries.keys.find(_.startsWith(qname)).get)
+    // warmup
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    println("=== timed pass ===")
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    println(f"total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

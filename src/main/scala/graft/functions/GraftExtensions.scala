@@ -136,6 +136,20 @@ object GraftFunctions {
         org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
+  /** Column-API handle for [[L2SqLDExpr]]. */
+  def l2sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      L2SqLDExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** Column-API handle for [[L2ArgminExpr]]. */
+  def l2argmin(xq: Column, cs: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      L2ArgminExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(xq),
+        org.apache.spark.sql.GraftColumnBridge.expression(cs)))
+
   /** Column-API handle for [[Md5PrefixLongsExpr]]. */
   def md5Longs(arr: Column, nHex: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(

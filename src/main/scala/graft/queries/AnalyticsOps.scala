@@ -858,11 +858,16 @@ object AnalyticsOps {
           .join(broadcast(r), col("src") === col("v"))
           .join(broadcast(deg), col("src") === col("dv"))
           .select(col("dst"), expr("r div d").as("c"))
+        // node-sized state checkpoint per round (the KMeans.run rule):
+        // without it round t's broadcast exchange carries rounds 1..t−1
+        // as a nested subplan — planning cost grows quadratically in
+        // rounds and each broadcast job replans the whole prefix.
         r = contrib.groupBy(col("dst")).agg(sum(col("c")).as("cs"))
           .crossJoin(broadcast(nAgg))
           .select(col("dst").as("v"),
             expr(s"(15 * (cast($mass as bigint) div n)) div 100" +
               " + (85 * cs) div 100").as("r"))
+          .localCheckpoint()
       }
       r.orderBy(col("r").desc, col("v")).limit(20)
         .select(col("v").as("node"), col("r").as("rank"))
