@@ -1456,11 +1456,92 @@ object TrainingOps {
       FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     "duplicated-span localization: longest contiguous run of cross-doc-duplicated 6-gram positions per doc as (start, length) via doc-keyed gaps-and-islands — the substring CUT plan ExactSubstr pipelines execute; q115's verdict, resolved to boundaries")
 
+  // ---------------------------------------------------------------------
+  // q123 — corpus-wide block dedup with keep-first REWRITE
+  // ---------------------------------------------------------------------
+
+  /** Unit-level corpus dedup that REWRITES the surviving documents —
+    * the C4/CCNet/Dolma "drop duplicated lines/paragraphs corpus-wide,
+    * keep one canonical copy" pass, the granularity between whole-doc
+    * (q29) and measured substring coverage (q115: measures; q116:
+    * locates; this query CUTS). The corpus has no newlines, so the
+    * unit is the disjoint 16-token block (the q78/q100 chunking
+    * convention); a block INSTANCE survives iff it is the globally
+    * FIRST occurrence of its text in (doc_id, block_idx) order — every
+    * later verbatim repeat (license boilerplate, quoted passages) is
+    * dropped and the document reassembled from its kept blocks.
+    *
+    * Output per doc: block counts, drop count, and the md5 of the
+    * reassembled text — the rewrite fingerprint the oracle can
+    * recompute, so the driver hash-compares the ENTIRE rewritten
+    * corpus without shipping corpus-sized text through the compare.
+    *
+    * Scale shape: per-row block slicing (bounded HOF: ~n_toks/16
+    * slices), then the canonical-instance resolution is a
+    * groupBy(hash).agg(min(struct(doc,idx))) + hash-keyed join back —
+    * map-side-combinable partial agg, the skew-safe CC formulation
+    * (never a window over the hash); shuffles move 8-byte block
+    * hashes + bounded block text, and the final doc reassembly is one
+    * doc-keyed agg. The oracle groups by the block STRING — the
+    * hash-vs-string dual doubles as the collision audit (q115's
+    * convention).
+    */
+  val q123BlockDedupRewrite = Q(
+    "q123_block_dedup_rewrite",
+    (s, dir) => {
+      val bw = 16
+      val keyed = T.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(sequence(0, cast((size(ts) + ${bw - 1}) div $bw as int) - 1),
+               |  i -> array_join(slice(ts, i * $bw + 1, $bw), ' '))""".stripMargin))
+            .as(Seq("bi", "blk")))
+        .select(col("doc_id"), col("bi"), col("blk"),
+          xxhash64(col("blk")).as("h"))
+      val first = keyed.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("bi"))).as("f"))
+      keyed.join(first, "h")
+        .withColumn("kept",
+          col("doc_id") === col("f.doc_id") && col("bi") === col("f.bi"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+          md5(array_join(
+            transform(
+              sort_array(collect_list(
+                when(col("kept"), struct(col("bi"), col("blk"))))),
+              x => x.getField("blk")),
+            " ")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      b AS (
+        SELECT doc_id, i AS bi,
+          array_to_string(ts[i * 16 + 1 : i * 16 + 16], ' ') AS blk
+        FROM d, UNNEST(generate_series(0, (len(ts) + 15) // 16 - 1)) AS u(i)),
+      m AS (
+        SELECT doc_id, bi, blk,
+          ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id, bi) AS rn
+        FROM b)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY bi), ''))
+          AS kept_md5
+      FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "corpus-wide block-level dedup with keep-first REWRITE (C4/Dolma line-dedup analogue on 16-token blocks): canonical instance = min(doc,idx) per block hash via map-side-combinable partial agg + hash-keyed join back (never a window over the hash), doc reassembled and fingerprinted md5 so the oracle hash-compares the whole rewritten corpus")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
     q77Decontaminate, q78TokenPacking, q80EvalCarveout, q100ChunkWindows,
     q101ChunkPacking, q102ShuffledPacking, q110SnapshotMerge,
     q111StarClusters, q112ClusterSafeSplit, q115SubstringDup,
-    q116DupSpanLocalize)
+    q116DupSpanLocalize, q123BlockDedupRewrite)
 }

@@ -377,4 +377,37 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!plan.contains("concat_ws"),
       "no stage above the checkpoint may reassemble gram strings")
   }
+
+  test("q123 keeps exactly the first instance of a repeated block and reassembles the rest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q123").toString
+    // 16-token blocks. doc 1 = blocks A B; doc 2 = blocks B C (B is a
+    // verbatim repeat of doc 1's SECOND block -> dropped from doc 2,
+    // kept in doc 1); doc 3 repeats block A at BOTH its positions ->
+    // first instance globally is doc 1's, so doc 3 keeps nothing; doc 4
+    // leads with block C whose first instance is doc 2's bi=1 (keep-
+    // first is (doc,idx)-global, not per-position) and ends with a
+    // unique 5-token tail block -> only the tail survives.
+    val A = (1 to 16).map(i => s"a$i").mkString(" ")
+    val B = (1 to 16).map(i => s"b$i").mkString(" ")
+    val C = (1 to 16).map(i => s"c$i").mkString(" ")
+    val tail5 = (1 to 5).map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, s"$A $B", "en", "s1"),
+      (2L, s"$B $C", "en", "s1"),
+      (3L, s"$A $A", "en", "s2"),
+      (4L, s"$C $tail5", "en", "s2"))
+      .map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rs = TrainingOps.q123BlockDedupRewrite.fn(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rs === Seq(
+      (1L, 2L, 0L, m(s"$A $B")),
+      (2L, 2L, 1L, m(C)),
+      (3L, 2L, 2L, m("")),
+      (4L, 2L, 1L, m(tail5))))
+  }
 }
