@@ -1192,10 +1192,163 @@ object PipelineOps {
       FROM sim ORDER BY doc_id""".stripMargin),
     "per-doc Simpson concentration + effective vocabulary size: distribution-level repetition scalar; float sum made engine-exact by folding the SORTED integer count array left-to-right on both sides (0-prepend seeds DuckDB's reduce) — pure IEEE ops, no transcendentals")
 
+  // ---------------------------------------------------------------------
+  // q124 — distributed BPE vocabulary training (merge learning)
+  // ---------------------------------------------------------------------
+
+  /** BPE TRAINING — the other half of q46's tokenizer (q46 applies a
+    * byte-pair-style segmentation; this LEARNS the merges, Sennrich,
+    * Haddow & Birch, ACL'16): three merge rounds over the corpus word
+    * histogram, each round picking the highest-frequency adjacent
+    * symbol pair (ties on (a, b) ascending — a total order, so both
+    * engines pick identically) and rewriting every word's symbol
+    * sequence with the standard left-to-right non-overlapping rule.
+    * Words carry the '</w>' end-of-word marker, so merges can learn
+    * suffixes (round 2 here merges 'e</w>').
+    *
+    * The overlap rule is executed as POSITIONAL ALGEBRA, not sequence
+    * rewriting: matched positions → gaps-and-islands (consecutive
+    * matches only arise when a = b) → keep alternating members of each
+    * island → drop position p+1 for each kept p, concat at p, renumber.
+    * Every step is a (word)-keyed window or equi-join — the same plan
+    * vocabulary DuckDB executes, no per-row sequential fold anywhere.
+    *
+    * Scale shape — the industrial BPE-trainer split: the ONLY
+    * corpus-scale work is the word histogram (one hash agg over
+    * exploded tokens, map-side combinable); every merge round then
+    * touches the VOCABULARY-sized symbol frame (|V|·max_word_len rows,
+    * here ~250; at web scale a few million — still thousands of times
+    * smaller than the corpus), checkpointed per round so plans stay
+    * flat. Output per round: the merge chosen, its corpus-weighted
+    * frequency, and the corpus token count after applying it — the
+    * last column makes a wrong merge APPLICATION (not just a wrong
+    * argmax) fail the oracle.
+    */
+  val q124BpeMerges = Q(
+    "q124_bpe_merges",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = T.documentsSpread(s, dir)
+        .select(explode(expr(s"filter($toksSql, t -> t <> '')")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      var toks = hist.select(col("w"), col("c"),
+        posexplode(expr(
+          "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)), array('</w>'))"))
+          .as(Seq("pos", "sym")))
+        .localCheckpoint()
+      val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+      val runA = wWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runB = wWin.rowsBetween(Window.unboundedPreceding, -1)
+      var summaries = Seq.empty[org.apache.spark.sql.DataFrame]
+      for (r <- 1 to 3) {
+        val best = toks
+          .withColumn("nxt", lead(col("sym"), 1).over(wWin))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("a"), col("nxt").as("b"))
+          .agg(sum(col("c")).as("f"))
+          .orderBy(col("f").desc, col("a"), col("b")).limit(1)
+        // The overlap rule in ONE chained window pass (all specs share
+        // partitionBy(w) ORDER BY pos → one exchange, fused WindowExecs
+        // — the earlier two-join island formulation spent ~3 s/round in
+        // driver-side planning across ~10 extra stages at bench scale):
+        //   m(p)    = pair matches at p
+        //   st(p)   = island start (matched, previous position not)
+        //   ls(p)   = latest island start ≤ p  (running max, frame A)
+        //   sel(p)  = m(p) ∧ (p − ls(p)) even  — 1st, 3rd, … of island
+        //   drop(p) = sel(p−1), rewritten via lsPrev (frame B) so the
+        //             whole predicate stays in this one pass
+        toks = toks.crossJoin(broadcast(best))
+          .withColumn("m",
+            col("sym") === col("a") && lead(col("sym"), 1).over(wWin) === col("b"))
+          .withColumn("mprev",
+            lag(col("sym"), 1).over(wWin) === col("a") && col("sym") === col("b"))
+          .withColumn("st",
+            coalesce(col("m"), lit(false)) && !coalesce(col("mprev"), lit(false)))
+          .withColumn("ls", max(when(col("st"), col("pos"))).over(runA))
+          .withColumn("lsPrev", max(when(col("st"), col("pos"))).over(runB))
+          .withColumn("selHere",
+            coalesce(col("m"), lit(false)) && (col("pos") - col("ls")) % 2 === 0)
+          .withColumn("dropHere",
+            coalesce(col("mprev"), lit(false)) &&
+              (col("pos") - 1 - col("lsPrev")) % 2 === 0)
+          .filter(!col("dropHere"))
+          .select(col("w"), col("c"), col("pos").as("opos"),
+            when(col("selHere"), concat(col("a"), col("b")))
+              .otherwise(col("sym")).as("sym"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("w")).orderBy(col("opos"))) - 1)
+          .select(col("w"), col("c"), col("pos"), col("sym"))
+          .localCheckpoint()
+        val after = toks.agg(sum(col("c")).as("corpus_tokens_after"))
+        summaries = summaries :+ best.crossJoin(after)
+          .select(lit(r).as("merge_round"), col("a").as("sym_a"),
+            col("b").as("sym_b"), col("f").as("pair_freq"),
+            col("corpus_tokens_after"))
+      }
+      summaries.reduce(_.unionAll(_)).orderBy(col("merge_round"))
+    },
+    Some {
+      def round(r: Int): String = {
+        val prev = s"t${r - 1}"
+        s"""      p$r AS (
+        SELECT t.*, bs.a AS ba, bs.b AS bb, bs.f AS bf,
+          (t.sym = bs.a AND
+           lead(t.sym) OVER (PARTITION BY t.w ORDER BY t.pos) = bs.b) AS m
+        FROM $prev t CROSS JOIN (
+          SELECT a, b, CAST(SUM(c) AS BIGINT) AS f
+          FROM (
+            SELECT w, sym AS a,
+              lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b, c
+            FROM $prev) q
+          WHERE b IS NOT NULL
+          GROUP BY a, b
+          ORDER BY f DESC, a, b LIMIT 1) bs),
+      sel$r AS (
+        SELECT w, pos FROM (
+          SELECT w, pos,
+            ROW_NUMBER() OVER (PARTITION BY w, isl ORDER BY pos) AS rn2
+          FROM (
+            SELECT w, pos,
+              pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS isl
+            FROM p$r WHERE m) i) j
+        WHERE rn2 % 2 = 1),
+      t$r AS (
+        SELECT w, c,
+          ROW_NUMBER() OVER (PARTITION BY w ORDER BY opos) - 1 AS pos, sym
+        FROM (
+          SELECT m.w, m.c, m.pos AS opos,
+            CASE WHEN s.pos IS NOT NULL THEN m.ba || m.bb ELSE m.sym END AS sym
+          FROM p$r m
+          LEFT JOIN sel$r s ON s.w = m.w AND s.pos = m.pos
+          LEFT JOIN sel$r s2 ON s2.w = m.w AND s2.pos + 1 = m.pos
+          WHERE s2.pos IS NULL) k),
+      s$r AS (
+        SELECT DISTINCT $r AS merge_round, ba AS sym_a, bb AS sym_b,
+          bf AS pair_freq,
+          (SELECT CAST(SUM(c) AS BIGINT) FROM t$r) AS corpus_tokens_after
+        FROM p$r)"""
+      }
+      s"""
+      WITH hist AS (
+        SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        WHERE t <> '' GROUP BY t),
+      t0 AS (
+        SELECT w, c, i - 1 AS pos,
+          CASE WHEN i <= length(w) THEN substr(w, CAST(i AS INTEGER), 1)
+               ELSE '</w>' END AS sym
+        FROM hist, UNNEST(generate_series(1, length(w) + 1)) AS u(i)),
+${(1 to 3).map(round).mkString(",\n")}
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+      ORDER BY merge_round""".stripMargin
+    },
+    "distributed BPE merge training (Sennrich ACL'16): corpus-scale work = ONE word-histogram hash agg; three merge rounds over the vocabulary-sized symbol frame via positional algebra (gaps-and-islands overlap rule, word-keyed windows only), per-round corpus-token-count column makes wrong merge APPLICATION fail the oracle")
+
   val all: Seq[Q] = Seq(
     q42SimhashHammingDup, q43AnnHyperplaneLsh, q44BlockedNearDup,
     q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload,
     q60AnnIvf, q63KmvDistinct, q79KmvMerge, q99HllDistinct,
     q104Winnowing, q105EmbedQuantize, q106WinnowDup, q108QuantizedAnn,
-    q109TokenDiversity)
+    q109TokenDiversity, q124BpeMerges)
 }

@@ -152,4 +152,62 @@ class PipelineOpsSpec extends SparkSpec {
     // exactly one exchange: the range partitioning for the ORDER BY
     assert(plan.split("Exchange").length - 1 <= 1, plan)
   }
+
+  /** Driver-side reference BPE: sequential left-to-right merge — the
+    * semantics q124's positional algebra must reproduce. */
+  private def refBpe(words: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Long, Long)] = {
+    var syms: Map[String, Vector[String]] =
+      words.map { case (w, _) => w -> (w.map(_.toString).toVector :+ "</w>") }
+    (1 to rounds).map { r =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, s) <- syms; i <- 0 until s.length - 1)
+        pc((s(i), s(i + 1))) = pc.getOrElse((s(i), s(i + 1)), 0L) + words(w)
+      val ((a, b), f) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      syms = syms.map { case (w, s) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        w -> out.result()
+      }
+      val after = syms.map { case (w, s) => words(w) * s.length }.sum
+      (r, a, b, f, after)
+    }
+  }
+
+  test("q124 equals a sequential driver-side BPE trainer on the real corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val words = graft.Tables.documents(spark, sf)
+      .select(explode(expr("filter(split(lower(text), ' '), t -> t <> '')")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = refBpe(words, 3)
+    val got = PipelineOps.q124BpeMerges.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("q124 overlap rule: a run of identical symbols merges alternately, left-to-right") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q124").toString
+    // one word "aaaa" -> a a a a </w>: round 1 merges (a,a) freq 3 but
+    // only positions 0 and 2 (non-overlapping) -> aa aa </w> (3 toks);
+    // round 2 ties (aa,aa) vs (aa,</w>) -> '<' sorts before 'a', so
+    // (aa,</w>) wins -> aa aa</w>; round 3 merges the rest.
+    Seq((1L, "aaaa", "en", "s1", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineOps.q124BpeMerges.fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1, "a", "a", 3L, 3L),
+      (2, "aa", "</w>", 1L, 2L),
+      (3, "aa", "aa</w>", 1L, 1L)))
+  }
 }
