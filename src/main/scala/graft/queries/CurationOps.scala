@@ -1130,10 +1130,104 @@ object CurationOps {
       FROM h WHERE n_hits >= 1 ORDER BY doc_id""".stripMargin),
     "systematic PPS sampling (Madow): integer-exact weighted subsampling — grid stride over the two-pass block prefix sum (never a corpus-sized window task), 2-int-column pruned scan, 1-row broadcast stride; the cross-engine-exact dual of transcendental A-ES keys")
 
+  // ---------------------------------------------------------------------
+  // q125 — bigram-LM typicality score (the perplexity-filter axis)
+  // ---------------------------------------------------------------------
+
+  /** N-gram language-model scoring — the CCNet/Gopher quality axis this
+    * registry had only in surface form (q83 scores length/punct/
+    * stopword shape; this scores SEQUENCE typicality): per document,
+    * the mean fixed-point conditional bigram probability
+    * p(w_i | w_{i−1}) = (c(w_{i−1}w_i)·2^20) div c(w_{i−1}) under the
+    * corpus's own bigram LM. Low score = improbable token transitions
+    * (shuffled/garbage/TEMPLATE-FREE text), the exact signal CCNet
+    * thresholds with a wiki-trained KenLM — here the LM is in-corpus
+    * (typicality, not reference-domain perplexity; the TRAIN frame is
+    * the seam where a curated reference corpus would plug in), and the
+    * arithmetic is integer rational end-to-end (the q66/q120
+    * convention — q109 measured 1-ulp ln() divergence across libms, so
+    * no log-perplexity crosses the engine boundary; mean = one IEEE
+    * division of two exact ints).
+    *
+    * Overflow: c(bigram)·2^20 ≤ c(prefix)·2^20; at 10^12 corpus tokens
+    * that is < 2^60 — int64-safe with 3 decades of headroom.
+    *
+    * Scale shape: LM training = two hash aggs (unigram + bigram counts,
+    * map-side combinable, keys are the tokens/pairs themselves);
+    * scoring = the exploded (doc, bigram) frame joined against both
+    * count tables on 8-byte xxhash64 keys (the oracle joins on the
+    * token STRINGS — the hash-vs-string dual is the collision audit),
+    * then one doc-keyed agg. Every shuffle is keyed and linear; the
+    * count tables stream through an ordinary shuffled join, so a
+    * web-scale bigram table (too big to broadcast) changes nothing.
+    */
+  val q125BigramLmScore = Q(
+    "q125_bigram_lm_score",
+    (s, dir) => {
+      val pairs = T.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"),
+          explode(expr(
+            "arrays_zip(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1))"))
+            .as("pr"))
+        .select(col("doc_id"),
+          xxhash64(col("pr").getField("0"), col("pr").getField("1")).as("bh"),
+          xxhash64(col("pr").getField("0")).as("uh"))
+        // hash BEFORE the checkpoint: the materialized frame and every
+        // shuffle above it carry 8-byte keys, never pair text
+        .localCheckpoint()
+      // prefix counts over EVERY token occurrence (incl. doc-final —
+      // a doc's last token appears in no bigram's 'a' slot)
+      val uniCounts = T.documentsSpread(s, dir)
+        .select(explode(expr(s"filter($toksSql, t -> t <> '')")).as("w"))
+        .groupBy(xxhash64(col("w")).as("uh"))
+        .agg(count(lit(1)).as("cu"))
+      val biCounts = pairs
+        .groupBy(col("bh"))
+        .agg(count(lit(1)).as("cb"))
+      pairs
+        .join(biCounts, "bh")
+        .join(uniCounts, "uh")
+        .select(col("doc_id"), expr("(cb * 1048576) div cu").as("q"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+        .withColumn("lm_score",
+          col("sum_q").cast("double") / col("n_bigrams").cast("double"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      p AS (
+        SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+        FROM d, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 2),
+      uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM (SELECT unnest(ts) AS w FROM d) GROUP BY w),
+      bi AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM p GROUP BY a, b),
+      s AS (
+        SELECT p.doc_id, (bi.cb * 1048576) // uni.cu AS q
+        FROM p
+        JOIN bi ON bi.a = p.a AND bi.b = p.b
+        JOIN uni ON uni.w = p.a)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(q) AS BIGINT) AS sum_q,
+        CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+      FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "bigram-LM typicality scoring (the CCNet perplexity-filter axis, transcendental-free): p(w_i|w_{i-1}) as fixed-point (c_bigram*2^20) div c_prefix under the corpus's own LM, mean = one IEEE division of exact ints; training = two map-side-combinable hash aggs, scoring = hash-keyed joins that stream (web-scale bigram tables need no broadcast)")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
     q89NeardupPrune, q90SourceLeakage, q93MixtureApply, q95SaltedJoin,
     q96NoveltyCurve, q98IncrementalNovelty, q103EpochUpsample,
-    q114QualityThresholdCurve, q118PpsSample)
+    q114QualityThresholdCurve, q118PpsSample, q125BigramLmScore)
 }

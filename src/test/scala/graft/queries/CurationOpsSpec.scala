@@ -388,4 +388,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.last._7 === 1.0, "the lowest threshold must keep every token")
   }
+
+  test("q125 matches hand-computed fixed-point bigram probabilities") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q125").toString
+    // corpus: doc1 = "a b a b", doc2 = "a c".
+    // unigrams: a=3, b=2, c=1. bigrams: (a,b)=2, (b,a)=1, (a,c)=1.
+    // doc1 scores: (a,b) -> (2*2^20) div 3 = 699050 (twice),
+    //              (b,a) -> (1*2^20) div 2 = 524288; n=3, sum=1922388.
+    // doc2: (a,c) -> (1*2^20) div 3 = 349525; n=1.
+    Seq((1L, "a b a b", "en", "s1"), (2L, "a c", "en", "s1"))
+      .map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.q125BigramLmScore.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === Seq(
+      (1L, 3L, 1922388L, 1922388.0 / 3.0),
+      (2L, 1L, 349525L, 349525.0)))
+  }
 }
