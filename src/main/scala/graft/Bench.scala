@@ -119,12 +119,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Unit = {
+    def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      // Some queries persist() shared subtrees (q32/q33 shingles); drop
-      // them so no query's timing inherits another's cached state.
+
+    /** Post-query isolation, OUTSIDE the timed window: drop persisted
+      * subtrees (q32/q33 shingles) so no timing inherits another
+      * query's cached state, and — the round-11 find — explicitly
+      * unpersist checkpoint RDDs: `clearCache()` only covers catalog-
+      * cached datasets, while `localCheckpoint` blocks sit in
+      * BlockManager storage until the driver GC happens to run the
+      * ContextCleaner. Across a 125-query × 3-pass run that creep
+      * inflated late queries ~25% and tripled GC time (8.5 s vs 2.4 s
+      * in the round-10 artifact).
+      */
+    def release(): Unit = {
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
     }
 
     // Untimed warmup: one full pass over EVERY query. First-touch costs
@@ -142,7 +154,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
-    names.foreach(n => try materialize(n) catch { case _: Throwable => () })
+    names.foreach { n =>
+      try materialize(n) catch { case _: Throwable => () }
+      release()
+    }
     var errors = ListMap.empty[String, String]
     // Timed passes, per-query value = min. The min of repeated runs is
     // the standard noise-robust estimator for a deterministic workload:
@@ -153,7 +168,7 @@ object Bench {
     // contended host while early queries matched local runs.
     def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
-      try {
+      val timed = try {
         materialize(name)
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
@@ -161,6 +176,8 @@ object Bench {
           errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           name -> -1.0
       }
+      release() // isolation cost stays out of the measured window
+      timed
     }.toMap
     val gc0 = gcMs()
     var passes = List(timedPass(), timedPass())

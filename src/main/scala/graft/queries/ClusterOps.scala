@@ -564,17 +564,26 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
         .persist()
       val (_, cents) = KMeans.run(e, ivfCells, embDim, lloydIters)
       val coarse = cents.select(col("cid").as("cell_id"), col("mu").as("cv"))
-      // corpus × 8 cells: full-dim pinned fold, integer-valued doubles
-      val cd = e.join(broadcast(coarse))
+      // corpus routing: KMeans.assign's map-side l2argmin fold — same
+      // (dist ASC, cid ASC) argmin as a corpus×cells window, with ZERO
+      // shuffle (the first cut windowed the corpus×8 frame carrying the
+      // 64-double centroid per row: 16.6 MB shuffled at sf1, and
+      // superlinear because replica vectors compress worse — the sf1
+      // audit caught it); the centroid re-join for the residual is an
+      // 8-row broadcast.
+      val assigned = KMeans.assign(e, cents)
+      val res = assigned
+        .join(broadcast(coarse), col("cid") === col("cell_id"))
+        .select(col("vec_id"), col("cell_id"),
+          expr("zip_with(xq, cv, (a, b) -> cast(a as double) - b)").as("r"))
+        .localCheckpoint()
+      // the QUERY side keeps the explicit distance frame — 10 rows × 8
+      // cells, needed for nprobe > 1 ranking, cost-free at any scale
+      val cd = e.filter(col("vec_id") < 10).join(broadcast(coarse))
         .select(col("vec_id"), col("cell_id"), col("cv"), col("xq"),
           graft.functions.GraftFunctions.l2sq(col("xq"), col("cv")).as("cdist"))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("cdist"), col("cell_id"))
-      val res = cd.withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cell_id"),
-          expr("zip_with(xq, cv, (a, b) -> cast(a as double) - b)").as("r"))
-        .localCheckpoint()
       // one shared residual codebook (TPAMI'11 §V), 8 codewords/subspace
       val cbl = res.filter(col("vec_id") < pqK)
         .select(col("vec_id").cast("int").as("cid"),
@@ -598,7 +607,7 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
               acc -> acc.c))""").as("codes"))
       // probes: per query the nprobe nearest cells; residual is wrt the
       // PROBED cell's centroid (each probed list gets its own table)
-      val qdt = cd.filter(col("vec_id") < 10)
+      val qdt = cd
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") <= ivfNprobe)
         .select(col("vec_id").as("query_id"), col("cell_id"),
@@ -619,12 +628,16 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
       val shortlist = scored.withColumn("srn", row_number().over(wAdc))
         .filter(col("srn") <= ivfShortlist)
         .select(col("query_id"), col("neighbor_id"), col("adist"))
-      // refine: fetch the shortlist's full vectors, exact pinned fold
+      // refine: fetch the shortlist's full vectors, exact pinned fold.
+      // The shortlist side is BOUNDED (queries × ivfShortlist rows), so
+      // it broadcasts and the vector store never shuffles — at sf1 the
+      // unhinted join shuffled the whole 10 MB store through an SMJ
+      // once it outgrew AQE's auto-broadcast (the audit's 98× decade
+      // step); with the hint the store is scan-side at every scale.
       val qv = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("xq").as("qx"))
-      val refined = shortlist
-        .join(e.select(col("vec_id").as("neighbor_id"), col("xq").as("nx")),
-          "neighbor_id")
+      val refined = e.select(col("vec_id").as("neighbor_id"), col("xq").as("nx"))
+        .join(broadcast(shortlist), "neighbor_id")
         .join(broadcast(qv), "query_id")
         .select(col("query_id"), col("neighbor_id"), col("adist"),
           expr("""aggregate(zip_with(qx, nx,
