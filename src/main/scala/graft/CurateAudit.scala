@@ -45,15 +45,25 @@ object CurateAudit {
       }
     })
 
+    val nJobs = new java.util.concurrent.atomic.AtomicInteger()
+    val nStages = new java.util.concurrent.atomic.AtomicInteger()
+    val nTasks = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = nJobs.incrementAndGet()
+      override def onStageSubmitted(st: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = nStages.incrementAndGet()
+      override def onTaskStart(t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = nTasks.incrementAndGet()
+    })
     val t0 = System.nanoTime()
     val r = curation.Curate.run(spark, sfDir, outDir)
     val wall = (System.nanoTime() - t0) / 1e9
     org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+    println(s"[curate-jobs] jobs=${nJobs.get} stages=${nStages.get} tasks=${nTasks.get}")
     println(
       s"""{"sf":"$sfDir","in":${inputBytes.sum()},"sh":${shuffleBytes.sum()},""" +
         s""""wall":${math.rint(wall * 100) / 100},"funnel":{"input":${r.nInput},""" +
-        s""""quality":${r.nQuality},"exact":${r.nExactDedup},"near":${r.nNearDedup},""" +
-        s""""decontam":${r.nDecontaminated},"sampled":${r.nSampled},""" +
+        s""""quality":${r.nQuality},"lm":${r.nLmPass},"exact":${r.nExactDedup},""" +
+        s""""near":${r.nNearDedup},"decontam":${r.nDecontaminated},""" +
+        s""""rewritten":${r.nRewritten},"sampled":${r.nSampled},""" +
         s""""chunks":${r.nChunks},"shards":${r.nShards},"tokens":${r.nTokens}}}""")
     spark.stop()
   }

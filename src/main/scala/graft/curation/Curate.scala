@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   * corresponding oracle query):
   *
   *   1. quality gate        — q83's linear scorer, keep score >= 0.05
-  *   2. exact dedup         — q29's md5(text) groups, min-doc_id survivor
-  *   3. near-dup prune      — q32 pairs + q89's lose-to-higher-score rule
-  *   4. decontamination     — q77's 5-gram overlap vs the eval probe set
-  *   5. mixture rebalance   — q84 rates applied via q93's hash filter
-  *   6. chunking            — q100's fixed-context stride grid
-  *   7. shard packing       — q101's chunk→shard composition over
+  *   2. LM typicality gate  — q125's bigram-LM kernel, keep score >= lmFloor
+  *   3. exact dedup         — q29's md5(text) groups, min-doc_id survivor
+  *   4. near-dup prune      — q32 pairs + q89's lose-to-higher-score rule
+  *   5. decontamination     — q77's 5-gram overlap vs the eval probe set
+  *   6. block rewrite       — q123's corpus-wide keep-first block dedup;
+  *                            downstream stages see the REWRITTEN text
+  *   7. mixture rebalance   — q84 rates applied via q93's hash filter
+  *   8. chunking            — q100's fixed-context stride grid
+  *   9. shard packing       — q101's chunk→shard composition over
   *                            ops.ShardPacking's two-pass prefix sum
-  *   8. parquet shards      — partitioned by (source, shard_id)
+  *  10. parquet shards      — partitioned by (source, shard_id)
   *
   * Stage order matters and is the industry-standard one: dedup before
   * decontamination (fewer docs to shingle), every filter before
@@ -47,9 +50,9 @@ object Curate {
   private val toksSql = "split(lower(text), ' ')"
 
   final case class Report(
-      nInput: Long, nQuality: Long, nExactDedup: Long, nNearDedup: Long,
-      nDecontaminated: Long, nSampled: Long, nChunks: Long, nShards: Long,
-      nTokens: Long)
+      nInput: Long, nQuality: Long, nLmPass: Long, nExactDedup: Long,
+      nNearDedup: Long, nDecontaminated: Long, nRewritten: Long,
+      nSampled: Long, nChunks: Long, nShards: Long, nTokens: Long)
 
   /** Run the full pipeline; write shards under `outDir`; return the
     * per-stage funnel. `evalIds` marks the held-out eval docs used as
@@ -64,15 +67,21 @@ object Curate {
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tokenBudget: Long = 4096L, evalIdBelow: Long = 10L,
-      chunkWindow: Int = 64, chunkStride: Int = 48): Report = {
+      chunkWindow: Int = 64, chunkStride: Int = 48,
+      lmTailFrac: Double = 0.02): Report = {
     require(chunkWindow > 0 && chunkStride > 0 && chunkStride <= chunkWindow,
       "need 0 < chunkStride <= chunkWindow (stride > window would skip tokens)")
     require(chunkWindow <= tokenBudget,
       "a single chunk must fit a shard: chunkWindow <= tokenBudget")
+    var __t = System.nanoTime()
+    def lap(l: String): Unit = {
+      println(f"[curate-stage] $l ${(System.nanoTime() - __t) / 1e9}%.1f s")
+      __t = System.nanoTime()
+    }
     val docs = T.documentsSpread(spark, sfDir)
       .filter(col("doc_id") >= evalIdBelow)
       .persist()
-    val nInput = docs.count()
+    val nInput = docs.count(); lap("input")
 
     // 1. quality gate (q83 arithmetic, shared helper)
     val scored = graft.queries.CurationOps.qualityScored(spark, sfDir)
@@ -80,18 +89,46 @@ object Curate {
       .select(col("doc_id"), col("score"))
     val quality = docs.join(scored.filter(col("score") >= 0.05), "doc_id")
       .persist()
-    val nQuality = quality.count()
+    val nQuality = quality.count(); lap("quality")
     docs.unpersist()
 
-    // 2. exact dedup: min doc_id survives its md5(text) group (q29)
-    val wHash = Window.partitionBy(md5(col("text")))
-    val exact = quality.withColumn("__keep", col("doc_id") === min(col("doc_id")).over(wHash))
-      .filter(col("__keep")).drop("__keep")
+    // 2. LM typicality gate (q125's kernel): the bigram LM is trained
+    // on the quality-passed corpus itself and drops the low-typicality
+    // TAIL — a QUANTILE cut, not a fixed floor (CCNet's perplexity
+    // buckets are quantile-based for exactly this reason: absolute
+    // scores shift with corpus composition — the sf1 replica corpus
+    // scores systematically lower and a fixed floor silently emptied
+    // the funnel there). The threshold is the `lmTailFrac` order
+    // statistic of a 256-doc deterministic sample (q113's KMV idea:
+    // smallest xxhash64(doc_id) values — no corpus sort, bounded rows,
+    // bit-reproducible). The train frame is the seam where a curated
+    // reference corpus would plug in.
+    val lmScores = graft.queries.CurationOps.lmScored(quality)
+      .select(col("doc_id"), col("lm_score"))
+    val kSample = 256
+    val cutIdx = math.max(1, (kSample * lmTailFrac).toInt)
+    val lmThr = lmScores
+      .select(col("lm_score"), xxhash64(col("doc_id")).as("__h"))
+      .orderBy(col("__h")).limit(kSample)
+      .orderBy(col("lm_score")).limit(cutIdx)
+      .agg(max(col("lm_score")).as("__lm_floor"))
+    val lmPass = quality.join(lmScores, "doc_id")
+      .crossJoin(broadcast(lmThr))
+      .filter(col("lm_score") >= col("__lm_floor"))
+      .drop("lm_score", "__lm_floor")
       .persist()
-    val nExact = exact.count()
+    val nLm = lmPass.count(); lap("lm")
     quality.unpersist()
 
-    // 3. near-dup prune: q32's pair list, q89's survivor rule
+    // 3. exact dedup: min doc_id survives its md5(text) group (q29)
+    val wHash = Window.partitionBy(md5(col("text")))
+    val exact = lmPass.withColumn("__keep", col("doc_id") === min(col("doc_id")).over(wHash))
+      .filter(col("__keep")).drop("__keep")
+      .persist()
+    val nExact = exact.count(); lap("exact")
+    lmPass.unpersist()
+
+    // 4. near-dup prune: q32's pair list, q89's survivor rule
     val pairs = graft.queries.LlmOps.q32NearDupPairs.fn(spark, sfDir)
       .select(col("id_a"), col("id_b"))
     val e = pairs.select(col("id_a").as("me"), col("id_b").as("other"))
@@ -104,10 +141,10 @@ object Curate {
       .select(col("me").as("doc_id")).distinct()
     val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
       .persist()
-    val nNear = nearDeduped.count()
+    val nNear = nearDeduped.count(); lap("near")
     exact.unpersist()
 
-    // 4. decontamination: drop docs sharing any 5-gram with the eval set (q77)
+    // 5. decontamination: drop docs sharing any 5-gram with the eval set (q77)
     val grams = (df: DataFrame) => df
       .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
       .filter(size(col("ts")) >= 5)
@@ -119,11 +156,38 @@ object Curate {
       .select(col("doc_id")).distinct()
     val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
       .persist()
-    val nClean = clean.count()
+    val nClean = clean.count(); lap("decontam")
     nearDeduped.unpersist()
 
-    // 5. mixture rebalance on the CLEAN corpus (q84 rates, q93 filter)
-    val withTok = clean.withColumn("n_tok",
+    // 6. block-level keep-first rewrite (q123's kernel), placed AFTER
+    // decontamination: the decon verdict is doc-level on pre-rewrite
+    // text (conservative — a doc is dropped even when its contaminated
+    // block would have been cut anyway), while everything downstream —
+    // mixture token rates, chunk grids, shard fill — must see the
+    // REWRITTEN corpus, or the rates and budgets describe text the
+    // trainer will never consume. Docs whose every block is a repeat
+    // vanish here (kept text empty).
+    // localCheckpoint, not persist: the rewrite joins the corpus frame
+    // against an aggregate OF ITSELF, and stacking that join-on-self
+    // lineage under the five stages above it sent the ANALYSIS/
+    // optimization cost of every downstream plan superlinear (measured
+    // 27 s -> 90 s wall at sf0.01 with identical task counts — the
+    // time was driver-side, between jobs). The checkpoint starts
+    // downstream plans from a LogicalRDD. Blocks live until session
+    // end; a 100 TB deployment would write/drop an intermediate table
+    // here, same shape.
+    val rewritten = clean.drop("text")
+      .join(graft.queries.TrainingOps.blockKeptText(clean)
+          .filter(length(col("kept_text")) > 0)
+          .select(col("doc_id"), col("kept_text").as("text")),
+        "doc_id")
+      .localCheckpoint()
+    val nRewritten = rewritten.count(); lap("rewrite")
+    clean.unpersist()
+
+    // 7. mixture rebalance on the CLEAN, REWRITTEN corpus (q84 rates,
+    // q93 filter)
+    val withTok = rewritten.withColumn("n_tok",
       expr(s"size(filter($toksSql, t -> t <> ''))"))
     val per = withTok.groupBy(col("source")).agg(sum(col("n_tok")).cast("bigint").as("n_tokens"))
     val mn = per.agg(min(col("n_tokens")).as("min_tok"))
@@ -138,10 +202,9 @@ object Curate {
       .filter(col("__bucket") < col("cut"))
       .drop("__bucket", "cut")
       .persist()
-    val nSampled = sampled.count()
-    clean.unpersist()
+    val nSampled = sampled.count(); lap("sample")
 
-    // 6. chunking (q100's stride grid) — the sampled docs become
+    // 8. chunking (q100's stride grid) — the sampled docs become
     // fixed-context training examples. chunk_text slices the SAME
     // token array the counts use, inside one projection, so there is
     // no second tokenize pass and nothing array-typed crosses a
@@ -165,16 +228,16 @@ object Curate {
               "or doc_id exceeds the 2^43 id cap")).isNull,
             col("chunk_start"))).as("ord"))
       .persist()
-    val nChunks = chunked.count()
+    val nChunks = chunked.count(); lap("chunk")
     sampled.unpersist()
 
-    // 7. chunk -> shard packing (q101's composition over q78's
+    // 9. chunk -> shard packing (q101's composition over q78's
     // two-pass block-decomposed prefix sum — no single-task-per-source
     // window; see ops.ShardPacking)
     val packed = graft.ops.ShardPacking
       .assignShards(chunked, "source", "ord", "nc", tokenBudget)
 
-    // 8. immutable shard artifacts, prunable by (source, shard_id).
+    // 10. immutable shard artifacts, prunable by (source, shard_id).
     // nTokens counts chunk tokens as written — with stride < window
     // the overlap region is intentionally double-counted, because
     // that IS what the trainer will consume.
@@ -183,13 +246,14 @@ object Curate {
         col("chunk_start"), col("nc"), col("lang"), col("chunk_text"))
       .write.mode("overwrite").partitionBy("source", "shard_id")
       .parquet(s"$outDir/shards")
+    lap("pack+write")
 
     chunked.unpersist()
     val written = spark.read.parquet(s"$outDir/shards")
-    val nShards = written.select(col("source"), col("shard_id")).distinct().count()
+    val nShards = written.select(col("source"), col("shard_id")).distinct().count(); lap("nShards")
     val nTokens = Option(written.agg(sum(col("nc"))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    Report(nInput, nQuality, nExact, nNear, nClean, nSampled, nChunks, nShards,
-      nTokens)
+      .map(_.asInstanceOf[Long]).getOrElse(0L); lap("nTokens")
+    Report(nInput, nQuality, nLm, nExact, nNear, nClean, nRewritten, nSampled,
+      nChunks, nShards, nTokens)
   }
 }

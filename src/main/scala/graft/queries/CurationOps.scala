@@ -1161,42 +1161,47 @@ object CurationOps {
     * count tables stream through an ordinary shuffled join, so a
     * web-scale bigram table (too big to broadcast) changes nothing.
     */
+  /** The q125 kernel as a reusable stage (Curate.run's LM gate consumes
+    * it): train the bigram LM on `docs` and score each of its rows.
+    * Returns (doc_id, n_bigrams, sum_q, lm_score); plan shape on q125. */
+  def lmScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"),
+        expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "arrays_zip(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1))"))
+          .as("pr"))
+      .select(col("doc_id"),
+        xxhash64(col("pr").getField("0"), col("pr").getField("1")).as("bh"),
+        xxhash64(col("pr").getField("0")).as("uh"))
+      // hash BEFORE the checkpoint: the materialized frame and every
+      // shuffle above it carry 8-byte keys, never pair text
+      .localCheckpoint()
+    // prefix counts over EVERY token occurrence (incl. doc-final —
+    // a doc's last token appears in no bigram's 'a' slot)
+    val uniCounts = docs
+      .select(explode(expr(s"filter($toksSql, t -> t <> '')")).as("w"))
+      .groupBy(xxhash64(col("w")).as("uh"))
+      .agg(count(lit(1)).as("cu"))
+    val biCounts = pairs
+      .groupBy(col("bh"))
+      .agg(count(lit(1)).as("cb"))
+    pairs
+      .join(biCounts, "bh")
+      .join(uniCounts, "uh")
+      .select(col("doc_id"), expr("(cb * 1048576) div cu").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+      .withColumn("lm_score",
+        col("sum_q").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   val q125BigramLmScore = Q(
     "q125_bigram_lm_score",
-    (s, dir) => {
-      val pairs = T.documentsSpread(s, dir)
-        .select(col("doc_id"),
-          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"),
-          explode(expr(
-            "arrays_zip(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1))"))
-            .as("pr"))
-        .select(col("doc_id"),
-          xxhash64(col("pr").getField("0"), col("pr").getField("1")).as("bh"),
-          xxhash64(col("pr").getField("0")).as("uh"))
-        // hash BEFORE the checkpoint: the materialized frame and every
-        // shuffle above it carry 8-byte keys, never pair text
-        .localCheckpoint()
-      // prefix counts over EVERY token occurrence (incl. doc-final —
-      // a doc's last token appears in no bigram's 'a' slot)
-      val uniCounts = T.documentsSpread(s, dir)
-        .select(explode(expr(s"filter($toksSql, t -> t <> '')")).as("w"))
-        .groupBy(xxhash64(col("w")).as("uh"))
-        .agg(count(lit(1)).as("cu"))
-      val biCounts = pairs
-        .groupBy(col("bh"))
-        .agg(count(lit(1)).as("cb"))
-      pairs
-        .join(biCounts, "bh")
-        .join(uniCounts, "uh")
-        .select(col("doc_id"), expr("(cb * 1048576) div cu").as("q"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
-        .withColumn("lm_score",
-          col("sum_q").cast("double") / col("n_bigrams").cast("double"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => lmScored(T.documentsSpread(s, dir)).orderBy(col("doc_id")),
     Some("""
       WITH d AS (
         SELECT doc_id,

@@ -1486,36 +1486,45 @@ object TrainingOps {
     * hash-vs-string dual doubles as the collision audit (q115's
     * convention).
     */
+  /** The q123 kernel as a reusable stage (Curate.run's block-rewrite
+    * stage consumes it): corpus-wide keep-first block dedup over any
+    * (doc_id, text) frame, returning per doc the block counts and the
+    * reassembled surviving text. Plan shape documented on q123. */
+  def blockKeptText(docs: org.apache.spark.sql.DataFrame, bw: Int = 16)
+      : org.apache.spark.sql.DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"),
+        expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast((size(ts) + ${bw - 1}) div $bw as int) - 1),
+             |  i -> array_join(slice(ts, i * $bw + 1, $bw), ' '))""".stripMargin))
+          .as(Seq("bi", "blk")))
+      .select(col("doc_id"), col("bi"), col("blk"),
+        xxhash64(col("blk")).as("h"))
+    val first = keyed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("bi"))).as("f"))
+    keyed.join(first, "h")
+      .withColumn("kept",
+        col("doc_id") === col("f.doc_id") && col("bi") === col("f.bi"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("kept"), struct(col("bi"), col("blk"))))),
+            x => x.getField("blk")),
+          " ").as("kept_text"))
+  }
+
   val q123BlockDedupRewrite = Q(
     "q123_block_dedup_rewrite",
-    (s, dir) => {
-      val bw = 16
-      val keyed = T.documentsSpread(s, dir)
-        .select(col("doc_id"),
-          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
-        .select(col("doc_id"),
-          posexplode(expr(
-            s"""transform(sequence(0, cast((size(ts) + ${bw - 1}) div $bw as int) - 1),
-               |  i -> array_join(slice(ts, i * $bw + 1, $bw), ' '))""".stripMargin))
-            .as(Seq("bi", "blk")))
-        .select(col("doc_id"), col("bi"), col("blk"),
-          xxhash64(col("blk")).as("h"))
-      val first = keyed.groupBy(col("h"))
-        .agg(min(struct(col("doc_id"), col("bi"))).as("f"))
-      keyed.join(first, "h")
-        .withColumn("kept",
-          col("doc_id") === col("f.doc_id") && col("bi") === col("f.bi"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_blocks"),
-          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
-          md5(array_join(
-            transform(
-              sort_array(collect_list(
-                when(col("kept"), struct(col("bi"), col("blk"))))),
-              x => x.getField("blk")),
-            " ")).as("kept_md5"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) =>
+      blockKeptText(T.documentsSpread(s, dir))
+        .select(col("doc_id"), col("n_blocks"), col("n_dropped"),
+          md5(col("kept_text")).as("kept_md5"))
+        .orderBy(col("doc_id")),
     Some("""
       WITH d AS (
         SELECT doc_id,

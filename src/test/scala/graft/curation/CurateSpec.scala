@@ -15,6 +15,26 @@ class CurateSpec extends SparkSpec {
   private val window = 64
   private val stride = 48
 
+
+  /** The LM gate's doc set, recomputed: q125 scores over the quality-
+    * passed frame, threshold = the pipeline's 2%-of-256-sample order
+    * statistic (hashes taken from the engine — the quantile-cut wiring
+    * is what this reference checks; q125's arithmetic has its own
+    * oracle + fixture spec). */
+  private def lmPassIds(qualityIds: Set[Long]): Set[Long] = {
+    val qf = graft.Tables.documents(spark, sf).where("doc_id >= 10")
+      .where(col("doc_id").isin(qualityIds.toSeq: _*))
+    val scores = graft.queries.CurationOps.lmScored(qf)
+      .select(col("doc_id"), col("lm_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val hashes = qf.select(col("doc_id"), xxhash64(col("doc_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val smap = scores.toMap
+    val sample = scores.map(_._1).sortBy(hashes).take(256)
+    val thr = sample.map(smap).sorted.take(math.max(1, (256 * 0.02).toInt)).max
+    scores.collect { case (id, sc) if sc >= thr => id }.toSet
+  }
+
   private lazy val outA = {
     val dir = java.nio.file.Files.createTempDirectory("graft_curate_a").toString
     (dir, Curate.run(spark, sf, dir))
@@ -22,8 +42,8 @@ class CurateSpec extends SparkSpec {
 
   test("the funnel only ever shrinks, and every stage count is populated") {
     val (_, r) = outA
-    val funnel = Seq(r.nInput, r.nQuality, r.nExactDedup, r.nNearDedup,
-      r.nDecontaminated, r.nSampled)
+    val funnel = Seq(r.nInput, r.nQuality, r.nLmPass, r.nExactDedup,
+      r.nNearDedup, r.nDecontaminated, r.nRewritten, r.nSampled)
     assert(funnel === funnel.sorted.reverse, s"funnel grew somewhere: $r")
     assert(r.nInput > 0 && r.nSampled > 0 && r.nShards > 0 && r.nTokens > 0, r.toString)
     // chunking fans out, never filters: >= one chunk per non-empty doc
@@ -39,6 +59,12 @@ class CurateSpec extends SparkSpec {
       .filter(col("score") >= 0.05).select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet
     assert(ids.subsetOf(passing), "a written doc failed the quality gate")
+
+    // the LM gate narrows further: every written doc survives the
+    // 2%-tail quantile cut under the LM trained on the quality-passed
+    // corpus (run's default)
+    val lmPassing = lmPassIds(passing.filter(_ >= 10))
+    assert(ids.subsetOf(lmPassing), "a written doc failed the LM typicality gate")
 
     // recompute contamination independently (interpreted HOF formulation,
     // not the pipeline's native ngrams): shared 5-gram with docs 0-9
@@ -57,11 +83,58 @@ class CurateSpec extends SparkSpec {
 
   test("chunk coverage law: every written doc's chunks form exactly q100's stride grid") {
     val (dir, _) = outA
-    // independent recount of each written doc's tokens (interpreted HOF
-    // form, not the pipeline's expression)
-    val nByDoc = graft.Tables.documents(spark, sf)
-      .selectExpr("doc_id", "size(filter(split(lower(text), ' '), t -> t <> '')) n")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // independent recount of each written doc's tokens: the pipeline
+    // chunks the REWRITTEN corpus (stage 6), so the reference recount
+    // applies a sequential driver-side keep-first block dedup (16-token
+    // blocks, global (doc,idx) order — the q123 contract, reimplemented
+    // imperatively) over stage 6's INPUT set. That set is reconstructed
+    // with the pipeline's own gate helpers — each gate's semantics has
+    // its own independent test; THIS test's target is the chunk-grid
+    // law downstream of the rewrite.
+    val rawToks = graft.Tables.documents(spark, sf).where("doc_id >= 10")
+      .selectExpr("doc_id", "filter(split(lower(text), ' '), t -> t <> '') ts")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector)
+      .toMap
+    val scores = graft.queries.CurationOps.qualityScored(spark, sf)
+      .select(col("doc_id"), col("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val qIds = rawToks.keySet.filter(id => scores(id) >= 0.05)
+    val lmIds = lmPassIds(qIds)
+    // exact dedup: min doc_id per identical-text group
+    val textOf = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exactIds = lmIds.groupBy(textOf).values.map(_.min).toSet
+    // near-dup prune: q32 pairs + lose-to-higher-score
+    val pairs = graft.queries.LlmOps.q32NearDupPairs.fn(spark, sf)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the pipeline's loser rule joins the pair list against the
+    // eval-filtered score table: `other` may be any non-eval doc with
+    // a score, even one an earlier gate already dropped
+    val losers = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .collect { case (me, other)
+        if exactIds(me) && other >= 10 && scores.contains(other) &&
+          (scores(other) > scores(me) ||
+            (scores(other) == scores(me) && other < me)) => me }.toSet
+    val nearIds = exactIds -- losers
+    // decontamination (the independent 5-gram recompute above)
+    val probe = graft.Tables.documents(spark, sf).where("doc_id < 10")
+      .selectExpr("explode(array_distinct(transform(sequence(1, size(filter(split(lower(text), ' '), t -> t <> '')) - 4), " +
+        "i -> concat_ws(' ', slice(filter(split(lower(text), ' '), t -> t <> ''), i, 5))))) g")
+      .distinct().collect().map(_.getString(0)).toSet
+    val cleanIds = nearIds.filter { id =>
+      val ts = rawToks(id)
+      ts.length < 5 || !ts.sliding(5).exists(w => probe(w.mkString(" ")))
+    }
+    // sequential keep-first block rewrite over the clean set
+    val seen = scala.collection.mutable.Set.empty[String]
+    val nByDoc = cleanIds.toSeq.sorted.map { id =>
+      val kept = rawToks(id).grouped(16).filter { b =>
+        val k = b.mkString(" "); if (seen(k)) false else { seen += k; true }
+      }.flatten.toVector
+      id -> kept.size
+    }.toMap
     val chunks = spark.read.parquet(s"$dir/shards")
       .select(col("doc_id"), col("chunk_start"), col("nc"), col("chunk_text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
