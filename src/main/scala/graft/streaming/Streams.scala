@@ -156,6 +156,58 @@ object Streams {
       }
   }
 
+  /** One 16-token block instance (q123's unit), pre-hashed with the
+    * q98 key reduction: `bh = xxhash64(block text)`, position =
+    * (docId, bi). */
+  final case class BlockEvent(bh: Long, docId: Long, bi: Long)
+
+  final case class BlockVerdict(bh: Long, docId: Long, bi: Long,
+      kept: Boolean)
+
+  /** Streaming twin of q123's corpus-wide keep-first block dedup: the
+    * block-hash → canonical-instance table lives in the STATE STORE
+    * (one long per distinct block, hash-partitioned on the block key).
+    * Each instance emits whether it IS the canonical one; a sink that
+    * upserts by (docId, bi) and keeps `kept` rows reconstructs exactly
+    * the q123 rewrite as blocks arrive.
+    *
+    * Canonical = min (docId, bi), packed as q101's ord encoding
+    * (docId·2^20 + bi — same caps, loudly enforced), min-merged across
+    * micro-batches exactly like [[noveltyTracker]]'s first-batch state:
+    * a late-arriving LOWER instance re-claims the block, emits
+    * kept=true, and a correction row (kept=false) fires for the
+    * superseded claimant — so the upserted view converges to batch
+    * q123 under out-of-order delivery, and with in-order arrival no
+    * corrections ever fire (StreamingSpec pins both).
+    */
+  def blockDeduper(blocks: Dataset[BlockEvent]): Dataset[BlockVerdict] = {
+    import blocks.sparkSession.implicits._
+    val biCap = 1L << 20
+    def ord(e: BlockEvent): Long = {
+      require(e.bi >= 0 && e.bi < biCap && e.docId >= 0 && e.docId < (1L << 43),
+        s"blockDeduper: (docId=${e.docId}, bi=${e.bi}) outside the ord-encoding caps")
+      e.docId * biCap + e.bi
+    }
+    blocks
+      .groupByKey(_.bh)
+      .flatMapGroupsWithState[Long, BlockVerdict](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bh: Long, events: Iterator[BlockEvent], state: GroupState[Long]) =>
+          val evs = events.toSeq.sortBy(ord)
+          val prev = state.getOption
+          val first = prev.fold(ord(evs.head))(math.min(_, ord(evs.head)))
+          if (!prev.contains(first)) state.update(first)
+          val corrections = prev match {
+            case Some(p) if first < p =>
+              Iterator.single(
+                BlockVerdict(bh, p / biCap, p % biCap, kept = false))
+            case _ => Iterator.empty
+          }
+          corrections ++
+            evs.iterator.map(e => BlockVerdict(bh, e.docId, e.bi, ord(e) == first))
+      }
+  }
+
   /** One chunk's packing input (q101's shape): `ord` the total order
     * key within a source, `n` its token count.
     */

@@ -343,6 +343,82 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("blockDeduper (state-store canonical table) equals sequential keep-first on the real corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // q123's block frame at sf0.001 (same slicing + hash expressions),
+    // fed in THREE micro-batches split mid-corpus so canonical state
+    // must carry across micro-batch boundaries
+    val events = graft.Tables.documentsSpread(s, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), t -> t <> '')").as("ts"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, cast((size(ts) + 15) div 16 as int) - 1), " +
+            "i -> array_join(slice(ts, i * 16 + 1, 16), ' '))"))
+          .as(Seq("bi", "blk")))
+      .select(xxhash64(col("blk")).as("bh"), col("doc_id").as("docId"),
+        col("bi").cast("long").as("bi"))
+      .as[Streams.BlockEvent].collect().toSeq.sortBy(e => (e.docId, e.bi))
+    val in = MemoryStream[Streams.BlockEvent]
+    val q = Streams.blockDeduper(in.toDS())
+      .writeStream.format("memory").queryName("blockdedup_out")
+      .outputMode("update").start()
+    try {
+      in.addData(events.filter(_.docId < 150))
+      q.processAllAvailable()
+      in.addData(events.filter(e => e.docId >= 150 && e.docId < 350))
+      q.processAllAvailable()
+      in.addData(events.filter(_.docId >= 350))
+      q.processAllAvailable()
+      // upsert by (docId, bi): corrections only flip true -> false
+      val raw = s.table("blockdedup_out").collect()
+      // (NB: Map.collect over pair results would rebuild a Map keyed by
+      // docId and silently collapse block positions — filter + keySet)
+      val streamedKept = raw
+        .map(r => ((r.getLong(1), r.getLong(2)), r.getBoolean(3)))
+        .groupBy(_._1)
+        .filter { case (_, vs) => vs.forall(_._2) }
+        .keySet.toSet
+      // sequential driver-side keep-first (the q123 contract):
+      // an instance is kept iff its hash is unseen at its (doc, bi) turn
+      val seen = scala.collection.mutable.Set.empty[Long]
+      val expected = events.flatMap { e =>
+        if (seen.add(e.bh)) Some((e.docId, e.bi)) else None
+      }.toSet
+      assert(streamedKept === expected,
+        s"stream-upserted kept set (${streamedKept.size}) must equal the " +
+          s"sequential keep-first (${expected.size})")
+    } finally q.stop()
+  }
+
+  test("blockDeduper re-claims for a late lower instance and emits a correction row") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[Streams.BlockEvent]
+    val q = Streams.blockDeduper(in.toDS())
+      .writeStream.format("memory").queryName("blockdedup_ooo")
+      .outputMode("update").start()
+    try {
+      // bh=7 first claimed by (doc 9, bi 1); the true canonical
+      // (doc 2, bi 0) arrives a micro-batch later
+      in.addData(Streams.BlockEvent(7L, 9L, 1L))
+      q.processAllAvailable()
+      in.addData(Streams.BlockEvent(7L, 2L, 0L))
+      q.processAllAvailable()
+      val rows = s.table("blockdedup_ooo")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(rows.contains((7L, 2L, 0L, true)), "late canonical must be kept")
+      assert(rows.contains((7L, 9L, 1L, false)),
+        s"missing correction for the superseded claimant: ${rows.mkString(", ")}")
+      val upserted = rows.groupBy(r => (r._2, r._3))
+        .map { case (k, vs) => k -> vs.map(_._4).reduce(_ && _) }
+      assert(upserted == Map((2L, 0L) -> true, (9L, 1L) -> false))
+    } finally q.stop()
+  }
+
   test("shardPacker (state-store running totals) equals batch ShardPacking mid-source across micro-batches") {
     val s = spark
     import s.implicits._
