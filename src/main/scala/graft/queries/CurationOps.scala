@@ -1229,10 +1229,87 @@ object CurationOps {
       FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "bigram-LM typicality scoring (the CCNet perplexity-filter axis, transcendental-free): p(w_i|w_{i-1}) as fixed-point (c_bigram*2^20) div c_prefix under the corpus's own LM, mean = one IEEE division of exact ints; training = two map-side-combinable hash aggs, scoring = hash-keyed joins that stream (web-scale bigram tables need no broadcast)")
 
+  // ---------------------------------------------------------------------
+  // q126 — semantic decontamination (embedding-space eval leakage)
+  // ---------------------------------------------------------------------
+
+  /** The SEMANTIC complement to q77's lexical decontamination: a
+    * paraphrased eval question shares no 5-gram with its source but
+    * sits next to it in embedding space — the leakage class n-gram
+    * overlap cannot see (the SemDeDup observation applied to the
+    * train/eval boundary). Every corpus vector reports its nearest
+    * eval-probe and the exact cosine; rows at or above the flag
+    * threshold are the decontamination candidates a pipeline drops or
+    * audits. On this corpus's random embeddings 0.30 flags the upper
+    * tail (41 rows at sf0.01); a real near-paraphrase sits far above
+    * any such threshold.
+    *
+    * Exactness: q34's contract — pinned-order dot fold (native dot_f),
+    * norms as one sqrt each, argmax with (cos DESC, probe ASC)
+    * row_number — bit-identical to the DuckDB list_reduce oracle.
+    *
+    * Scale shape: eval probe sets are small by nature → one broadcast;
+    * the corpus pass is map-side dots (no shuffle), and the only
+    * corpus-wide exchange is the vec-keyed argmax window over
+    * corpus×|probes| rows. A probe set too big to broadcast routes
+    * through q60's IVF cells first (probe-side routing), plan
+    * unchanged below the candidate join.
+    */
+  val q126SemanticDecontam = Q(
+    "q126_semantic_decontam",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dot
+      import org.apache.spark.sql.expressions.Window
+      val n = T.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
+      val probes = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pn"))
+      val sim = n.filter(col("vec_id") >= 10)
+        .join(broadcast(probes))
+        .select(col("vec_id"), col("probe_id"),
+          (dot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("probe_id"))
+      sim.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("cos") >= 0.30)
+        .select(col("vec_id"), col("probe_id").as("nearest_probe"),
+          col("cos").as("cosine"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+          sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) nrm
+        FROM e),
+      p AS (
+        SELECT vec_id AS probe_id, v AS pv, nrm AS pn
+        FROM n WHERE vec_id < 10),
+      sim AS (
+        SELECT n.vec_id, p.probe_id,
+          list_reduce(list_transform(generate_series(1, 64),
+            i -> n.v[i]*p.pv[i]), (x,y) -> x+y) / (n.nrm*p.pn) AS cos
+        FROM n CROSS JOIN p WHERE n.vec_id >= 10),
+      best AS (
+        SELECT vec_id, probe_id, cos FROM (
+          SELECT vec_id, probe_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, probe_id) rn
+          FROM sim) WHERE rn = 1)
+      SELECT vec_id, probe_id AS nearest_probe, cos AS cosine
+      FROM best WHERE cos >= 0.30 ORDER BY vec_id""".stripMargin),
+    "semantic decontamination: nearest eval-probe cosine per corpus vector, flagged at the threshold — the embedding-space complement to q77's 5-gram pass (paraphrased leakage has no shared n-gram); broadcast probe set, map-side pinned dot folds, one vec-keyed argmax exchange")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
     q89NeardupPrune, q90SourceLeakage, q93MixtureApply, q95SaltedJoin,
     q96NoveltyCurve, q98IncrementalNovelty, q103EpochUpsample,
-    q114QualityThresholdCurve, q118PpsSample, q125BigramLmScore)
+    q114QualityThresholdCurve, q118PpsSample, q125BigramLmScore,
+    q126SemanticDecontam)
 }

@@ -407,4 +407,16 @@ class CurationOpsSpec extends SparkSpec {
       (1L, 3L, 1922388L, 1922388.0 / 3.0),
       (2L, 1L, 349525L, 349525.0)))
   }
+
+  test("q126 plan: probe set broadcasts, corpus side streams map-side") {
+    val df = CurationOps.q126SemanticDecontam.fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    // AQE's toString prints final AND initial plans — count the final only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probe join is not broadcast:\n$plan")
+    // the only exchanges: the vec-keyed argmax window + the output sort
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"unexpected corpus exchange beyond the argmax window:\n$plan")
+  }
 }
