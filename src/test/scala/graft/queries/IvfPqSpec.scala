@@ -29,15 +29,19 @@ class IvfPqSpec extends SparkSpec {
   private val SL = 50 // ADC shortlist per query
   private val dim = 64
 
-  private def quantized: Map[Long, Array[Long]] =
-    graft.Tables.embeddings(spark, sf)
+  private def quantized: Map[Long, Array[Long]] = quantizedAt(sf)
+
+  private def quantizedAt(dir: String): Map[Long, Array[Long]] =
+    graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), KMeans.quantize(col("embedding")).as("xq"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
       .toMap
 
-  private def trainedCoarse: Array[Array[Double]] = {
-    val e = graft.Tables.embeddings(spark, sf)
+  private def trainedCoarse: Array[Array[Double]] = trainedCoarseAt(sf)
+
+  private def trainedCoarseAt(dir: String): Array[Array[Double]] = {
+    val e = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), KMeans.quantize(col("embedding")).as("xq"))
     val (_, cents) = KMeans.run(e, C, dim, 3)
     cents.orderBy("cid").collect().map(_.getSeq[Double](1).toArray)
@@ -156,5 +160,24 @@ class IvfPqSpec extends SparkSpec {
       .executedPlan.toString
     assert(plan.contains("BroadcastHashJoin [cell_id"),
       s"probe join is not a broadcast hash join on cell_id:\n$plan")
+  }
+
+  test("recall at sf0.1: fixed nprobe/shortlist degrades gracefully (the dial is the contract)") {
+    // 4x the corpus with the SAME nprobe=2/8 and shortlist=50: recall@5
+    // measured 0.82 -> 0.60. This is the expected IVF-PQ behavior — the
+    // recall/cost dial (nprobe, shortlist) must scale with the corpus,
+    // which is an operator SETTING, not a plan change; the floor here
+    // pins that the composition itself keeps working at the bigger SF.
+    val vecs = quantizedAt("/root/testdata/sf0.1")
+    val (rows, _, _) = reference(vecs, trainedCoarseAt("/root/testdata/sf0.1"))
+    val got = rows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val exact = (0L until 10L).map { q =>
+      val top = vecs.toSeq.collect { case (v, x) if v != q =>
+        (v, exactDist(vecs(q), x))
+      }.sortBy { case (v, d) => (d, v) }.take(5).map(_._1).toSet
+      q -> top
+    }.toMap
+    val recall = (0L until 10L).map(q => (got(q) & exact(q)).size).sum / 50.0
+    assert(recall >= 0.4, s"IVF-PQ refined recall at sf0.1: $recall under the floor")
   }
 }
