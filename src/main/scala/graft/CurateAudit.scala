@@ -54,7 +54,7 @@ object CurateAudit {
       override def onTaskStart(t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = nTasks.incrementAndGet()
     })
     val t0 = System.nanoTime()
-    val r = curation.Curate.run(spark, sfDir, outDir)
+    val r = curation.Curate.run(spark, sfDir, outDir, verbose = true)
     val wall = (System.nanoTime() - t0) / 1e9
     org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
     println(s"[curate-jobs] jobs=${nJobs.get} stages=${nStages.get} tasks=${nTasks.get}")

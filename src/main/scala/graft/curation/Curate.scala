@@ -68,14 +68,16 @@ object Curate {
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tokenBudget: Long = 4096L, evalIdBelow: Long = 10L,
       chunkWindow: Int = 64, chunkStride: Int = 48,
-      lmTailFrac: Double = 0.02): Report = {
+      lmTailFrac: Double = 0.02, verbose: Boolean = false): Report = {
     require(chunkWindow > 0 && chunkStride > 0 && chunkStride <= chunkWindow,
       "need 0 < chunkStride <= chunkWindow (stride > window would skip tokens)")
     require(chunkWindow <= tokenBudget,
       "a single chunk must fit a shard: chunkWindow <= tokenBudget")
+    // per-stage wall laps, printed only when the caller asks (CurateAudit
+    // does) — a library API stays quiet by default
     var __t = System.nanoTime()
     def lap(l: String): Unit = {
-      println(f"[curate-stage] $l ${(System.nanoTime() - __t) / 1e9}%.1f s")
+      if (verbose) println(f"[curate-stage] $l ${(System.nanoTime() - __t) / 1e9}%.1f s")
       __t = System.nanoTime()
     }
     val docs = T.documentsSpread(spark, sfDir)
