@@ -135,8 +135,12 @@ object Bench {
       */
     def release(): Unit = {
       spark.catalog.clearCache()
+      // blocking: release() runs outside the timed window, so the
+      // synchronous wait is free — and an async eviction would overlap
+      // the NEXT query's timed region, the very interference this
+      // hook exists to prevent (round-11 advice)
       spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
 
     // Untimed warmup: one full pass over EVERY query. First-touch costs

@@ -29,7 +29,20 @@ object Prof {
           println(f"job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e6}%8.1f ms  $cs")
         }
     })
-    val fn = SparkEntry.queries(SparkEntry.queries.keys.find(_.startsWith(qname)).get)
+    // exact match first; else a prefix match only when UNambiguous —
+    // find() over unordered Map keys made "q12" profile an arbitrary
+    // one of q120/q122/q124 (round-11 advice)
+    val candidates = SparkEntry.queries.keys.toSeq.sorted
+    val resolved = candidates.find(_ == qname).getOrElse {
+      candidates.filter(_.startsWith(qname)) match {
+        case Seq(one) => one
+        case Seq() => sys.error(
+          s"Prof: no query named '$qname'; known: ${candidates.mkString(", ")}")
+        case many => sys.error(
+          s"Prof: ambiguous prefix '$qname' matches ${many.mkString(", ")}")
+      }
+    }
+    val fn = SparkEntry.queries(resolved)
     // warmup
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()

@@ -114,9 +114,14 @@ object Curate {
       .orderBy(col("__h")).limit(kSample)
       .orderBy(col("lm_score")).limit(cutIdx)
       .agg(max(col("lm_score")).as("__lm_floor"))
-    val lmPass = quality.join(lmScores, "doc_id")
+    // left join + null pass-through: lmScored emits no row for docs
+    // with fewer than 2 non-empty tokens (a bigram LM has nothing to
+    // score), and an inner join would silently DROP those docs — a
+    // stricter cut than the documented quantile tail. Unscoreable docs
+    // pass this gate; the quality gate above already judged them.
+    val lmPass = quality.join(lmScores, Seq("doc_id"), "left")
       .crossJoin(broadcast(lmThr))
-      .filter(col("lm_score") >= col("__lm_floor"))
+      .filter(col("lm_score").isNull || col("lm_score") >= col("__lm_floor"))
       .drop("lm_score", "__lm_floor")
       .persist()
     val nLm = lmPass.count(); lap("lm")

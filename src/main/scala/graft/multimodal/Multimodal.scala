@@ -36,6 +36,15 @@ import org.apache.spark.sql.functions._
   * "GRFT" container for deterministic fixtures. Video is covered by
   * Motion-JPEG in AVI (RIFF walk + per-frame baseline-JPEG decode);
   * other video codecs would plug in at the same [[MediaDecoder]] seam.
+  *
+  * Scope boundary (SURVEY.md §8): MPEG audio (MP2/MP3) decode is
+  * deliberately NOT implemented — the ISO 11172-3 normative tables
+  * (512-coefficient synthesis window, Layer III Huffman tables) cannot
+  * be faithfully reconstructed offline, and an approximate decoder
+  * would return plausible-but-wrong samples, violating the family's
+  * no-silent-wrong-data contract (cf. Flac's STREAMINFO-MD5
+  * self-check). FLAC + G.711 + IMA ADPCM is the supported
+  * compressed-audio set; MP3 would plug in at this same seam.
   */
 object Multimodal {
 

@@ -1495,6 +1495,13 @@ object TrainingOps {
     val keyed = docs
       .select(col("doc_id"),
         expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+      // the sequence guard matters: for an empty/whitespace-only doc,
+      // sequence(0, -1) is the DESCENDING [0, -1] (two phantom
+      // empty-string blocks — and the first empty doc would claim the
+      // '' block hash corpus-wide), while the oracle's
+      // generate_series(0, -1) is empty; zero-token docs must produce
+      // zero block rows in both engines
+      .filter(size(col("ts")) > 0)
       .select(col("doc_id"),
         posexplode(expr(
           s"""transform(sequence(0, cast((size(ts) + ${bw - 1}) div $bw as int) - 1),

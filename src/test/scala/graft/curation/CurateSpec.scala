@@ -32,7 +32,11 @@ class CurateSpec extends SparkSpec {
     val smap = scores.toMap
     val sample = scores.map(_._1).sortBy(hashes).take(256)
     val thr = sample.map(smap).sorted.take(math.max(1, (256 * 0.02).toInt)).max
-    scores.collect { case (id, sc) if sc >= thr => id }.toSet
+    // unscoreable docs (< 2 non-empty tokens — no bigram to score) pass
+    // the gate, mirroring the pipeline's left-join null pass-through
+    val unscoreable = qf.select(col("doc_id")).collect().map(_.getLong(0)).toSet --
+      scores.map(_._1)
+    scores.collect { case (id, sc) if sc >= thr => id }.toSet ++ unscoreable
   }
 
   private lazy val outA = {
