@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *   3. exact dedup         — q29's md5(text) groups, min-doc_id survivor
   *   4. near-dup prune      — q32 pairs + q89's lose-to-higher-score rule
   *   5. decontamination     — q77's 5-gram overlap vs the eval probe set
+  *  5b. semantic decontam   — q126's kernel: drop docs whose embedding
+  *                            sits within `semThr` cosine of any eval
+  *                            probe — the paraphrased-leakage class the
+  *                            lexical 5-gram pass cannot see
   *   6. block rewrite       — q123's corpus-wide keep-first block dedup;
   *                            downstream stages see the REWRITTEN text
   *   7. mixture rebalance   — q84 rates applied via q93's hash filter
@@ -51,8 +55,9 @@ object Curate {
 
   final case class Report(
       nInput: Long, nQuality: Long, nLmPass: Long, nExactDedup: Long,
-      nNearDedup: Long, nDecontaminated: Long, nRewritten: Long,
-      nSampled: Long, nChunks: Long, nShards: Long, nTokens: Long)
+      nNearDedup: Long, nDecontaminated: Long, nSemClean: Long,
+      nRewritten: Long, nSampled: Long, nChunks: Long, nShards: Long,
+      nTokens: Long)
 
   /** Run the full pipeline; write shards under `outDir`; return the
     * per-stage funnel. `evalIds` marks the held-out eval docs used as
@@ -68,7 +73,8 @@ object Curate {
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tokenBudget: Long = 4096L, evalIdBelow: Long = 10L,
       chunkWindow: Int = 64, chunkStride: Int = 48,
-      lmTailFrac: Double = 0.02, verbose: Boolean = false): Report = {
+      lmTailFrac: Double = 0.02, semThr: Double = 0.30,
+      verbose: Boolean = false): Report = {
     require(chunkWindow > 0 && chunkStride > 0 && chunkStride <= chunkWindow,
       "need 0 < chunkStride <= chunkWindow (stride > window would skip tokens)")
     require(chunkWindow <= tokenBudget,
@@ -166,6 +172,26 @@ object Curate {
     val nClean = clean.count(); lap("decontam")
     nearDeduped.unpersist()
 
+    // 5b. SEMANTIC decontamination (q126's kernel): drop docs whose
+    // embedding is within `semThr` cosine of any eval probe — the
+    // paraphrased-leakage class stage 5's lexical n-gram overlap cannot
+    // see (a paraphrase shares no 5-gram with its source but sits next
+    // to it in embedding space). The corpus↔embedding seam is the
+    // testdata convention vec_id == doc_id; a production pipeline joins
+    // on its own doc→vector key the same way. Docs without an embedding
+    // pass through (left-anti drops only POSITIVE flags) — the lexical
+    // pass above already judged their text. Probe embeddings are
+    // broadcast-sized by nature (eval sets are small); the corpus pass
+    // is map-side dots + one vec-keyed argmax exchange, linear.
+    val semFlagged = graft.queries.CurationOps
+      .semanticNearest(T.embeddings(spark, sfDir), evalIdBelow)
+      .filter(col("cosine") >= semThr)
+      .select(col("vec_id").as("doc_id"))
+    val semClean = clean.join(semFlagged, Seq("doc_id"), "left_anti")
+      .persist()
+    val nSemClean = semClean.count(); lap("semdecontam")
+    clean.unpersist()
+
     // 6. block-level keep-first rewrite (q123's kernel), placed AFTER
     // decontamination: the decon verdict is doc-level on pre-rewrite
     // text (conservative — a doc is dropped even when its contaminated
@@ -183,14 +209,14 @@ object Curate {
     // downstream plans from a LogicalRDD. Blocks live until session
     // end; a 100 TB deployment would write/drop an intermediate table
     // here, same shape.
-    val rewritten = clean.drop("text")
-      .join(graft.queries.TrainingOps.blockKeptText(clean)
+    val rewritten = semClean.drop("text")
+      .join(graft.queries.TrainingOps.blockKeptText(semClean)
           .filter(length(col("kept_text")) > 0)
           .select(col("doc_id"), col("kept_text").as("text")),
         "doc_id")
       .localCheckpoint()
     val nRewritten = rewritten.count(); lap("rewrite")
-    clean.unpersist()
+    semClean.unpersist()
 
     // 7. mixture rebalance on the CLEAN, REWRITTEN corpus (q84 rates,
     // q93 filter)
@@ -260,7 +286,7 @@ object Curate {
     val nShards = written.select(col("source"), col("shard_id")).distinct().count(); lap("nShards")
     val nTokens = Option(written.agg(sum(col("nc"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L); lap("nTokens")
-    Report(nInput, nQuality, nLm, nExact, nNear, nClean, nRewritten, nSampled,
-      nChunks, nShards, nTokens)
+    Report(nInput, nQuality, nLm, nExact, nNear, nClean, nSemClean,
+      nRewritten, nSampled, nChunks, nShards, nTokens)
   }
 }

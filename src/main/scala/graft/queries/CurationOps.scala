@@ -1255,30 +1255,41 @@ object CurationOps {
     * through q60's IVF cells first (probe-side routing), plan
     * unchanged below the candidate join.
     */
+  /** q126's kernel, factored so the composed pipeline (Curate stage 5b)
+    * and the registry query share one implementation: per corpus vector
+    * (vec_id >= probeIdBelow), the nearest eval probe (vec_id <
+    * probeIdBelow) and its exact cosine. Plan shape as the q126
+    * scaladoc documents: broadcast probe set, map-side pinned dot
+    * folds, one vec-keyed argmax exchange.
+    */
+  def semanticNearest(emb: org.apache.spark.sql.DataFrame,
+      probeIdBelow: Long): org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    import org.apache.spark.sql.expressions.Window
+    val n = emb
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
+    val probes = n.filter(col("vec_id") < probeIdBelow)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"))
+    val sim = n.filter(col("vec_id") >= probeIdBelow)
+      .join(broadcast(probes))
+      .select(col("vec_id"), col("probe_id"),
+        (dot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("probe_id"))
+    sim.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("probe_id").as("nearest_probe"),
+        col("cos").as("cosine"))
+  }
+
   val q126SemanticDecontam = Q(
     "q126_semantic_decontam",
-    (s, dir) => {
-      import graft.functions.GraftFunctions.dot
-      import org.apache.spark.sql.expressions.Window
-      val n = T.embeddings(s, dir)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
-      val probes = n.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-          col("nrm").as("pn"))
-      val sim = n.filter(col("vec_id") >= 10)
-        .join(broadcast(probes))
-        .select(col("vec_id"), col("probe_id"),
-          (dot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("probe_id"))
-      sim.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .filter(col("cos") >= 0.30)
-        .select(col("vec_id"), col("probe_id").as("nearest_probe"),
-          col("cos").as("cosine"))
-        .orderBy(col("vec_id"))
-    },
+    (s, dir) =>
+      semanticNearest(T.embeddings(s, dir), 10L)
+        .filter(col("cosine") >= 0.30)
+        .orderBy(col("vec_id")),
     Some("""
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -39,6 +39,26 @@ class CurateSpec extends SparkSpec {
     scores.collect { case (id, sc) if sc >= thr => id }.toSet ++ unscoreable
   }
 
+  /** Independent driver-side recompute of stage 5b's semantic flags:
+    * corpus vec_ids whose nearest eval-probe cosine clears the run's
+    * default 0.30 threshold (vec_id == doc_id is the testdata seam). */
+  private lazy val semFlaggedIds: Set[Long] = {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = vecs.collect { case (id, v) if id < 10 => v }.toSeq
+    vecs.collect {
+      case (id, v) if id >= 10 && probes.exists(p => cos(v, p) >= 0.30) => id
+    }.toSet
+  }
+
   private lazy val outA = {
     val dir = java.nio.file.Files.createTempDirectory("graft_curate_a").toString
     (dir, Curate.run(spark, sf, dir))
@@ -47,7 +67,7 @@ class CurateSpec extends SparkSpec {
   test("the funnel only ever shrinks, and every stage count is populated") {
     val (_, r) = outA
     val funnel = Seq(r.nInput, r.nQuality, r.nLmPass, r.nExactDedup,
-      r.nNearDedup, r.nDecontaminated, r.nRewritten, r.nSampled)
+      r.nNearDedup, r.nDecontaminated, r.nSemClean, r.nRewritten, r.nSampled)
     assert(funnel === funnel.sorted.reverse, s"funnel grew somewhere: $r")
     assert(r.nInput > 0 && r.nSampled > 0 && r.nShards > 0 && r.nTokens > 0, r.toString)
     // chunking fans out, never filters: >= one chunk per non-empty doc
@@ -83,6 +103,12 @@ class CurateSpec extends SparkSpec {
       .collect().filter(r => r.getSeq[String](1).exists(probe.contains)).map(_.getLong(0)).toSet
     assert(ids.intersect(contaminated).isEmpty, "a contaminated doc was written")
     assert(ids.forall(_ >= 10), "an eval doc leaked into the corpus")
+
+    // stage 5b: the SEMANTIC pass — no written doc's embedding sits
+    // within the flag threshold of any eval probe (independent
+    // driver-side cosine recompute, not the pipeline's kernel)
+    assert(ids.intersect(semFlaggedIds).isEmpty,
+      "a semantically contaminated doc was written")
   }
 
   test("chunk coverage law: every written doc's chunks form exactly q100's stride grid") {
@@ -131,9 +157,13 @@ class CurateSpec extends SparkSpec {
       val ts = rawToks(id)
       ts.length < 5 || !ts.sliding(5).exists(w => probe(w.mkString(" ")))
     }
+    // stage 5b: semantic decontamination narrows the rewrite's input —
+    // the keep-first seen-set below depends on exactly which docs
+    // participate, so the reference must apply the same flag set
+    val semCleanIds = cleanIds -- semFlaggedIds
     // sequential keep-first block rewrite over the clean set
     val seen = scala.collection.mutable.Set.empty[String]
-    val nByDoc = cleanIds.toSeq.sorted.map { id =>
+    val nByDoc = semCleanIds.toSeq.sorted.map { id =>
       val kept = rawToks(id).grouped(16).filter { b =>
         val k = b.mkString(" "); if (seen(k)) false else { seen += k; true }
       }.flatten.toVector
