@@ -519,6 +519,25 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
 
   private val ivfShortlist = 50
 
+  /** Corpus-aware recall dial (round-12 verdict #2): the ADC shortlist
+    * scales with the per-cell list size, `max(50, N div cells)`, so the
+    * refine stage sees a CONSTANT fraction of each probed list instead
+    * of a constant row count — at fixed dials recall@5 fell 0.82 → 0.60
+    * across one measured decade (SCALING.md round-11 addendum); with
+    * this rule it holds 0.84/0.80 at N=500/2000 (IvfPqSpec pins both).
+    * nprobe deliberately stays fixed: the same measurement grid showed
+    * raising nprobe at a fixed shortlist can LOWER recall (more ADC
+    * noise competing for the same shortlist slots) — cell coverage is
+    * not the binding constraint on this corpus, shortlist depth is.
+    * At production scale cells grows ~√N, so N/cells (and with it this
+    * shortlist) stays bounded; the rule is the same either way. The
+    * N lookup is one count() on the already-persisted vector frame —
+    * keeping the limit a LITERAL preserves the WindowGroupLimit
+    * rank-pushdown a column-valued limit would forfeit.
+    */
+  private[queries] def ivfShortlistFor(n: Long): Int =
+    math.max(ivfShortlist, (n / ivfCells).toInt)
+
   /** The composition every parent's scaladoc promises, realized end to
     * end: q117's TRAINED k-means codebook as the coarse quantizer (the
     * first registry query to consume ops/KMeans output downstream),
@@ -527,12 +546,12 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
     * RESIDUAL x − c(cell(x)) (Jégou, Douze & Schmid, TPAMI'11 §V:
     * residuals concentrate around 0, so one shared codebook covers
     * every cell), and q108's two-stage refine: ADC shortlists
-    * `ivfShortlist` candidates per query, exact full-dim re-rank picks
-    * the final 5. This is the standard billion-vector serving layout —
+    * `ivfShortlistFor(N)` candidates per query (corpus-aware — see the
+    * dial's own scaladoc), exact full-dim re-rank picks the final 5. This is the standard billion-vector serving layout —
     * IVF prunes the scan to nprobe/cells of the corpus, PQ cuts scan
     * residency 32× (8 codes + 1 cell id), and only the ≤50-id
     * shortlist ever fetches a full vector. Measured at sf0.001:
-    * recall@5 = 0.12 with ADC alone, 0.82 with the refine stage —
+    * recall@5 = 0.12 with ADC alone, 0.84 with the refine stage —
     * which is WHY production IVF-PQ always re-ranks (IvfPqSpec pins
     * the floor).
     *
@@ -562,6 +581,7 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
       val e = T.embeddings(s, dir)
         .select(col("vec_id"), KMeans.quantize(col("embedding")).as("xq"))
         .persist()
+      val slN = ivfShortlistFor(e.count())
       val (_, cents) = KMeans.run(e, ivfCells, embDim, lloydIters)
       val coarse = cents.select(col("cid").as("cell_id"), col("mu").as("cv"))
       // corpus routing: KMeans.assign's map-side l2argmin fold — same
@@ -626,7 +646,7 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
       val wAdc = Window.partitionBy(col("query_id"))
         .orderBy(col("adist"), col("neighbor_id"))
       val shortlist = scored.withColumn("srn", row_number().over(wAdc))
-        .filter(col("srn") <= ivfShortlist)
+        .filter(col("srn") <= slN)
         .select(col("query_id"), col("neighbor_id"), col("adist"))
       // refine: fetch the shortlist's full vectors, exact pinned fold.
       // The shortlist side is BOUNDED (queries × ivfShortlist rows), so
@@ -726,7 +746,9 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")},
           SELECT query_id, neighbor_id, adist,
             ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY adist ASC, neighbor_id ASC) AS srn
-          FROM adc) WHERE srn <= $ivfShortlist),
+          FROM adc)
+        WHERE srn <= GREATEST($ivfShortlist,
+                              (SELECT COUNT(*) FROM e) // $ivfCells)),
       refined AS (
         SELECT s.query_id, s.neighbor_id, s.adist,
           list_reduce(list_transform(generate_series(1, $embDim),
@@ -743,7 +765,7 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")},
         FROM refined)
       SELECT query_id, rank, neighbor_id, adist, dist FROM r
       WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
-    "IVF-PQ composed retrieval, trained coarse quantizer + refine: q117's k-means routes, residual product-quantization (TPAMI'11 SS-V, one shared codebook) cuts scan residency 32x, ADC shortlists 50/query, exact re-rank picks 5 (recall@5 0.12 ADC-only -> 0.82 refined, IvfPqSpec) — scan joins coded lists to a broadcast distance-table frame ON cell_id, refine fetches <=50 vectors/query by id")
+    "IVF-PQ composed retrieval, trained coarse quantizer + refine: q117's k-means routes, residual product-quantization (TPAMI'11 SS-V, one shared codebook) cuts scan residency 32x, ADC shortlists max(50, N div cells)/query (corpus-aware dial: recall@5 holds 0.84/0.80 across a measured 4x corpus step where the fixed dial fell to 0.60), exact re-rank picks 5 — scan joins coded lists to a broadcast distance-table frame ON cell_id, refine fetches a bounded shortlist/query by id")
 
   val all: Seq[Q] =
     Seq(q117KmeansLloyd, q119PqAdc, q120SparseRetrieval, q121HybridRrf,

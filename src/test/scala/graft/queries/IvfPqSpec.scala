@@ -67,7 +67,7 @@ class IvfPqSpec extends SparkSpec {
   /** Every stage past training, driver-side. Returns (top5 rows,
     * per-vector cell assignment, candidate counts per query). */
   private def reference(vecs: Map[Long, Array[Long]],
-      coarse: Array[Array[Double]])
+      coarse: Array[Array[Double]], np: Int, sl: Int)
       : (Seq[(Long, Int, Long, Double, Double)], Map[Long, Int], Map[Long, Int]) = {
     def route(x: Array[Long]): Seq[(Double, Int)] =
       (0 until C).map(c => (fullDist(x, coarse(c)), c)).sorted
@@ -92,7 +92,7 @@ class IvfPqSpec extends SparkSpec {
     }
     var cands = Map.empty[Long, Int]
     val rows = (0L until 10L).flatMap { q =>
-      val probed = route(vecs(q)).take(NP).map(_._2)
+      val probed = route(vecs(q)).take(np).map(_._2)
       val scored = probed.flatMap { cell =>
         val qr = residual(vecs(q), cell)
         val dtab = Array.tabulate(M, K)((j, c) => subDist(qr, j, cb(j)(c)))
@@ -103,7 +103,7 @@ class IvfPqSpec extends SparkSpec {
         }
       }
       cands += q -> scored.size
-      val shortlist = scored.sortBy { case (v, s) => (s, v) }.take(SL)
+      val shortlist = scored.sortBy { case (v, s) => (s, v) }.take(sl)
       val refined = shortlist.map { case (v, ad) =>
         (v, ad, exactDist(vecs(q), vecs(v)))
       }
@@ -114,9 +114,12 @@ class IvfPqSpec extends SparkSpec {
     (rows, assign, cands)
   }
 
+  /** The engine's corpus-aware shortlist rule, mirrored. */
+  private def slFor(n: Int): Int = math.max(SL, n / C)
+
   test("q122 equals an independent driver-side IVF-PQ reference bit for bit") {
     val vecs = quantized
-    val (expected, _, _) = reference(vecs, trainedCoarse)
+    val (expected, _, _) = reference(vecs, trainedCoarse, NP, slFor(vecs.size))
     val got = ClusterOps.q122IvfPq.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
         r.getDouble(4)))
@@ -126,7 +129,7 @@ class IvfPqSpec extends SparkSpec {
 
   test("routing prunes the scan: candidates are the probed cells only, well under the corpus") {
     val vecs = quantized
-    val (_, assign, cands) = reference(vecs, trainedCoarse)
+    val (_, assign, cands) = reference(vecs, trainedCoarse, NP, slFor(vecs.size))
     val n = vecs.size
     val cellSizes = assign.groupBy(_._2).map { case (c, m) => c -> m.size }
     assert(cellSizes.size == C, s"degenerate routing: ${cellSizes.size} cells used")
@@ -141,7 +144,7 @@ class IvfPqSpec extends SparkSpec {
 
   test("the refine stage lifts recall@5 above the measured floor") {
     val vecs = quantized
-    val (rows, _, _) = reference(vecs, trainedCoarse)
+    val (rows, _, _) = reference(vecs, trainedCoarse, NP, slFor(vecs.size))
     val got = rows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     val exact = (0L until 10L).map { q =>
       val top = vecs.toSeq.collect { case (v, x) if v != q =>
@@ -150,9 +153,10 @@ class IvfPqSpec extends SparkSpec {
       q -> top
     }.toMap
     val recall = (0L until 10L).map(q => (got(q) & exact(q)).size).sum / 50.0
-    // measured 0.82 at sf0.001 (vs 0.12 for ADC-only ranking — the
-    // refine stage IS the recall); floor loose enough for data drift
-    assert(recall >= 0.6, s"IVF-PQ refined recall $recall fell under the floor")
+    // measured 0.84 at sf0.001 with the corpus-aware shortlist
+    // (max(50, 500/8) = 62; vs 0.12 for ADC-only ranking — the refine
+    // stage IS the recall); the 0.8 floor is the round-12 contract
+    assert(recall >= 0.8, s"IVF-PQ refined recall $recall fell under the floor")
   }
 
   test("q122 plan: coded corpus streams, distance tables broadcast, probe join keyed on cell_id") {
@@ -162,14 +166,19 @@ class IvfPqSpec extends SparkSpec {
       s"probe join is not a broadcast hash join on cell_id:\n$plan")
   }
 
-  test("recall at sf0.1: fixed nprobe/shortlist degrades gracefully (the dial is the contract)") {
-    // 4x the corpus with the SAME nprobe=2/8 and shortlist=50: recall@5
-    // measured 0.82 -> 0.60. This is the expected IVF-PQ behavior — the
-    // recall/cost dial (nprobe, shortlist) must scale with the corpus,
-    // which is an operator SETTING, not a plan change; the floor here
-    // pins that the composition itself keeps working at the bigger SF.
+  test("recall at sf0.1: the corpus-aware shortlist holds the 0.8 floor across the decade") {
+    // At FIXED dials (nprobe=2, shortlist=50) recall@5 fell 0.82 → 0.60
+    // over this 4× corpus step — the round-11 finding. The corpus-aware
+    // rule max(50, N/cells) (shortlist 250 at N=2000) restores 0.80:
+    // the refine stage sees a constant FRACTION of each probed list,
+    // not a constant row count. The measurement grid also showed
+    // nprobe=3/4 at fixed shortlist can LOWER recall (ADC noise
+    // competes for shortlist slots), which is why only shortlist
+    // scales. Same floor as the sf0.001 test: the dial rule is the
+    // contract, at both decades.
     val vecs = quantizedAt("/root/testdata/sf0.1")
-    val (rows, _, _) = reference(vecs, trainedCoarseAt("/root/testdata/sf0.1"))
+    val (rows, _, _) = reference(vecs,
+      trainedCoarseAt("/root/testdata/sf0.1"), NP, slFor(vecs.size))
     val got = rows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     val exact = (0L until 10L).map { q =>
       val top = vecs.toSeq.collect { case (v, x) if v != q =>
@@ -178,6 +187,6 @@ class IvfPqSpec extends SparkSpec {
       q -> top
     }.toMap
     val recall = (0L until 10L).map(q => (got(q) & exact(q)).size).sum / 50.0
-    assert(recall >= 0.4, s"IVF-PQ refined recall at sf0.1: $recall under the floor")
+    assert(recall >= 0.8, s"IVF-PQ refined recall at sf0.1: $recall under the floor")
   }
 }
