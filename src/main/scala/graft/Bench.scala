@@ -47,30 +47,58 @@ object Bench {
 
   private[graft] def d2(x: Double): Double = math.rint(x * 100) / 100
 
+  /** How many per-query entries the tail line carries. The full map
+    * goes to BENCH_DETAIL.json (see main); the line keeps the slowest
+    * `lineTopK` — the heavy tail every round's analysis actually
+    * cites — so the LINE SIZE IS CONSTANT in registry growth and the
+    * ~150-query cliff (round-9 verdict #2) is gone structurally, not
+    * just postponed. */
+  private[graft] val lineTopK = 20
+
   /** The ONE output line, as a pure function of the measurements — so
     * BenchLineSpec can render it at the live registry size and assert it
-    * fits the driver's ~2000-char tail window (round-9 verdict #2: at
-    * ~12 B/query growth the artifact would outgrow the window near ~150
-    * queries and the driver's parse would fail SILENTLY — the spec turns
-    * that cliff into a test failure). Compactness rules: per-query keys
-    * are the unique `qNN` prefix, values 2-decimal, no spaces anywhere.
-    * `loadPregate` preserves the pre-sleep load sample when the
-    * quiet-host gate fired — the evidence of the contention that
-    * triggered it (round-9 advice: the post-sleep re-read used to
-    * overwrite it).
+    * fits the driver's ~2000-char tail window with ≥25 queries of
+    * growth headroom (round-9 verdict #2: at ~12 B/query the FULL map
+    * would have outgrown the window near ~150 queries and the driver's
+    * parse would fail SILENTLY; round 12 bounds the map to the slowest
+    * `lineTopK` + every failure, full precision in BENCH_DETAIL.json).
+    * Compactness rules: per-query keys are the unique `qNN` prefix,
+    * values 2-decimal, no spaces anywhere; `n_queries` records the full
+    * registry size the total covers. `loadPregate` preserves the
+    * pre-sleep load sample when the quiet-host gate fired — the
+    * evidence of the contention that triggered it (round-9 advice: the
+    * post-sleep re-read used to overwrite it).
     */
   private[graft] def renderLine(results: Seq[(String, Double)],
       errors: Map[String, String], sfDir: String, load: Array[Double],
       loadPregate: Option[Double], loadEnd: Double, gated: Int,
       gcMs: Long, passes: Int): String = {
-    val qs = results.map { case (k, v) =>
+    // slowest lineTopK successes + every failure (-1 values must stay
+    // visible in the line even when they are not "slow")
+    val kept = results.filter(_._2 < 0) ++
+      results.filter(_._2 >= 0).sortBy(-_._2).take(lineTopK)
+    val qs = kept.sortBy(_._1).map { case (k, v) =>
       s"${jstr(k.takeWhile(_ != '_'))}:${d2(v)}"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val pregate = loadPregate.map(l => s""","load_pregate":${d2(l)}""").getOrElse("")
-    s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(load(0))},${d2(load(1))},${d2(load(2))}]$pregate,"load_end":${d2(loadEnd)},"gated":$gated,"gc_ms":$gcMs,"passes":$passes}"""
+    s"""{"metric":"total","value":${d2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(load(0))},${d2(load(1))},${d2(load(2))}]$pregate,"load_end":${d2(loadEnd)},"gated":$gated,"gc_ms":$gcMs,"passes":$passes}"""
+  }
+
+  /** Full-precision per-query map, written beside the repo as
+    * BENCH_DETAIL.json (the tail line carries only the top-`lineTopK`):
+    * one JSON object, 3-decimal seconds, full query names — the
+    * round-over-round per-query comparison surface. Committed per round
+    * from the closing local run; the driver's own run refreshes it in
+    * the working tree. */
+  private[graft] def renderDetail(results: Seq[(String, Double)],
+      sfDir: String, gcMs: Long, passes: Int): String = {
+    val qs = results.map { case (k, v) =>
+      s"${jstr(k)}:${math.rint(v * 1000) / 1000}"
+    }.mkString("{", ",", "}")
+    s"""{"sf":${jstr(sfDir)},"gc_ms":$gcMs,"passes":$passes,"queries":$qs}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -211,6 +239,11 @@ object Bench {
     // when the line outgrew the window). renderLine is the compact
     // serializer; BenchLineSpec pins its size at the live registry.
     val loadEnd = loadAvgs()
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (renderDetail(results, sfDir, gcSpent, passes.size) + "\n")
+        .getBytes("UTF-8"))
+    catch { case _: Throwable => () } // detail file is best-effort
     println(renderLine(results, errors, sfDir, loadStart, loadPregate,
       loadEnd(0), gated, gcSpent, passes.size))
     spark.stop()

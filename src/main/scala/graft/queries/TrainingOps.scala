@@ -1392,41 +1392,47 @@ object TrainingOps {
     * leftmost). Every shuffle is gram-hash- or doc-keyed; windows are
     * per-doc sequences bounded by document length.
     */
+  /** q116's span derivation as a reusable kernel (q127's cut consumes
+    * it): per doc with any cross-doc-duplicated k-gram, the longest
+    * contiguous duplicated run as (run_len, run_start, span_tokens),
+    * deterministic longest-then-leftmost tie rule. Plan shape
+    * documented on q116. */
+  private[queries] def dupSpans(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // same codegen-kernel gram derivation as q115 (see the comment
+    // there), positions retained via posexplode
+    val grams = T.documentsSpread(s, dir)
+      .select(col("doc_id"),
+        expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.ngrams(col("ts"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"),
+        xxhash64(col("col")).as("gh"))
+      .localCheckpoint()
+    val dupKeys = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val isl = grams.join(dupKeys, "gh")
+      .select(col("doc_id"), col("i"))
+      .withColumn("isl",
+        col("i") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+    val runs = isl.groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).cast("int").as("run_len"),
+        min(col("i")).cast("int").as("run_start"))
+    runs.withColumn("rn",
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("run_len").desc, col("run_start"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("run_len"), col("run_start"),
+        (col("run_len") + (k - 1)).as("span_tokens"))
+  }
+
   val q116DupSpanLocalize = Q(
     "q116_dup_span_localize",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val k = 6
-      // same codegen-kernel gram derivation as q115 (see the comment
-      // there), positions retained via posexplode
-      val grams = T.documentsSpread(s, dir)
-        .select(col("doc_id"),
-          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
-        .filter(size(col("ts")) >= k)
-        .select(col("doc_id"),
-          posexplode(graft.functions.GraftFunctions.ngrams(col("ts"), k)))
-        .select(col("doc_id"), (col("pos") + 1).as("i"),
-          xxhash64(col("col")).as("gh"))
-        .localCheckpoint()
-      val dupKeys = grams.groupBy(col("gh"))
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("gh")
-      val isl = grams.join(dupKeys, "gh")
-        .select(col("doc_id"), col("i"))
-        .withColumn("isl",
-          col("i") - row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("i"))))
-      val runs = isl.groupBy(col("doc_id"), col("isl"))
-        .agg(count(lit(1)).cast("int").as("run_len"),
-          min(col("i")).cast("int").as("run_start"))
-      runs.withColumn("rn",
-          row_number().over(Window.partitionBy(col("doc_id"))
-            .orderBy(col("run_len").desc, col("run_start"))))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("run_len"), col("run_start"),
-          (col("run_len") + (k - 1)).as("span_tokens"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => dupSpans(s, dir, 6).orderBy(col("doc_id")),
     Some("""
       WITH d AS (
         SELECT doc_id,
@@ -1455,6 +1461,89 @@ object TrainingOps {
       SELECT doc_id, run_len, run_start, run_len + 5 AS span_tokens
       FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     "duplicated-span localization: longest contiguous run of cross-doc-duplicated 6-gram positions per doc as (start, length) via doc-keyed gaps-and-islands — the substring CUT plan ExactSubstr pipelines execute; q115's verdict, resolved to boundaries")
+
+  // ---------------------------------------------------------------------
+  // q127 — duplicated-span CUT (the ExactSubstr rewrite itself)
+  // ---------------------------------------------------------------------
+
+  /** The consumer q116's (start, length) output exists to feed: Lee et
+    * al.'s ExactSubstr removes the duplicated SPAN and keeps the rest
+    * of the document — it does not drop the doc (q115's trim verdict)
+    * and it is finer-grained than q123's disjoint-block rewrite (a
+    * span straddling block boundaries is cut exactly, not rounded to
+    * blocks). Per document: the localized longest duplicated span is
+    * excised from the token stream, the trimmed document is
+    * reassembled, and the md5 fingerprint of the rewritten text is
+    * emitted (the q123 convention — the oracle recomputes the cut from
+    * the string grams, so the driver hash-compares the ENTIRE
+    * rewritten corpus). Docs with no cross-doc duplicated gram — and
+    * docs shorter than the gram length — pass through uncut
+    * (cut_tokens = 0), so the output is a total rewrite of the corpus,
+    * ready to re-fingerprint.
+    *
+    * Scale shape: q116's kernel (gram-hash-keyed candidates, doc-keyed
+    * windows) plus ONE doc-keyed join of the span table — which holds
+    * at most one row per doc — back to the tokenized spine; the cut
+    * itself is a per-row bounded slice/concat projection, no new
+    * corpus-sized shuffle beyond q116's own.
+    */
+  val q127SpanCutRewrite = Q(
+    "q127_span_cut_rewrite",
+    (s, dir) => {
+      val k = 6
+      val toks = T.documentsSpread(s, dir)
+        .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+      toks.join(dupSpans(s, dir, k), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("ts")).as("n_toks"),
+          coalesce(col("run_start"), lit(0)).as("cut_start"),
+          coalesce(col("span_tokens"), lit(0)).as("cut_tokens"),
+          md5(array_join(
+            when(col("run_start").isNull, col("ts")).otherwise(
+              concat(
+                slice(col("ts"), lit(1), col("run_start") - 1),
+                expr("slice(ts, run_start + span_tokens, " +
+                  "size(ts) - (run_start + span_tokens) + 1)"))),
+            " ")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id, i, array_to_string(ts[i:i+5], ' ') AS gram
+        FROM d, UNNEST(generate_series(1, len(ts) - 5)) AS u(i)
+        WHERE len(ts) >= 6),
+      dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      dp AS (SELECT g.doc_id, g.i FROM g JOIN dup ON g.gram = dup.gram),
+      isl AS (
+        SELECT doc_id, i,
+          i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        FROM dp),
+      runs AS (
+        SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS run_len,
+          CAST(MIN(i) AS INTEGER) AS run_start
+        FROM isl GROUP BY doc_id, isl),
+      best AS (
+        SELECT doc_id, run_len, run_start,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY run_len DESC, run_start) AS rn
+        FROM runs)
+      SELECT d.doc_id,
+        CAST(len(d.ts) AS INTEGER) AS n_toks,
+        CAST(COALESCE(b.run_start, 0) AS INTEGER) AS cut_start,
+        CAST(COALESCE(b.run_len + 5, 0) AS INTEGER) AS cut_tokens,
+        md5(COALESCE(array_to_string(
+          CASE WHEN b.run_start IS NULL THEN d.ts
+               ELSE list_concat(d.ts[1:b.run_start - 1],
+                                d.ts[b.run_start + b.run_len + 5:len(d.ts)])
+          END, ' '), '')) AS kept_md5
+      FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+      ORDER BY d.doc_id""".stripMargin),
+    "duplicated-span CUT (Lee et al. ExactSubstr rewrite): q116's localized longest span excised from the token stream, trimmed doc reassembled and md5-fingerprinted so the oracle hash-compares the whole rewritten corpus; span table is <= 1 row/doc joined doc-keyed back to the spine, cut is a bounded per-row slice — no shuffle beyond q116's own")
 
   // ---------------------------------------------------------------------
   // q123 — corpus-wide block dedup with keep-first REWRITE
@@ -1559,5 +1648,5 @@ object TrainingOps {
     q77Decontaminate, q78TokenPacking, q80EvalCarveout, q100ChunkWindows,
     q101ChunkPacking, q102ShuffledPacking, q110SnapshotMerge,
     q111StarClusters, q112ClusterSafeSplit, q115SubstringDup,
-    q116DupSpanLocalize, q123BlockDedupRewrite)
+    q116DupSpanLocalize, q123BlockDedupRewrite, q127SpanCutRewrite)
 }

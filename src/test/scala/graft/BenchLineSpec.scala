@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchLineSpec extends AnyFunSuite {
 
-  test("bench JSON line fits the driver tail window at the live registry size") {
+  test("bench JSON line fits the driver tail window with >= 25 queries of headroom") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // worst-plausible widths: every query 2-decimal double digits (no
     // registered query has ever exceeded 13 s warm; 99.99 is the widest
@@ -23,11 +23,38 @@ class BenchLineSpec extends AnyFunSuite {
     val results = names.map(_ -> 99.99)
     val line = Bench.renderLine(results, Map.empty, "/root/testdata/sf0.1",
       Array(99.99, 99.99, 99.99), Some(99.99), 99.99, 1, 9999999L, 3)
-    assert(line.length <= 1843,
-      s"bench line would be ${line.length} B at the live registry size — " +
-        "over the 1.8 KB budget for the driver's ~2000-char tail window; " +
-        "shorten the serialization before adding more queries")
+    // round-12 contract: the line's queries map is bounded (top-K +
+    // failures), so its size must be nearly INVARIANT in registry
+    // growth — 25 more queries may add bytes only through n_queries'
+    // digits, never 12 B/query (the old cliff)
+    assert(line.length <= 1843 - 25 * 12,
+      s"bench line is ${line.length} B at the live registry size — " +
+        "under 25 queries of 12 B/query headroom against the driver's " +
+        "~2000-char tail window; shorten the serialization")
     assert(!line.contains(" "), "bench line must contain no spaces")
+    val grown = Bench.renderLine(
+      results ++ (1 to 200).map(i => s"q${i + 900}_future" -> 99.99),
+      Map.empty, "/root/testdata/sf0.1",
+      Array(99.99, 99.99, 99.99), Some(99.99), 99.99, 1, 9999999L, 3)
+    assert(grown.length <= line.length + 4,
+      s"line grew ${grown.length - line.length} B for 200 extra queries — " +
+        "the top-K bound is not holding")
+  }
+
+  test("failures always surface in the line, even when fast; detail file carries every query") {
+    val results = (1 to 60).map(i => f"q$i%03d_x" -> i / 10.0) :+
+      ("q999_broken" -> -1.0)
+    val line = Bench.renderLine(results, Map("q999_broken" -> "boom"),
+      "sf", Array(1.0, 1.0, 1.0), None, 1.0, 0, 0L, 2)
+    assert(line.contains("\"q999\":-1"),
+      "a failed query (fast by -1 sentinel) fell out of the top-K line")
+    assert(line.contains("\"n_queries\":61"))
+    // slowest survive, fastest are elided from the LINE...
+    assert(line.contains("\"q060\":6"))
+    assert(!line.contains("\"q001\""))
+    // ...but the detail artifact keeps all of them at full names
+    val detail = Bench.renderDetail(results, "sf", 0L, 2)
+    assert(detail.contains("\"q001_x\":0.1") && detail.contains("\"q999_broken\":-1"))
   }
 
   test("qNN key prefixes are unique — the compaction that makes the line fit") {

@@ -332,6 +332,36 @@ class TrainingOpsSpec extends SparkSpec {
       (4L, 1, 1, 6)))
   }
 
+  test("q127 cuts exactly the localized span; uncut and short docs pass through whole") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q127").toString
+    // docs 1/2 share the 10-token span "a..j" (q116's fixture): doc 1's
+    // span starts at token 1, doc 2's at token 4; doc 3 shares nothing
+    // (uncut); doc 4 is below the gram length (uncut by construction).
+    Seq(
+      (1L, "a b c d e f g h i j k l", "en", "s1"),
+      (2L, "z z z a b c d e f g h i j q r s", "en", "s1"),
+      (3L, "m1 m2 m3 m4 m5 m6 m7", "en", "s2"),
+      (4L, "x1 x2 x3", "en", "s2"))
+      .map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rs = TrainingOps.q127SpanCutRewrite.fn(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // hand-trimmed expectations: doc 1 loses tokens 1-10 of 12, doc 2
+    // loses tokens 4-13 of 16, docs 3/4 keep their full text
+    assert(rs === Seq(
+      (1L, 12, 1, 10, m("k l")),
+      (2L, 16, 4, 10, m("z z z q r s")),
+      (3L, 7, 0, 0, m("m1 m2 m3 m4 m5 m6 m7")),
+      (4L, 3, 0, 0, m("x1 x2 x3"))))
+  }
+
   test("q115 hash-keyed grouping matches string-keyed grouping (collision audit)") {
     import org.apache.spark.sql.functions._
     // q115 groups by xxhash64(gram) for 8-byte shuffle keys; the DuckDB
