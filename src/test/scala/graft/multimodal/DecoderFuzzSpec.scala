@@ -185,6 +185,158 @@ class DecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  test("FLAC structure attacks: frame-header fields, Rice partitions, STREAMINFO contradictions") {
+    // Bit-precise builder with named field marks, so each attack
+    // patches exactly one field and REPAIRS the CRCs that guard it —
+    // without the repair every structural attack would just exercise
+    // the CRC path (already pinned below); with it the decoder's
+    // SEMANTIC validation is what's under fire (the round-9 RIFF
+    // lesson: length-field attacks found nothing until the checksums
+    // stopped shadowing them).
+    final class BitBuf {
+      val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def wb(v: Long, w: Int): Unit = {
+        var i = w - 1
+        while (i >= 0) { bits += ((v >> i) & 1L).toInt; i -= 1 }
+      }
+      def patch(off: Int, v: Long, w: Int): Unit = {
+        var i = 0
+        while (i < w) { bits(off + i) = ((v >> (w - 1 - i)) & 1L).toInt; i += 1 }
+      }
+      def bytes: Array[Byte] = {
+        require(bits.size % 8 == 0, "unaligned")
+        bits.grouped(8).map(_.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+      }
+    }
+    // mono, 16 samples, FIXED order-0 subframe with a real Rice
+    // residual (partition order 0, param 6) — unlike the mutation
+    // fixture's VERBATIM subframe, this stream HAS the partition
+    // machinery the attacks below target
+    val pcm = Array.tabulate(16)(i => i * 3 - 20)
+    def build(): (BitBuf, Map[String, Int], Int, Int, Int) = {
+      val b = new BitBuf
+      val marks = scala.collection.mutable.Map.empty[String, Int]
+      def mk(name: String): Unit = marks(name) = b.bits.size
+      b.wb(0x664c6143L, 32) // fLaC
+      b.wb(1, 1); b.wb(0, 7); b.wb(34, 24)
+      mk("si"); b.wb(16, 16); b.wb(16, 16) // min/max blocksize
+      b.wb(0, 24); b.wb(0, 24)
+      b.wb(8000, 20); b.wb(0, 3); b.wb(15, 5); b.wb(16, 36)
+      for (_ <- 0 until 16) b.wb(0, 8) // md5 zero -> self-check skipped
+      val frameStart = b.bits.size / 8
+      b.wb(0x3ffe, 14); b.wb(0, 1); b.wb(0, 1)
+      mk("bsCode"); b.wb(7, 4) // 16-bit explicit blocksize
+      mk("srCode"); b.wb(0, 4) // from STREAMINFO
+      mk("chanAsgn"); b.wb(0, 4)
+      mk("ssCode"); b.wb(4, 3) // 16-bit samples
+      b.wb(0, 1)
+      mk("frameNo"); b.wb(0, 8)
+      mk("bsM1"); b.wb(15, 16)
+      mk("crc8"); b.wb(0, 8) // repaired below
+      b.wb(0, 1); mk("subfType"); b.wb(8, 6); b.wb(0, 1) // FIXED order 0
+      b.wb(0, 2) // 4-bit Rice parameters
+      mk("partOrder"); b.wb(0, 4)
+      mk("riceParam"); b.wb(6, 4)
+      pcm.foreach { v =>
+        val u = ((v.toLong << 1) ^ (v.toLong >> 63)) & 0xffffffffL
+        val q = (u >>> 6).toInt
+        for (_ <- 0 until q) b.wb(0, 1)
+        b.wb(1, 1)
+        b.wb(u & 63, 6)
+      }
+      while (b.bits.size % 8 != 0) b.wb(0, 1)
+      val crc16At = b.bits.size
+      mk("crc16"); b.wb(0, 16)
+      (b, marks.toMap, frameStart, marks("crc8"), crc16At)
+    }
+    def sealed_(b: BitBuf, frameStart: Int, crc8At: Int, crc16At: Int): Array[Byte] = {
+      b.patch(crc8At, Flac.crc8(b.bytes, frameStart, crc8At / 8), 8)
+      b.patch(crc16At, Flac.crc16(b.bytes, frameStart, crc16At / 8), 16)
+      b.bytes
+    }
+    locally { // the unpatched baseline must itself be valid
+      val (b, _, fs, c8, c16) = build()
+      val f = new ImageFileDecoder().decode(Media(6000L, "audio", sealed_(b, fs, c8, c16)))
+      assert(f.height == 16, "FLAC attack baseline must decode (16 samples)")
+    }
+    def attack(id: Long, field: String, v: Long, w: Int,
+        expectMsg: Option[String] = None): Unit = {
+      val (b, marks, fs, c8, c16) = build()
+      b.patch(marks(field), v, w)
+      val bytes = sealed_(b, fs, c8, c16)
+      expectMsg match {
+        case Some(m) => expectReject(id, bytes, m)
+        case None => decodeBounded(id, bytes)
+      }
+    }
+    var id = 6001L
+    // frame-header field sweeps, CRCs repaired: every code point of
+    // every field either decodes or rejects semantically, never hangs
+    for (v <- 0 to 15) { attack(id, "bsCode", v, 4); id += 1 }
+    for (v <- 0 to 15) { attack(id, "srCode", v, 4); id += 1 }
+    for (v <- 0 to 15) { attack(id, "chanAsgn", v, 4); id += 1 }
+    for (v <- 0 to 7) { attack(id, "ssCode", v, 3); id += 1 }
+    // pinned semantic rejections (the message proves WHICH guard fired)
+    attack(id, "bsCode", 0, 4, Some("reserved FLAC blocksize code 0")); id += 1
+    attack(id, "srCode", 15, 4, Some("sample-rate code 15")); id += 1
+    attack(id, "chanAsgn", 1, 4, Some("channel count contradicts STREAMINFO")); id += 1
+    attack(id, "chanAsgn", 11, 4, Some("reserved FLAC channel assignment")); id += 1
+    attack(id, "ssCode", 1, 3, Some("contradicts STREAMINFO")); id += 1
+    attack(id, "ssCode", 3, 3, Some("reserved FLAC sample-size code")); id += 1
+    // Rice partition order: 16-sample block divides into 2^k partitions
+    // only for k <= 4, and every k > 0 misaligns the written residual —
+    // all must reject semantically or parse-fail loudly, never hang
+    for (v <- 1 to 15) { attack(id, "partOrder", v, 4); id += 1 }
+    attack(id, "partOrder", 5, 4, Some("not divisible into 32 partitions")); id += 1
+    // rice parameter sweep (escape code 15 included)
+    for (v <- 0 to 15) { attack(id, "riceParam", v, 4); id += 1 }
+    // subframe type sweep: reserved codes must name themselves
+    for (v <- 0 to 63) { attack(id, "subfType", v, 6); id += 1 }
+    attack(id, "subfType", 2, 6, Some("reserved FLAC subframe type")); id += 1
+    // blocksize-minus-1 sweep incl. the allocation-cap and truncation
+    // shapes (frame claims more samples than the stream carries)
+    for (v <- Seq(0, 1, 14, 16, 31, 255, 4095, 65535)) {
+      attack(id, "bsM1", v, 16); id += 1
+    }
+    // malformed UTF-8 frame numbers: invalid lead, lead expecting a
+    // continuation that is actually the blocksize field
+    attack(id, "frameNo", 0xff, 8, Some("UTF-8 number lead byte")); id += 1
+    for (v <- Seq(0x80, 0xc2, 0xe0, 0xf0, 0xfe)) {
+      attack(id, "frameNo", v, 8); id += 1
+    }
+    // CRC pins: a corrupted checksum must die on the checksum (the
+    // semantic field checks above fire BEFORE the CRC-8 read, so the
+    // clean way to hit the CRC path is corrupting the CRC byte itself)
+    locally {
+      val (b, marks, fs, c8, c16) = build()
+      val good = sealed_(b, fs, c8, c16)
+      b.patch(marks("crc8"), (good(c8 / 8) ^ 0x5a) & 0xff, 8)
+      expectReject(id, b.bytes, "CRC-8 mismatch"); id += 1
+    }
+    locally { // flip one Rice remainder bit: structure intact, CRC-16 catches
+      val (b, marks, fs, c8, _) = build()
+      b.patch(c8, Flac.crc8(b.bytes, fs, c8 / 8), 8)
+      val resBit = marks("riceParam") + 4 + 8 // inside the first remainder
+      b.bits(resBit) = 1 - b.bits(resBit)
+      expectReject(id, b.bytes, "CRC-16 mismatch"); id += 1
+    }
+    // STREAMINFO contradiction sweep: 4-byte splats across the
+    // STREAMINFO region (no CRC protects it) leave the frame header
+    // contradicting the stream — every case rejects-or-decodes in bound
+    locally {
+      val (b0, marks, fs, c8, c16) = build()
+      val base = sealed_(b0, fs, c8, c16)
+      val siByte = marks("si") / 8
+      for (_ <- 1 to 200) {
+        val m = base.clone()
+        val pos = siByte + rnd.nextInt(34 - 4)
+        val splat = randomBytes(4)
+        System.arraycopy(splat, 0, m, pos, 4)
+        decodeBounded(id, m); id += 1
+      }
+    }
+  }
+
   test("AVI RIFF structure attacks: boundary, nesting, duplication, geometry") {
     val jpegA = jpegOf(24, 16)
     val jpegB = jpegOf(16, 8)
