@@ -1164,9 +1164,12 @@ object CurationOps {
   /** The q125 kernel as a reusable stage (Curate.run's LM gate consumes
     * it): train the bigram LM on `docs` and score each of its rows.
     * Returns (doc_id, n_bigrams, sum_q, lm_score); plan shape on q125. */
-  def lmScored(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val pairs = docs
+  /** The (doc_id, bh, uh) bigram-pair frame q125 scores — factored so
+    * the streaming twin's spec can score the same pairs against
+    * state-store-accumulated count tables. */
+  def lmPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"),
         expr(s"filter($toksSql, t -> t <> '')").as("ts"))
       .filter(size(col("ts")) >= 2)
@@ -1180,6 +1183,29 @@ object CurationOps {
       // hash BEFORE the checkpoint: the materialized frame and every
       // shuffle above it carry 8-byte keys, never pair text
       .localCheckpoint()
+
+  /** q125's scoring arithmetic over PRE-BUILT count tables — shared by
+    * [[lmScored]] (tables aggregated from the same corpus) and the
+    * streaming twin (tables upserted from Streams.lmCountTracker's
+    * state store): the pair frame joins uniCounts (uh, cu) and
+    * biCounts (bh, cb) on 8-byte keys, fixed-point
+    * q = (cb·2^20) div cu, one doc-keyed agg. */
+  def lmScoreJoin(pairs: org.apache.spark.sql.DataFrame,
+      uniCounts: org.apache.spark.sql.DataFrame,
+      biCounts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pairs
+      .join(biCounts, "bh")
+      .join(uniCounts, "uh")
+      .select(col("doc_id"), expr("(cb * 1048576) div cu").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+      .withColumn("lm_score",
+        col("sum_q").cast("double") / col("n_bigrams").cast("double"))
+
+  def lmScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = lmPairs(docs)
     // prefix counts over EVERY token occurrence (incl. doc-final —
     // a doc's last token appears in no bigram's 'a' slot)
     val uniCounts = docs
@@ -1189,14 +1215,7 @@ object CurationOps {
     val biCounts = pairs
       .groupBy(col("bh"))
       .agg(count(lit(1)).as("cb"))
-    pairs
-      .join(biCounts, "bh")
-      .join(uniCounts, "uh")
-      .select(col("doc_id"), expr("(cb * 1048576) div cu").as("q"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
-      .withColumn("lm_score",
-        col("sum_q").cast("double") / col("n_bigrams").cast("double"))
+    lmScoreJoin(pairs, uniCounts, biCounts)
   }
 
   val q125BigramLmScore = Q(

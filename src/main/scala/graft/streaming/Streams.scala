@@ -208,6 +208,49 @@ object Streams {
       }
   }
 
+  /** One LM count observation (q125's training unit), pre-aggregated
+    * per micro-batch by the caller: `kind` 0 = unigram/prefix
+    * occurrences of token-hash `h`, 1 = bigram occurrences of
+    * pair-hash `h`; `n` the occurrence count this batch contributes.
+    * Counts are ADDITIVE, so arrival order can never matter — the
+    * state is a commutative sum monoid. */
+  final case class LmCountEvent(kind: Int, h: Long, n: Long)
+
+  /** One upserted LM-table row: the CUMULATIVE count of (kind, h)
+    * after the emitting micro-batch. */
+  final case class LmCountRow(kind: Int, h: Long, count: Long)
+
+  /** Streaming twin of q125's bigram-LM TRAINING — completing the
+    * incremental family (dedup, novelty, block-dedup, packing already
+    * have twins): the unigram and bigram count tables live in the
+    * STATE STORE, one long per distinct token/pair hash, hash-
+    * partitioned on the key like the batch kernel's two hash aggs.
+    * Every time a key receives new mass its NEW cumulative count is
+    * emitted; each such row is a CORRECTION superseding the key's
+    * previous row, so a sink that upserts by (kind, h) holds — after
+    * ANY prefix of the stream — exactly the batch count tables of the
+    * corpus seen so far (StreamingSpec pins the mid-stream prefix AND
+    * the full 3-micro-batch replay ≡ batch lmScored, scoring the
+    * upserted tables through the shared CurationOps.lmScoreJoin
+    * arithmetic). Where noveltyTracker needs a conditional min-merge
+    * and blockDeduper a canonical re-claim, counts need no correction
+    * LOGIC at all — addition commutes, so late or out-of-order mass
+    * folds in exactly; the emitted row is correction enough.
+    */
+  def lmCountTracker(events: Dataset[LmCountEvent]): Dataset[LmCountRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.kind, e.h))
+      .flatMapGroupsWithState[Long, LmCountRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), evs: Iterator[LmCountEvent],
+            state: GroupState[Long]) =>
+          val cur = state.getOption.getOrElse(0L) + evs.map(_.n).sum
+          state.update(cur)
+          Iterator.single(LmCountRow(key._1, key._2, cur))
+      }
+  }
+
   /** One chunk's packing input (q101's shape): `ord` the total order
     * key within a source, `n` its token count.
     */

@@ -419,6 +419,103 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lmCountTracker state tables converge per prefix, and full replay equals batch lmScored") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documentsSpread(s, sf)
+    // ingest split 3 ways by doc_id; per-batch events are the caller's
+    // pre-aggregation contract: unigram occurrences of every token +
+    // bigram occurrences from the shared pair kernel
+    def eventsOf(mb: Int): Seq[Streams.LmCountEvent] = {
+      val part = docs.filter(col("doc_id") % 3 === mb)
+      val uni = part
+        .select(explode(expr("filter(split(lower(text), ' '), t -> t <> '')")).as("w"))
+        .groupBy(xxhash64(col("w")).as("h")).agg(count(lit(1)).as("n"))
+        .collect().map(r => Streams.LmCountEvent(0, r.getLong(0), r.getLong(1)))
+      val bi = graft.queries.CurationOps.lmPairs(part)
+        .groupBy(col("bh").as("h")).agg(count(lit(1)).as("n"))
+        .collect().map(r => Streams.LmCountEvent(1, r.getLong(0), r.getLong(1)))
+      (uni ++ bi).toSeq
+    }
+    val in = MemoryStream[Streams.LmCountEvent]
+    val q = Streams.lmCountTracker(in.toDS())
+      .writeStream.format("memory").queryName("lm_counts")
+      .outputMode("update").start()
+    // the upsert the emitted rows are designed for: latest row per
+    // (kind, h) — counts only grow, so max(count) IS last-write-wins
+    def upserted() = s.table("lm_counts")
+      .groupBy(col("kind"), col("h")).agg(max(col("count")).as("c"))
+    def tables() = (
+      upserted().filter(col("kind") === 0)
+        .select(col("h").as("uh"), col("c").as("cu")),
+      upserted().filter(col("kind") === 1)
+        .select(col("h").as("bh"), col("c").as("cb")))
+    try {
+      in.addData(eventsOf(0)); q.processAllAvailable()
+      in.addData(eventsOf(1)); q.processAllAvailable()
+      // mid-stream prefix contract: the upserted tables equal the batch
+      // count tables of exactly the corpus seen so far
+      val prefixDocs = docs.filter(col("doc_id") % 3 =!= 2)
+      val (u2, b2) = tables()
+      val batchUni = prefixDocs
+        .select(explode(expr("filter(split(lower(text), ' '), t -> t <> '')")).as("w"))
+        .groupBy(xxhash64(col("w")).as("uh")).agg(count(lit(1)).as("cu"))
+      assert(u2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        batchUni.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        "prefix unigram table diverged from the batch count of the seen corpus")
+      val batchBi = graft.queries.CurationOps.lmPairs(prefixDocs)
+        .groupBy(col("bh")).agg(count(lit(1)).as("cb"))
+      assert(b2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        batchBi.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        "prefix bigram table diverged from the batch count of the seen corpus")
+      in.addData(eventsOf(2)); q.processAllAvailable()
+      // full-replay contract: q125's arithmetic over the state-store
+      // tables equals batch lmScored on the whole corpus, bit for bit
+      val (uFin, bFin) = tables()
+      val streamed = graft.queries.CurationOps
+        .lmScoreJoin(graft.queries.CurationOps.lmPairs(docs), uFin, bFin)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(_._1)
+      val batch = graft.queries.CurationOps.lmScored(docs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(_._1)
+      assert(streamed === batch,
+        "stream-accumulated LM tables must score identically to batch lmScored")
+    } finally q.stop()
+  }
+
+  test("lmCountTracker emits a superseding row per new mass; upsert converges regardless of order") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[Streams.LmCountEvent]
+    val q = Streams.lmCountTracker(in.toDS())
+      .writeStream.format("memory").queryName("lm_counts_ooo")
+      .outputMode("update").start()
+    try {
+      // key (1, 7) receives mass in both micro-batches — the second
+      // emission must carry the cumulative 5 (the correction row); a
+      // "late" contribution for (0, 3) lands after (0, 3) was already
+      // emitted and must fold in identically (sums commute)
+      in.addData(Streams.LmCountEvent(1, 7L, 2), Streams.LmCountEvent(0, 3L, 4))
+      q.processAllAvailable()
+      in.addData(Streams.LmCountEvent(1, 7L, 3), Streams.LmCountEvent(0, 3L, 1))
+      q.processAllAvailable()
+      val rows = s.table("lm_counts_ooo")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows.toSet === Set((1, 7L, 2L), (1, 7L, 5L), (0, 3L, 4L), (0, 3L, 5L)),
+        s"unexpected emission set: $rows")
+      // last-write-wins upsert (max of a growing count) = the batch sum
+      val upserted = rows.groupBy(r => (r._1, r._2))
+        .map { case (k, vs) => k -> vs.map(_._3).max }
+      assert(upserted === Map((1, 7L) -> 5L, (0, 3L) -> 5L))
+    } finally q.stop()
+  }
+
   test("shardPacker (state-store running totals) equals batch ShardPacking mid-source across micro-batches") {
     val s = spark
     import s.implicits._
