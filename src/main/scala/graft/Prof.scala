@@ -20,6 +20,10 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val starts = TrieMap.empty[Int, (Long, String)]
+    val taskCount = new java.util.concurrent.atomic.AtomicInteger()
+    val taskMs = new java.util.concurrent.atomic.LongAdder()
+    val stageAgg = TrieMap.empty[Int, java.util.concurrent.atomic.LongAdder]
+    val stageName = TrieMap.empty[Int, String]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         starts(j.jobId) = (System.nanoTime(),
@@ -28,6 +32,15 @@ object Prof {
         starts.get(j.jobId).foreach { case (t0, cs) =>
           println(f"job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e6}%8.1f ms  $cs")
         }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskCount.incrementAndGet()
+        if (t.taskInfo != null) taskMs.add(t.taskInfo.duration)
+        if (t.taskInfo != null)
+          stageAgg.getOrElseUpdate(t.stageId, new java.util.concurrent.atomic.LongAdder())
+            .add(t.taskInfo.duration)
+      }
+      override def onStageSubmitted(s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stageName(s.stageInfo.stageId) = s.stageInfo.name.take(90)
     })
     // exact match first; else a prefix match only when UNambiguous —
     // find() over unordered Map keys made "q12" profile an arbitrary
@@ -47,9 +60,14 @@ object Prof {
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
     println("=== timed pass ===")
+    taskCount.set(0); taskMs.reset(); stageAgg.clear()
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    println(f"total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(f"total ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
+      f"tasks=${taskCount.get} taskTime=${taskMs.sum() / 1e3}%.1f s")
+    stageAgg.toSeq.sortBy(-_._2.sum()).take(15).foreach { case (sid, ms) =>
+      println(f"stage $sid%4d ${ms.sum() / 1e3}%7.2f s  ${stageName.getOrElse(sid, "?")}")
+    }
     spark.stop()
   }
 }

@@ -836,37 +836,46 @@ object AnalyticsOps {
         .select(col("o_custkey").as("cust"),
           (col("l_suppkey") + 2000000L).as("supp"))
         .distinct()
-      val edges = raw.select(col("cust").as("src"), col("supp").as("dst"))
+      val edges0 = raw.select(col("cust").as("src"), col("supp").as("dst"))
         .union(raw.select(col("supp").as("src"), col("cust").as("dst")))
+      val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .withColumnRenamed("src", "dv")
+      // degree rides ON the edge frame (joined once, checkpointed once):
+      // the first cut re-broadcast the degree table inside every round's
+      // plan — a separate broadcast-exchange job per round for a frame
+      // that never changes. Likewise |V| is folded to a LITERAL by one
+      // upfront count (the q122 dial convention): the per-round
+      // crossJoin(broadcast(nAgg)) was a third exchange job per round
+      // for one scalar. Round 12 measured the three-exchanges-per-round
+      // shape at 3.4 s wall on 0.3 s of parallel CPU — the loop was all
+      // job latency, not work.
+      val edges = edges0.join(deg, col("src") === col("dv"))
+        .select(col("src"), col("dst"), col("d"))
         .localCheckpoint()
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .withColumnRenamed("src", "dv").localCheckpoint()
       val nodes = edges.select(col("src").as("v")).distinct()
-      val nAgg = nodes.agg(count(lit(1)).cast("bigint").as("n"))
-      var r = nodes.crossJoin(broadcast(nAgg))
-        .select(col("v"), expr(s"cast($mass as bigint) div n").as("r"))
+      val n = nodes.count()
+      val rInit = if (n > 0) mass / n else 0L
+      val teleport = (15L * rInit) / 100L
+      var r = nodes.select(col("v"), lit(rInit).as("r"))
       for (_ <- 1 to 5) {
-        // rank and degree are NODE-sized (dimension-scale here, and
-        // always |V| << |E|): broadcasting them keeps the edge list —
-        // the only big frame — unshuffled across all five iterations
-        // (checkpoint stats are unknown to the optimizer, which would
-        // otherwise plan five full sort-merge shuffles of the edges).
-        // On a graph whose node table outgrows the broadcast threshold,
-        // drop the hints: the same plan degrades to src-keyed shuffle
-        // joins, semantics unchanged.
+        // the rank state is NODE-sized (always |V| << |E|): ONE
+        // broadcast per round keeps the edge list — the only big
+        // frame — unshuffled across all five iterations (checkpoint
+        // stats are unknown to the optimizer, which would otherwise
+        // plan five full sort-merge shuffles of the edges). On a graph
+        // whose node table outgrows the broadcast threshold, drop the
+        // hint: the same plan degrades to src-keyed shuffle joins,
+        // semantics unchanged.
         val contrib = edges
           .join(broadcast(r), col("src") === col("v"))
-          .join(broadcast(deg), col("src") === col("dv"))
           .select(col("dst"), expr("r div d").as("c"))
         // node-sized state checkpoint per round (the KMeans.run rule):
         // without it round t's broadcast exchange carries rounds 1..t−1
         // as a nested subplan — planning cost grows quadratically in
         // rounds and each broadcast job replans the whole prefix.
         r = contrib.groupBy(col("dst")).agg(sum(col("c")).as("cs"))
-          .crossJoin(broadcast(nAgg))
           .select(col("dst").as("v"),
-            expr(s"(15 * (cast($mass as bigint) div n)) div 100" +
-              " + (85 * cs) div 100").as("r"))
+            (lit(teleport) + expr("(85 * cs) div 100")).as("r"))
           .localCheckpoint()
       }
       r.orderBy(col("r").desc, col("v")).limit(20)

@@ -622,7 +622,7 @@ object CurationOps {
       // eager localCheckpoint before the two-branch union below — the
       // branches' stages otherwise race to compute the q32 subtree
       // twice (sf1 decade audit: 53x shuffle for 10x data; see q72)
-      val pairs = LlmOps.q32NearDupPairs.fn(s, dir)
+      val pairs = LlmOps.nearDupPairs(s, dir)
         .select(col("id_a"), col("id_b")).localCheckpoint()
       val e = pairs.select(col("id_a").as("me"), col("id_b").as("other"))
         .union(pairs.select(col("id_b").as("me"), col("id_a").as("other")))
@@ -969,6 +969,16 @@ object CurationOps {
         .drop("g")
         .localCheckpoint()
       var state = Seq.empty[(Long, Long)].toDF("gh", "first_batch")
+      // Round-12 note: this loop sits at its contract floor. Profiled
+      // alternatives both measured SLOWER — shuffle_hash-hinted state
+      // with eager checkpoints (4.0 s vs 3.7 s: the explicit state
+      // shuffle costs more than AQE's broadcast), and AQE scoped off
+      // around the loop (5.0 s: 32-partition shuffles → 1,889 tasks vs
+      // 224; AQE's post-shuffle coalescing is what keeps the tiny
+      // per-batch stages cheap). The residual wall is ten genuinely
+      // sequential probe jobs at ~0.35 s each — the incremental
+      // CONTRACT, not plan waste (between-job planning gap measured
+      // 0.6 s of 4.4 s after round-11's checkpoint fixes).
       val curves = (0L until 10L).map { b =>
         val probed = grams.filter(col("batch") === b).select(col("gh"))
           .join(state, Seq("gh"), "left")

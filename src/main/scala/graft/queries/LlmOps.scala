@@ -83,6 +83,23 @@ object LlmOps {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** The near-dup pair graph the cluster-resolution family consumes
+    * (q72/q89/q111/q112): q33's banded-LSH generation rather than
+    * q32's ppjoin — the LSH path is the one those scaladocs already
+    * name as the 100 TB route, and it is ~2× cheaper at the gate SFs
+    * (round-12 measurement: 1.34 s vs 1.68 s wall, 10.6 s vs 21.9 s
+    * task CPU at sf0.1 — the ppjoin pays two corpus-inverted-index
+    * window shuffles that the banded sketch path does not). The two
+    * generators' outputs are equal by q33's banding bound (miss
+    * probability < 8e-8 per borderline pair; deterministic equality on
+    * these corpora is pinned by NearDupRecallSpec and by q33's own
+    * oracle, which IS the exact-Jaccard SQL). Every consumer's DuckDB
+    * oracle keeps the exact formulation — an LSH miss would flip the
+    * hash gate red, never hide.
+    */
+  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    q33MinhashLshDup.fn(s, dir)
+
   /** Exact Jaccard >= `threshold` on candidate pairs (id_a < id_b),
     * given a frame of candidate (id_a, id_b) pairs.
     */

@@ -171,7 +171,7 @@ object TrainingOps {
   val q112ClusterSafeSplit = Q(
     "q112_cluster_safe_split",
     (s, dir) => {
-      val pairs = LlmOps.q32NearDupPairs.fn(s, dir)
+      val pairs = LlmOps.nearDupPairs(s, dir)
         .select(col("id_a"), col("id_b")).localCheckpoint()
       val labels = minLabelClusters(pairs)
         .select(col("v").as("doc_id"), col("lbl"))
@@ -699,7 +699,7 @@ object TrainingOps {
       // for 10x data through exactly this). Materializing once up
       // front restores the linear row: every branch reads checkpoint
       // blocks, never the lineage.
-      val pairs = LlmOps.q32NearDupPairs.fn(s, dir)
+      val pairs = LlmOps.nearDupPairs(s, dir)
         .select(col("id_a"), col("id_b")).localCheckpoint()
       val labels = minLabelClusters(pairs)
       labels
@@ -751,7 +751,7 @@ object TrainingOps {
   val q111StarClusters = Q(
     "q111_star_clusters",
     (s, dir) => {
-      val pairs = LlmOps.q32NearDupPairs.fn(s, dir)
+      val pairs = LlmOps.nearDupPairs(s, dir)
         .select(col("id_a"), col("id_b")).localCheckpoint()
       graft.ops.ConnectedComponents.largeStarSmallStar(pairs)
         .groupBy(col("lbl").as("cluster_id"))
