@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *   1. quality gate        — q83's linear scorer, keep score >= 0.05
   *   2. LM typicality gate  — q125's bigram-LM kernel, keep score >= lmFloor
   *   3. exact dedup         — q29's md5(text) groups, min-doc_id survivor
-  *   4. near-dup prune      — q32 pairs + q89's lose-to-higher-score rule
+  *   4. near-dup prune      — the shared near-dup pair graph (q33's
+  *                            LSH generation ≡ q32's exact pairs) +
+  *                            q89's lose-to-higher-score rule
   *   5. decontamination     — q77's 5-gram overlap vs the eval probe set
   *  5b. semantic decontam   — q126's kernel: drop docs whose embedding
   *                            sits within `semThr` cosine of any eval
@@ -141,8 +143,10 @@ object Curate {
     val nExact = exact.count(); lap("exact")
     lmPass.unpersist()
 
-    // 4. near-dup prune: q32's pair list, q89's survivor rule
-    val pairs = graft.queries.LlmOps.q32NearDupPairs.fn(spark, sfDir)
+    // 4. near-dup prune: the shared near-dup pair graph (q33's LSH
+    // generation, ≡ q32's exact output — LlmOps.nearDupPairs' doc),
+    // q89's survivor rule
+    val pairs = graft.queries.LlmOps.nearDupPairs(spark, sfDir)
       .select(col("id_a"), col("id_b"))
     val e = pairs.select(col("id_a").as("me"), col("id_b").as("other"))
       .union(pairs.select(col("id_b").as("me"), col("id_a").as("other")))
