@@ -680,7 +680,7 @@ object CurationOps {
       WHERE ro.score > rm.score
          OR (ro.score = rm.score AND ed.other < ed.me)
       GROUP BY ed.me ORDER BY doc_id""".stripMargin),
-    "near-dup survivorship: q32's pair list + q83's quality scorer -> the delete list (each doc loses to higher-scored partners, ties to lower doc_id); two doc_id-keyed hash joins on the tiny post-gate pair frame")
+    "near-dup survivorship: the shared near-dup pair list (LlmOps.nearDupPairs, ≡ q32 exact) + q83's quality scorer -> the delete list (each doc loses to higher-scored partners, ties to lower doc_id); two doc_id-keyed hash joins on the tiny post-gate pair frame")
 
   // ---------------------------------------------------------------------
   // q90 — cross-source contamination matrix

@@ -732,7 +732,7 @@ object TrainingOps {
       SELECT lbl AS cluster_id, COUNT(*) AS n_docs,
         array_to_string(list_sort(array_agg(v)), '|') AS members
       FROM lbl GROUP BY lbl ORDER BY cluster_id""".stripMargin),
-    "near-dup cluster resolution: Pregel-style min-label propagation over the q32 pair graph (O(diameter) rounds, each one join + agg on the tiny pair frame) vs a DuckDB recursive-CTE transitive closure — completes pairs -> clusters -> representative dedup")
+    "near-dup cluster resolution: Pregel-style min-label propagation over the near-dup pair graph (LlmOps.nearDupPairs: q33 LSH generation, ≡ q32 exact) (O(diameter) rounds, each one join + agg on the tiny pair frame) vs a DuckDB recursive-CTE transitive closure — completes pairs -> clusters -> representative dedup")
 
   // ---------------------------------------------------------------------
   // q111 — dup clusters via star contraction (the O(log n) CC twin)
