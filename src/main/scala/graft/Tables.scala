@@ -65,4 +65,15 @@ object Tables {
     documents(spark, dir).repartition(
       spark.conf.get("spark.sql.shuffle.partitions").toInt,
       org.apache.spark.sql.functions.col("doc_id"))
+
+  /** `orders` under the same single-row-group compensation as
+    * [[documentsSpread]] (same rationale, same explicit-count rule):
+    * the column-profile family (q75/q97) runs per-value hashing and a
+    * 4-way Expand over every order row, which otherwise executes in
+    * ONE task — round 12 measured both queries >75% single-task
+    * (q75: 5 tasks, 2.6 s task time, 2.57 s wall). */
+  def ordersSpread(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir).repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      org.apache.spark.sql.functions.col("o_orderkey"))
 }

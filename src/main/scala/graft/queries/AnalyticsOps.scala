@@ -448,7 +448,7 @@ object AnalyticsOps {
     "q75_column_profile",
     (s, dir) => {
       val dec = (c: String) => col(c).cast(graft.Qdsl.D2)
-      val profiled = T.orders(s, dir).agg(
+      val profiled = T.ordersSpread(s, dir).agg(
         count(lit(1)).as("n_rows"),
         // o_orderkey
         count(col("o_orderkey")).as("nn_key"),
@@ -532,7 +532,7 @@ object AnalyticsOps {
     (s, dir) => {
       import graft.functions.KMinDistinctAggregator
       val k = 64
-      val unp = T.orders(s, dir)
+      val unp = T.ordersSpread(s, dir)
         .select(
           lpad(col("o_orderkey").cast("string"), 12, "0").as("v_key"),
           lpad(col("o_totalprice").cast(graft.Qdsl.D2).cast("string"), 21, "0")
