@@ -161,6 +161,10 @@ class CurateSpec extends SparkSpec {
     // the keep-first seen-set below depends on exactly which docs
     // participate, so the reference must apply the same flag set
     val semCleanIds = cleanIds -- semFlaggedIds
+    // the funnel's stage-5b count must equal this independent
+    // reconstruction exactly — not just bound the written set
+    assert(outA._2.nSemClean === semCleanIds.size.toLong,
+      s"nSemClean=${outA._2.nSemClean} != reconstructed ${semCleanIds.size}")
     // sequential keep-first block rewrite over the clean set
     val seen = scala.collection.mutable.Set.empty[String]
     val nByDoc = semCleanIds.toSeq.sorted.map { id =>

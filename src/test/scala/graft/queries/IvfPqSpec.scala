@@ -157,6 +157,16 @@ class IvfPqSpec extends SparkSpec {
     // (max(50, 500/8) = 62; vs 0.12 for ADC-only ranking — the refine
     // stage IS the recall); the 0.8 floor is the round-12 contract
     assert(recall >= 0.8, s"IVF-PQ refined recall $recall fell under the floor")
+    // the 0.12 half of that claim, pinned rather than asserted in prose:
+    // a shortlist of exactly 5 makes the refine a no-op on the SET, so
+    // reference(np, 5) yields the ADC-only top-5 per query
+    val (adcRows, _, _) = reference(vecs, trainedCoarse, NP, 5)
+    val adcGot = adcRows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val adcRecall = (0L until 10L).map(q => (adcGot(q) & exact(q)).size).sum / 50.0
+    assert(adcRecall < recall,
+      s"refine adds nothing: ADC-only $adcRecall vs refined $recall")
+    assert(adcRecall <= 0.5,
+      s"ADC-only recall $adcRecall unexpectedly high — distance tables may be leaking exact distances")
   }
 
   test("q122 plan: coded corpus streams, distance tables broadcast, probe join keyed on cell_id") {

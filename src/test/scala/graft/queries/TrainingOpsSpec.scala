@@ -362,6 +362,66 @@ class TrainingOpsSpec extends SparkSpec {
       (4L, 3, 0, 0, m("x1 x2 x3"))))
   }
 
+  test("q127 equals a brute-force span-cut reference on generated small-vocab corpora") {
+    import spark.implicits._
+    // tiny vocabulary + short docs → dense cross-doc 6-gram collisions,
+    // the regime where run assembly, tie-breaks, and cut arithmetic all
+    // get exercised far harder than the natural corpus exercises them
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 3) {
+      val docs = (0L until 12L).map { id =>
+        val n = 8 + rnd.nextInt(13)
+        id -> Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_q127p$trial").toString
+      docs.map { case (id, ts) =>
+        (id, ts.mkString(" "), "en", "s1", ts.mkString(" ").length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // brute-force reference: duplicated position = 6-gram occurring in
+      // ANY other doc; longest-then-leftmost run; span = run + k - 1 cut
+      val k = 6
+      def gramsOf(ts: Vector[String]): Vector[String] =
+        if (ts.length < k) Vector.empty
+        else (0 to ts.length - k).map(i => ts.slice(i, i + k).mkString(" ")).toVector
+      val gramDocs = docs.flatMap { case (id, ts) => gramsOf(ts).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def m(s: String) = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val expected = docs.map { case (id, ts) =>
+        val dupPos = gramsOf(ts).zipWithIndex.collect {
+          case (g, i) if (gramDocs(g) - id).nonEmpty => i + 1
+        }
+        // longest contiguous run, leftmost on ties
+        var best: Option[(Int, Int)] = None // (len, start)
+        var runStart = -1; var prev = -100
+        def close(end: Int): Unit = if (runStart > 0) {
+          val len = end - runStart + 1
+          if (best.forall { case (bl, bs) => len > bl }) best = Some((len, runStart))
+        }
+        dupPos.foreach { p =>
+          if (p != prev + 1) { close(prev); runStart = p }
+          prev = p
+        }
+        close(prev)
+        best match {
+          case Some((len, start)) =>
+            val span = len + k - 1
+            val kept = ts.take(start - 1) ++ ts.drop(start - 1 + span)
+            (id, ts.length, start, span, m(kept.mkString(" ")))
+          case None => (id, ts.length, 0, 0, m(ts.mkString(" ")))
+        }
+      }
+      val got = TrainingOps.q127SpanCutRewrite.fn(spark, dir).collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4)))
+      assert(got === expected, s"trial $trial diverged from the brute-force cut")
+    }
+  }
+
   test("q115 hash-keyed grouping matches string-keyed grouping (collision audit)") {
     import org.apache.spark.sql.functions._
     // q115 groups by xxhash64(gram) for 8-byte shuffle keys; the DuckDB
