@@ -1484,8 +1484,9 @@ object TrainingOps {
     * Scale shape: q116's kernel (gram-hash-keyed candidates, doc-keyed
     * windows) plus ONE doc-keyed join of the span table — which holds
     * at most one row per doc — back to the tokenized spine; the cut
-    * itself is a per-row bounded slice/concat projection, no new
-    * corpus-sized shuffle beyond q116's own.
+    * itself is a per-row bounded slice/concat projection. Measured
+    * cost of that join-back: +16% shuffle over q116 at sf1, linear
+    * per decade (SCALING.md round-12 q127 table).
     */
   val q127SpanCutRewrite = Q(
     "q127_span_cut_rewrite",
@@ -1543,7 +1544,7 @@ object TrainingOps {
           END, ' '), '')) AS kept_md5
       FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
       ORDER BY d.doc_id""".stripMargin),
-    "duplicated-span CUT (Lee et al. ExactSubstr rewrite): q116's localized longest span excised from the token stream, trimmed doc reassembled and md5-fingerprinted so the oracle hash-compares the whole rewritten corpus; span table is <= 1 row/doc joined doc-keyed back to the spine, cut is a bounded per-row slice — no shuffle beyond q116's own")
+    "duplicated-span CUT (Lee et al. ExactSubstr rewrite): q116's localized longest span excised from the token stream, trimmed doc reassembled and md5-fingerprinted so the oracle hash-compares the whole rewritten corpus; span table is <= 1 row/doc joined doc-keyed back to the spine, cut is a bounded per-row slice — one doc-keyed exchange beyond q116's own (+16% shuffle at sf1, linear per decade; SCALING.md round-12)")
 
   // ---------------------------------------------------------------------
   // q123 — corpus-wide block dedup with keep-first REWRITE
