@@ -239,11 +239,35 @@ object Bench {
     // when the line outgrew the window). renderLine is the compact
     // serializer; BenchLineSpec pins its size at the live registry.
     val loadEnd = loadAvgs()
+    // Anchor the detail artifact to the repo root (nearest ancestor of
+    // the launch cwd holding build.sbt), not the bare cwd — `sbt
+    // runMain` and a forked JVM can disagree on cwd, and a detail file
+    // written into some sub-directory silently vanishes from the
+    // round-over-round comparison surface (round-13 advice #4).
+    // SPARK_GRAFT_DETAIL_PATH overrides outright. Best-effort stays,
+    // but only for non-fatal errors, and failing now WARNS instead of
+    // swallowing: an OOM/LinkageError must kill the run, and a full
+    // disk should at least say so.
+    val detailPath = sys.env.get("SPARK_GRAFT_DETAIL_PATH")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val cwd = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+        var d = cwd
+        while (d.getParent != null &&
+            !java.nio.file.Files.exists(d.resolve("build.sbt")))
+          d = d.getParent
+        val root =
+          if (java.nio.file.Files.exists(d.resolve("build.sbt"))) d else cwd
+        root.resolve("BENCH_DETAIL.json")
+      }
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detailPath,
       (renderDetail(results, sfDir, gcSpent, passes.size) + "\n")
         .getBytes("UTF-8"))
-    catch { case _: Throwable => () } // detail file is best-effort
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARN Bench: could not write $detailPath: $e")
+    }
     println(renderLine(results, errors, sfDir, loadStart, loadPregate,
       loadEnd(0), gated, gcSpent, passes.size))
     spark.stop()

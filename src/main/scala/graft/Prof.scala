@@ -63,7 +63,11 @@ object Prof {
     taskCount.set(0); taskMs.reset(); stageAgg.clear()
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    println(f"total ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
+    val wall = (System.nanoTime() - t0) / 1e9
+    // the listener bus is async — drain it before reading the counters,
+    // or the tail of the very stages being profiled is undercounted
+    org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+    println(f"total $wall%.2f s  " +
       f"tasks=${taskCount.get} taskTime=${taskMs.sum() / 1e3}%.1f s")
     stageAgg.toSeq.sortBy(-_._2.sum()).take(15).foreach { case (sid, ms) =>
       println(f"stage $sid%4d ${ms.sum() / 1e3}%7.2f s  ${stageName.getOrElse(sid, "?")}")

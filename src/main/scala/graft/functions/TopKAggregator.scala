@@ -62,7 +62,12 @@ final class KMinDistinctAggregator(k: Int)
   override def zero: Seq[Long] = Seq.empty
 
   override def reduce(buf: Seq[Long], x: Long): Seq[Long] =
-    if (buf.contains(x)) buf
+    // once the buffer holds k minima, anything >= the current k-th
+    // minimum can neither enter nor displace — O(1) reject for the
+    // overwhelming share of rows on uniform-hash input, which is what
+    // lets the UN-deduplicated stream feed this directly (q97)
+    if (buf.length >= k && x >= buf.last) buf
+    else if (buf.contains(x)) buf
     else ((buf :+ x).sorted.take(k))
 
   override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =

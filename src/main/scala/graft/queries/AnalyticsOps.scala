@@ -549,13 +549,15 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("n_rows"),
           (count(lit(1)) - count(col("v"))).as("n_null"),
           min(col("v")).as("min_s"), max(col("v")).as("max_s"))
-      // hash BEFORE distinct: the dedup shuffle then carries (col_name,
-      // int64) instead of (col_name, formatted string) — same distinct
-      // hash set (the oracle distincts the hash too), smaller exchange.
+      // no pre-distinct: the KMV aggregator dedups inside its k-window
+      // (reduce rejects duplicates and anything above the k-th minimum),
+      // so feeding it the raw hash stream drops the corpus-sized dedup
+      // exchange entirely — the only shuffle the sketch pays is the
+      // ≤ k-per-column partial buffers (the oracle still distincts its
+      // hash stream; same k minima either way).
       val hashed = unp.filter(col("v").isNotNull)
         .select(col("col_name"),
           expr("cast(conv(substring(md5(v), 1, 15), 16, 10) as bigint)").as("h"))
-        .distinct()
       val sketch = {
         import s.implicits._
         hashed.as[(String, Long)]

@@ -858,13 +858,16 @@ object CurationOps {
     * cousin of q68's doc-level incremental dedup.
     *
     * Scale shape: one explode to the distinct (batch, gram) frame,
-    * one gram-keyed min-agg for first appearance, one join back on the
-    * gram and a batches-sized agg — the same two keyed shuffles as
-    * q81, and the same xxhash64-key reduction applies at 100 TB. The
-    * production form — each batch joined against an incremental
-    * gram→first_batch state table instead of recomputing history — is
-    * registered as [[q98IncrementalNovelty]]; CurationOpsSpec pins the
-    * two forms equal.
+    * then TWO independent aggregations — per-batch gram counts, and a
+    * gram-keyed min-agg whose 10-row regroup by first batch yields the
+    * new-gram counts — joined at BATCHES size (10 rows). No gram-keyed
+    * join-back: the earlier formulation joined two corpus-gram-sized
+    * frames (one extra full shuffle) to compute what a regroup of the
+    * min-agg's own output already knows. Same xxhash64-key reduction
+    * as q81 applies at 100 TB. The production form — each batch joined
+    * against an incremental gram→first_batch state table instead of
+    * recomputing history — is registered as [[q98IncrementalNovelty]];
+    * CurationOpsSpec pins the two forms equal.
     */
   val q96NoveltyCurve = Q(
     "q96_novelty_curve",
@@ -877,12 +880,12 @@ object CurationOps {
           explode(array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 8)))
             .as("g"))
         .distinct()
-      val first = g.groupBy(col("g")).agg(min(col("batch")).as("first_batch"))
-      g.join(first, "g")
-        .groupBy(col("batch"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_batch") === col("batch"), 1).otherwise(0))
-            .cast("bigint").as("n_new"))
+      val perBatch = g.groupBy(col("batch")).agg(count(lit(1)).as("n_grams"))
+      val newPerBatch = g.groupBy(col("g")).agg(min(col("batch")).as("batch"))
+        .groupBy(col("batch")).agg(count(lit(1)).as("n_new_nn"))
+      perBatch.join(newPerBatch, Seq("batch"), "left")
+        .select(col("batch"), col("n_grams"),
+          coalesce(col("n_new_nn"), lit(0L)).cast("bigint").as("n_new"))
         .select(col("batch"), col("n_grams"), col("n_new"),
           (col("n_new").cast("double") / col("n_grams")).as("novelty_rate"))
         .orderBy(col("batch"))
@@ -907,7 +910,7 @@ object CurationOps {
              AS DOUBLE) / COUNT(*) AS novelty_rate
       FROM g JOIN f ON g.gr = f.gr
       GROUP BY g.batch ORDER BY g.batch""".stripMargin),
-    "corpus novelty/saturation curve: per ingest batch, the fraction of distinct 8-grams first seen in that batch — distinct (batch,gram) explode, gram-keyed first-appearance agg, join-back; incremental gram->first_batch state at scale")
+    "corpus novelty/saturation curve: per ingest batch, the fraction of distinct 8-grams first seen in that batch — distinct (batch,gram) explode, then two aggregations (per-batch counts; gram-keyed first-appearance min regrouped by first batch) joined at 10-row size, no gram-sized join-back; incremental gram->first_batch state at scale")
 
   // ---------------------------------------------------------------------
   // q98 — incremental gram-state novelty (the q96 production form)

@@ -319,9 +319,20 @@ object TrainingOps {
     * Scale shape: bigrams come from a per-row `slice`+`arrays_zip` (no
     * self-join of token positions — the classic mistake that shuffles
     * the corpus twice); then two hash aggs (bigram counts, unigram
-    * counts) and a vocabulary-sized broadcast join of unigram counts
-    * onto the bigram frame, min-support 5 pruning the long tail before
-    * the join. Totals ride along as 1-row broadcast frames.
+    * counts) and a broadcast join of unigram counts onto the bigram
+    * frame, min-support 5 pruning the long tail before the join. The
+    * broadcast side is NOT the full vocabulary: the SURVIVOR bigram
+    * frame — bounded by the min-support threshold, not |vocab| — is
+    * what gets broadcast, and the vocabulary-sized unigram count frame
+    * is STREAMED past it (a-side pass, then b-side pass with c_a
+    * already attached, the intermediate still survivor-sized; AQE
+    * reuses the unigram aggregation exchange between the passes). The
+    * threshold is therefore what bounds driver memory; on a corpus
+    * whose survivor set still outgrew the broadcast threshold
+    * (min-support lowered toward 1 on web-scale text), drop the two
+    * `broadcast` hints and let the planner fall back to a shuffled
+    * hash join — same rows, one more exchange (the q66/q107 swap-point
+    * convention). Totals ride along as 1-row broadcast frames.
     */
   val q69BigramLift = Q(
     "q69_bigram_lift",
@@ -339,10 +350,18 @@ object TrainingOps {
         .select(col("p")("0").as("a"), col("p")("1").as("b"))
       val biCounts = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
       val biTotal = bi.agg(count(lit(1)).as("b_total"))
-      val ca = uniCounts.select(col("t").as("a"), col("c").as("c_a"))
-      val cb = uniCounts.select(col("t").as("b"), col("c").as("c_b"))
-      biCounts.filter(col("c_ab") >= 5)
-        .join(broadcast(ca), "a").join(broadcast(cb), "b")
+      val survivors = biCounts.filter(col("c_ab") >= 5)
+      // broadcast the SURVIVOR frame (bounded by the min-support
+      // threshold), never a vocabulary-sized count frame: the unigram
+      // counts stream past it twice (a-side, then b-side with c_a
+      // attached — still survivor-sized), and AQE reuses the unigram
+      // aggregation exchange between the two passes
+      val withCa = uniCounts
+        .join(broadcast(survivors), col("t") === col("a"))
+        .select(col("a"), col("b"), col("c_ab"), col("c").as("c_a"))
+      uniCounts
+        .join(broadcast(withCa), col("t") === col("b"))
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c").as("c_b"))
         .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(biTotal))
         .withColumn("lift",
           (col("c_ab") * col("u_total") * col("u_total")).cast("double")
@@ -371,7 +390,7 @@ object TrainingOps {
       JOIN uc cb ON bc.b = cb.t
       WHERE bc.c_ab >= 5
       ORDER BY lift DESC, bc.a, bc.b LIMIT 15""".stripMargin),
-    "bigram collocations by lift (= exp(PMI), same ranking, exact-int arithmetic): per-row slice+zip bigrams (no positional self-join), two hash aggs, vocabulary-sized broadcast of unigram counts, min-support pruning before the join")
+    "bigram collocations by lift (= exp(PMI), same ranking, exact-int arithmetic): per-row slice+zip bigrams (no positional self-join), two hash aggs, then the min-support-SURVIVOR frame is broadcast and the vocabulary-sized unigram counts stream past it — the threshold, not |vocab|, bounds the broadcast")
 
   // ---------------------------------------------------------------------
   // q70 — PII detection & redaction profile
@@ -1492,8 +1511,14 @@ object TrainingOps {
     "q127_span_cut_rewrite",
     (s, dir) => {
       val k = 6
+      // NULL text must rewrite to the EMPTY document (n_toks = 0,
+      // kept_md5 = md5('')), not propagate NULL/-1 — coalesce the token
+      // array before the join so Spark and the oracle agree on
+      // degenerate rows.
       val toks = T.documentsSpread(s, dir)
-        .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .select(col("doc_id"),
+          coalesce(expr(s"filter($toksSql, t -> t <> '')"),
+            array().cast("array<string>")).as("ts"))
       toks.join(dupSpans(s, dir, k), Seq("doc_id"), "left")
         .select(col("doc_id"),
           size(col("ts")).as("n_toks"),
@@ -1511,7 +1536,8 @@ object TrainingOps {
     Some("""
       WITH d AS (
         SELECT doc_id,
-          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+          COALESCE(list_filter(string_split(lower(text), ' '),
+                               t -> t <> ''), []) AS ts
         FROM documents),
       g AS (
         SELECT doc_id, i, array_to_string(ts[i:i+5], ' ') AS gram

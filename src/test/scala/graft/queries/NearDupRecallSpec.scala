@@ -73,6 +73,28 @@ class NearDupRecallSpec extends SparkSpec {
       s"missed=${(truthPairs -- got).take(5)} extra=${(got -- truthPairs).take(5)}")
   }
 
+  test("shared pair source: nearDupPairs (q33 LSH) == q32 ppjoin at every gated SF") {
+    // q72/q89/q111/q112 and Curate stage 4 all consume
+    // LlmOps.nearDupPairs, which is q33's banded-LSH generation. A
+    // banding miss on a borderline pair would otherwise surface as four
+    // downstream hash-gate failures with no pointer to the cause — this
+    // is the ONE named assertion that fails first and names the seam.
+    // Compared at both gated SFs (sf0.01 = oracle gate, sf0.1 = bench
+    // gate), values included: both paths verify with the same exact
+    // Jaccard, so the rows must be bit-identical, not just set-equal.
+    for (d <- Seq("/root/testdata/sf0.01", sf)) {
+      def rows(df: DataFrame) = df
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val lsh = rows(LlmOps.nearDupPairs(spark, d))
+      val exact = rows(LlmOps.q32NearDupPairs.fn(spark, d))
+      assert(lsh.nonEmpty, s"vacuous pair-source gate at $d")
+      assert(lsh === exact,
+        s"$d: LSH banding diverged from exact ppjoin — " +
+          s"missed=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+    }
+  }
+
   test("q106 winnowing-index pairs: subset of truth always, equal on the planted sf0.1 corpus") {
     val got = PipelineOps.q106WinnowDup.fn(spark, sf)
       .select(col("id_a"), col("id_b"))

@@ -362,6 +362,41 @@ class TrainingOpsSpec extends SparkSpec {
       (4L, 3, 0, 0, m("x1 x2 x3"))))
   }
 
+  test("q127 rewrites NULL/empty/whitespace text to the empty document, not NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q127n").toString
+    // degenerate fixtures the natural corpus never supplies: NULL text,
+    // the empty string, and whitespace-only text must all coalesce to a
+    // ZERO-token document (n_toks = 0, cut 0/0, kept_md5 = md5('')) —
+    // the oracle COALESCEs its token list to [] and its joined string to
+    // '', so a NULL-propagating Spark plan (size = -1, md5 = NULL) is a
+    // latent hash-gate flipper. Docs 4/5 pin that real text still flows.
+    Seq(
+      (1L, null.asInstanceOf[String], "en", "s1"),
+      (2L, "", "en", "s1"),
+      (3L, "   ", "en", "s1"),
+      (4L, "a b c d e f g h i j k l", "en", "s2"),
+      (5L, "z z z a b c d e f g h i j q r s", "en", "s2"))
+      .map { case (id, text, lang, src) =>
+        (id, text, lang, src, Option(text).map(_.length.toLong).getOrElse(0L))
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rs = TrainingOps.q127SpanCutRewrite.fn(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(rs === Seq(
+      (1L, 0, 0, 0, m("")),
+      (2L, 0, 0, 0, m("")),
+      (3L, 0, 0, 0, m("")),
+      (4L, 12, 1, 10, m("k l")),
+      (5L, 16, 4, 10, m("z z z q r s"))))
+  }
+
   test("q127 equals a brute-force span-cut reference on generated small-vocab corpora") {
     import spark.implicits._
     // tiny vocabulary + short docs → dense cross-doc 6-gram collisions,
