@@ -42,11 +42,11 @@ object CurationOps {
     * the gram key → per-doc count. Both join sides derive from the
     * same exploded frame, so the join is shuffle-keyed on the gram
     * (NOT broadcast: the duplicated-gram set grows with the corpus,
-    * unlike q77's fixed probe set). At 100 TB the gram key would be
-    * `xxhash64(gram)` (8 bytes instead of ~50 text bytes through both
-    * shuffles; collisions only ever ADD a candidate pair, and the
-    * span-cut step re-verifies text anyway) — text key kept here so
-    * the DuckDB oracle sees identical semantics.
+    * unlike q77's fixed probe set). The gram key IS `xxhash64(gram)`
+    * — 8 bytes instead of ~50 text bytes through both shuffles (7.0 →
+    * ~1.5 MB at sf0.1); the string-keyed DuckDB oracle is the
+    * collision audit (a 64-bit merge would mint a phantom df≥2 gram
+    * and move a doc's dup_frac), the q98/q115 convention.
     */
   val q81NgramDupSpans = Q(
     "q81_ngram_dup_spans",
@@ -58,7 +58,8 @@ object CurationOps {
           array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 8))
             .as("grams"))
       val ex = g.select(col("doc_id"), size(col("grams")).as("n_grams"),
-        explode(col("grams")).as("g"))
+          explode(col("grams")).as("gs"))
+        .select(col("doc_id"), col("n_grams"), xxhash64(col("gs")).as("g"))
       val dup = ex.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2).select(col("g"))
@@ -90,7 +91,7 @@ object CurationOps {
         CAST(COUNT(*) AS DOUBLE) / ex.n_grams AS dup_frac
       FROM ex JOIN dup USING (gr)
       GROUP BY ex.doc_id, ex.n_grams ORDER BY ex.doc_id""".stripMargin),
-    "corpus-wide duplicated 8-gram spans (exact substring-dedup detection): distinct per-doc shingles -> gram doc-frequency hash-agg -> gram-keyed join back -> per-doc dup fraction; gram-hash key at scale")
+    "corpus-wide duplicated 8-gram spans (exact substring-dedup detection): distinct per-doc shingles -> xxhash64 gram doc-frequency hash-agg -> gram-keyed join back -> per-doc dup fraction; string-keyed oracle = collision audit")
 
   // ---------------------------------------------------------------------
   // q82 — k-NN label vote (embedding auto-labeling)
@@ -697,7 +698,11 @@ object CurationOps {
     * (vocabulary-of-grams sized, far below corpus size), then a
     * self-equi-join keyed on the gram and a sources^2-sized agg. A
     * gram shared by many sources fans out at most (n_sources choose
-    * 2); at 100 TB the gram key becomes xxhash64 like q81.
+    * 2). The gram key IS xxhash64 (like q81/q98): the dedup exchange
+    * and both self-join sides carry (source, int64) — 7.6 → ~1 MB
+    * shuffled at sf0.1 — and the string-keyed DuckDB oracle is the
+    * collision audit (a 64-bit merge would add a phantom shared gram
+    * and flip the matrix).
     */
   val q90SourceLeakage = Q(
     "q90_source_leakage",
@@ -708,6 +713,7 @@ object CurationOps {
         .select(col("source"),
           explode(array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 8)))
             .as("g"))
+        .select(col("source"), xxhash64(col("g")).as("g"))
         .distinct()
       sg.as("a").join(sg.as("b"),
           col("a.g") === col("b.g") && col("a.source") < col("b.source"))
@@ -731,7 +737,7 @@ object CurationOps {
         CAST(COUNT(*) AS BIGINT) AS n_shared
       FROM g a JOIN g b ON a.gr = b.gr AND a.source < b.source
       GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin),
-    "cross-source contamination matrix: distinct (source, 8-gram) frame -> gram-keyed self-join -> sources^2 agg; tells the pipeline whether per-source dedup suffices; gram-hash key at scale like q81")
+    "cross-source contamination matrix: distinct (source, 8-gram-xxhash64) frame -> gram-keyed self-join -> sources^2 agg; tells the pipeline whether per-source dedup suffices; string-keyed oracle = collision audit")
 
   // ---------------------------------------------------------------------
   // q93 — mixture rates APPLIED as a reproducible hash filter
@@ -863,8 +869,9 @@ object CurationOps {
     * new-gram counts — joined at BATCHES size (10 rows). No gram-keyed
     * join-back: the earlier formulation joined two corpus-gram-sized
     * frames (one extra full shuffle) to compute what a regroup of the
-    * min-agg's own output already knows. Same xxhash64-key reduction
-    * as q81 applies at 100 TB. The production form — each batch joined
+    * min-agg's own output already knows. Grams ride xxhash64 keys
+    * through both exchanges (the q98 convention; the string-keyed
+    * oracle is the collision audit). The production form — each batch joined
     * against an incremental gram→first_batch state table instead of
     * recomputing history — is registered as [[q98IncrementalNovelty]];
     * CurationOpsSpec pins the two forms equal.
@@ -872,6 +879,12 @@ object CurationOps {
   val q96NoveltyCurve = Q(
     "q96_novelty_curve",
     (s, dir) => {
+      // gram → xxhash64 BEFORE the distinct (the q98/q115 convention,
+      // actual here, not just promised at scale): the dedup exchange and
+      // the min-agg carry (batch, int64) instead of (batch, ~70-byte
+      // gram string) — measured 13.6 → ~1.5 MB shuffled at sf0.1. The
+      // string-keyed DuckDB oracle is the collision audit: a 64-bit
+      // merge would move these counts and flip the gate.
       val g = T.documentsSpread(s, dir)
         .select((col("doc_id") % 10).as("batch"),
           expr(s"filter($toksSql, t -> t <> '')").as("ts"))
@@ -879,6 +892,7 @@ object CurationOps {
         .select(col("batch"),
           explode(array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 8)))
             .as("g"))
+        .select(col("batch"), xxhash64(col("g")).as("g"))
         .distinct()
       val perBatch = g.groupBy(col("batch")).agg(count(lit(1)).as("n_grams"))
       val newPerBatch = g.groupBy(col("g")).agg(min(col("batch")).as("batch"))

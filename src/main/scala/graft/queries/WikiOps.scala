@@ -187,7 +187,12 @@ object WikiOps {
         // child — placed above the parse it would run the whole
         // subtree twice (measured 2x at sf0.1). Below it, the sampler
         // re-reads only the cheap scan+concat, and the projections
-        // after it preserve the order (no further exchange).
+        // after it preserve the order (no further exchange). Building
+        // the page ABOVE the sort instead (to thin the exchange to the
+        // raw columns) was measured and REJECTED: 1.70 → 3.22 s at
+        // sf0.1 — the post-sort projection chain collapses and
+        // re-evaluates the concat under the parse, costing far more
+        // than the ~3.5 MB the range exchange saves.
         .orderBy(col("o_orderkey"))
         // parse ONCE into a struct (SURVEY.md §4), then project fields —
         // the reference's per-UDF re-parse is its documented flaw. The

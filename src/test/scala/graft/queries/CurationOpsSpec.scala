@@ -237,29 +237,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("q81's promised xxhash64 gram-key variant yields identical results at this scale") {
-    // The scaladoc commits to swapping the text gram key for
-    // xxhash64(gram) at 100 TB (8 bytes through both shuffles). Pin
-    // that the swap is semantics-preserving here: no 64-bit collisions
-    // at this corpus size, so the dup-gram join keyed on the hash
-    // returns byte-identical per-doc counts.
-    import org.apache.spark.sql.functions.xxhash64
+  test("q81 xxhash64-keyed production == string-keyed recompute (collision audit at sf0.1)") {
+    // q81 ships the 8-byte gram key; the sf0.01 oracle already audits
+    // it against DuckDB's string keys. This re-derives the STRING-keyed
+    // form IN SPARK at the bench SF (25x the oracle corpus) and demands
+    // byte-identical per-doc counts — a 64-bit collision would mint a
+    // phantom df>=2 gram and move a count here first.
     val g = graft.Tables.documentsSpread(spark, sf)
       .selectExpr("doc_id", "filter(split(lower(text), ' '), t -> t <> '') ts")
       .where("size(ts) >= 8")
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 8))).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
     val ex = g.groupBy(col("doc_id")).count()
       .select(col("doc_id"), col("count").as("n_grams"))
       .join(g, "doc_id")
-    val dup = ex.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2).select(col("h"))
-    val hashed = ex.join(dup, "h")
+    val dup = ex.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val text = ex.join(dup, "g")
       .groupBy(col("doc_id"), col("n_grams")).count()
       .select(col("doc_id"), col("count").as("n_dup"), col("n_grams"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
-    val text = CurationOps.q81NgramDupSpans.fn(spark, sf).collect()
+    val hashed = CurationOps.q81NgramDupSpans.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).sorted.toSeq
     assert(hashed === text)
   }
