@@ -149,6 +149,81 @@ object Multimodal {
     def decode(m: Media): MediaFeatures
   }
 
+  /** Vector featurization row: per-row-band INTEGER pixel sums from a
+    * real container parse — the fixed-dimension embedding the ANN/dedup
+    * family consumes (perceptual near-dup, q128). Integer sums, not
+    * float means: exact under any partitioning and reproducible by any
+    * engine that can see the pixel bytes.
+    */
+  final case class MediaBands(
+      media_id: Long, width: Int, height: Int, bands: Array[Long])
+
+  /** Strict binary-PPM (P6) parse to per-row-band pixel sums: the same
+    * header tokenizer discipline as [[ImageFileDecoder.decode]]'s PPM
+    * path (whitespace-separated decimal fields, '#' comments, ≤9-digit
+    * fields so Int cannot wrap, 1-byte samples only, raster-truncation
+    * check), then the raster's `height` rows are grouped into `nBands`
+    * equal bands and each band's bytes summed. Returns
+    * (width, height, sums); requires height % nBands == 0 — a
+    * perceptual fingerprint with ragged bands would not be comparable
+    * across geometries.
+    */
+  def ppmBandSums(p: Array[Byte], mediaId: Long, nBands: Int)
+      : (Int, Int, Array[Long]) = {
+    require(p.length >= 2 && p(0) == 'P' && p(1) == '6',
+      s"not a P6 PPM: media_id=$mediaId")
+    var i = 2
+    def nextInt(): Int = {
+      while (i < p.length && (p(i) == ' ' || p(i) == '\t' || p(i) == '\n' || p(i) == '\r' || p(i) == '#')) {
+        if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else i += 1
+      }
+      var v = 0
+      val start = i
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
+      require(i > start, s"malformed PPM header: media_id=$mediaId")
+      require(i - start <= 9, s"implausible PPM header field: media_id=$mediaId")
+      v
+    }
+    val width = nextInt(); val height = nextInt(); val maxval = nextInt()
+    require(maxval > 0 && maxval < 256,
+      s"only 1-byte-sample PPM supported (maxval=$maxval): media_id=$mediaId")
+    i += 1 // exactly one whitespace byte separates header from raster
+    val expected = width.toLong * height * 3
+    require(p.length - i >= expected,
+      s"PPM raster truncated (${p.length - i} of $expected bytes): media_id=$mediaId")
+    require(nBands > 0 && height % nBands == 0,
+      s"height $height not divisible into $nBands bands: media_id=$mediaId")
+    val rowBytes = width * 3
+    val rowsPerBand = height / nBands
+    val sums = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var j = i + b * rowsPerBand * rowBytes
+      val end = j + rowsPerBand * rowBytes
+      var s = 0L
+      while (j < end) { s += (p(j) & 0xff); j += 1 }
+      sums(b) = s
+      b += 1
+    }
+    (width, height, sums)
+  }
+
+  /** mapPartitions band featurizer over PPM payloads — the vector twin
+    * of [[extractFeatures]] (same iterator-in/iterator-out seam; a
+    * production deployment swaps the parse for a codec that yields
+    * pixels and keeps the band arithmetic).
+    */
+  def extractPpmBands(media: Dataset[Media], nBands: Int): Dataset[MediaBands] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, sums) = ppmBandSums(m.payload, m.media_id, nBands)
+        MediaBands(m.media_id, w, h, sums)
+      }
+    }
+  }
+
   /** Deterministic stand-in for the codec-backed decoder (no image/audio
     * libraries exist in this environment): parses the GRFT header
     * arithmetically and "featurizes" the body as its exact mean byte

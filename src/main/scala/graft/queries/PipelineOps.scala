@@ -467,6 +467,123 @@ object PipelineOps {
     "opaque binary payloads: native byte-length/slice/hex projections over a BINARY column — the multimodal metadata path, codegen'd, no UDF")
 
   // ---------------------------------------------------------------------
+  // q128 — perceptual near-dup over DECODED media (multimodal → ANN)
+  // ---------------------------------------------------------------------
+
+  /** The multimodal → dedup composition the parents promise separately:
+    * real container bytes (q48's opaque-payload discipline) are DECODED
+    * at the [[graft.multimodal.Multimodal.MediaDecoder]] seam into a
+    * fixed-dimension perceptual fingerprint, and the fingerprints flow
+    * into q44's blocked-cosine near-dup — image dedup the way a
+    * training-data pipeline runs it (CLIP-style embedding dedup with
+    * the featurizer swapped for a real vision model at the same seam).
+    *
+    * Each document renders a REAL 16×16 binary PPM (P6 header + the
+    * doc's first 768 ASCII bytes as the raster — the corpus is verified
+    * pure ASCII, so the oracle reproduces the exact pixel bytes from
+    * the text); `extractPpmBands` runs the strict P6 parse per
+    * partition (mapPartitions, the mapInPandas-analog batch seam) and
+    * emits 16 per-row integer pixel sums. The fingerprint is CENTERED
+    * in exact integers — c_i = 16·band_i − total, Σc_i = 0 — because
+    * raw ASCII band sums all point near the all-bytes-are-letters
+    * diagonal (cosine ≈ 1 for unrelated docs); centering measures
+    * intensity VARIATION across the image, which is what perceptual
+    * hashing actually compares. Near-dup docs share most of their
+    * opening bytes → nearly equal fingerprints; unrelated docs
+    * decorrelate. Uniform images (c = 0) have no direction and are
+    * excluded by contract.
+    *
+    * Every number through the cosine is exact: band sums ≤ 48·255,
+    * centered values |c_i| < 2¹⁷, dot products ≤ 16·2³⁴ < 2⁵³ — so the
+    * one division by the sqrt-norm product is bit-identical
+    * cross-engine (the q44/q105 fixed-point discipline).
+    *
+    * Scale shape: decode + fingerprint is one map-side pass (the only
+    * mapPartitions, at the codec seam like the rest of the multimodal
+    * stack); blocking key = quantized mean intensity (tot div 4096),
+    * ONE shuffle keyed on it, |block|² cosine work inside blocks (q44's
+    * contract — a hot block re-blocks by a secondary key); nothing
+    * corpus-sized is broadcast and no all-pairs join exists. Cross-
+    * block pairs are out of scope BY CONTRACT (the oracle computes the
+    * same blocked answer); near-identical images straddling a quantile
+    * boundary are the standard blocking recall caveat, mitigated in
+    * production by overlapped blocks.
+    */
+  val q128PerceptualDedup = Q(
+    "q128_perceptual_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val side = 16
+      val bands = 16
+      val payloadLen = side * side * 3 // 768-byte raster
+      val media = T.documentsSpread(s, dir)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id").as("media_id"), lit("ppm").as("kind"),
+          concat(lit(s"P6\n$side $side\n255\n"),
+            expr(s"substring(repeat(text, cast(ceil($payloadLen.0 / length(text)) as int)), 1, $payloadLen)"))
+            .cast("binary").as("payload"))
+        .as[Multimodal.Media]
+      // centered fingerprint as DOUBLE arrays for the NATIVE codegen
+      // `dot` kernel (the q44 path): every value is an exact integer
+      // < 2^53, so the doubles are exact and the interpreted
+      // aggregate/zip_with HOF chain (the q73 anti-pattern — measured
+      // 2.3 s at sf0.1, ~3x this plan) never runs per candidate.
+      import graft.functions.GraftFunctions.dot
+      val fp = Multimodal.extractPpmBands(media, bands).toDF()
+        .select(col("media_id").as("doc_id"),
+          expr("aggregate(bands, 0L, (s, x) -> s + x)").as("tot"),
+          col("bands"))
+        .select(col("doc_id"), expr("tot div 4096").as("blk"),
+          expr(s"transform(bands, x -> cast(${bands}L * x - tot as double))")
+            .as("c"))
+        .select(col("doc_id"), col("blk"), col("c"),
+          sqrt(dot(col("c"), col("c"))).as("nrm"))
+        .filter(col("nrm") > 0)
+      val a = fp.select(col("blk"), col("doc_id").as("id_a"),
+        col("c").as("ca"), col("nrm").as("na"))
+      val b = fp.select(col("blk"), col("doc_id").as("id_b"),
+        col("c").as("cb"), col("nrm").as("nb"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("blk"), col("id_a"), col("id_b"),
+          (dot(col("ca"), col("cb")) / (col("na") * col("nb"))).as("cosine"))
+        .filter(col("cosine") >= 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH px AS (
+        SELECT doc_id,
+          substr(repeat(text, CAST(ceil(768.0 / len(text)) AS INT)), 1, 768) AS s
+        FROM documents WHERE len(text) >= 1),
+      fv AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 15),
+            b -> CAST(list_sum(list_transform(generate_series(1, 48),
+                   j -> ord(substr(s, CAST(b * 48 + j AS INTEGER), 1))))
+                 AS BIGINT)) AS bands
+        FROM px),
+      t AS (
+        SELECT doc_id, CAST(list_sum(bands) AS BIGINT) AS tot, bands FROM fv),
+      cv AS (
+        SELECT doc_id, tot,
+          list_transform(bands, x -> 16 * x - tot) AS c
+        FROM t),
+      n AS (
+        SELECT doc_id, CAST(tot // 4096 AS BIGINT) AS blk, c,
+          sqrt(CAST(list_sum(list_transform(c, x -> x * x)) AS DOUBLE)) AS nrm
+        FROM cv
+        WHERE list_sum(list_transform(c, x -> x * x)) > 0)
+      SELECT a.blk, a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(list_sum(list_transform(generate_series(1, 16),
+          i -> a.c[i] * b.c[i])) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE CAST(list_sum(list_transform(generate_series(1, 16),
+          i -> a.c[i] * b.c[i])) AS DOUBLE) / (a.nrm * b.nrm) >= 0.95
+      ORDER BY id_a, id_b""".stripMargin),
+    "perceptual image dedup (multimodal -> ANN composition): real P6 PPM payloads decoded at the MediaDecoder seam into 16 integer row-band sums, centered in exact ints (16*band - tot), then q44's blocked cosine (block = quantized mean intensity, one keyed shuffle, |block|^2 inside) — every value through the division exact, bit-identical cross-engine")
+
+  // ---------------------------------------------------------------------
   // q60 — IVF-style cell-partitioned ANN over embeddings
   // ---------------------------------------------------------------------
 
@@ -1350,5 +1467,5 @@ ${(1 to 3).map(round).mkString(",\n")}
     q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload,
     q60AnnIvf, q63KmvDistinct, q79KmvMerge, q99HllDistinct,
     q104Winnowing, q105EmbedQuantize, q106WinnowDup, q108QuantizedAnn,
-    q109TokenDiversity, q124BpeMerges)
+    q109TokenDiversity, q124BpeMerges, q128PerceptualDedup)
 }

@@ -104,6 +104,52 @@ class MultimodalSpec extends SparkSpec {
     assert(f.mean_byte == 5.5)
   }
 
+  test("ppmBandSums: exact per-band sums, comment-tolerant header, strict rejections") {
+    // 2x4 P6 (8 px, 24 raster bytes), bytes 10..33; 2 bands of 2 rows:
+    // band 0 = bytes 10..21 (sum 186), band 1 = bytes 22..33 (sum 330)
+    val header = "P6\n# c\n2 4\n255\n".getBytes("US-ASCII")
+    val raster = (10 until 34).map(_.toByte).toArray
+    val (w, h, sums) = Multimodal.ppmBandSums(header ++ raster, 1L, 2)
+    assert(w == 2 && h == 4)
+    assert(sums.toSeq == Seq(186L, 330L))
+    // whole-image band equals the decoder's mean numerator
+    val (_, _, one) = Multimodal.ppmBandSums(header ++ raster, 1L, 1)
+    assert(one.toSeq == Seq((10 until 34).sum.toLong))
+    intercept[IllegalArgumentException] { // 4 rows don't split into 3 bands
+      Multimodal.ppmBandSums(header ++ raster, 1L, 3)
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.ppmBandSums(header ++ raster.take(20), 1L, 2)
+    }
+    intercept[IllegalArgumentException] { // not P6
+      Multimodal.ppmBandSums("P5\n2 2\n255\n".getBytes("US-ASCII"), 1L, 1)
+    }
+  }
+
+  test("q128 perceptual dedup: identical renders pair at cosine 1, unrelated do not pair") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q128").toString
+    // docs 1/2: identical text -> identical PPMs -> cosine exactly 1.0;
+    // doc 3: same mean intensity NEIGHBORHOOD (same block possible) but
+    // different variation pattern; doc 4: wildly different intensity
+    // (uppercase+punct) — lands in another block or below threshold.
+    val t1 = ((0 until 60).map(i => ('a' + i % 7).toChar.toString) :+ "end").mkString(" ")
+    val t3 = ((0 until 60).map(i => ('a' + (i * 3) % 11).toChar.toString) :+ "zz").mkString(" ")
+    val t4 = "A! B? C; D: E, F."
+    Seq((1L, t1, "en", "s1"), (2L, t1, "en", "s1"),
+      (3L, t3, "en", "s2"), (4L, t4, "en", "s2"))
+      .map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rs = graft.queries.PipelineOps.q128PerceptualDedup.fn(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rs.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 },
+      s"identical docs must pair at cosine exactly 1.0: $rs")
+    assert(rs.forall { case (a, b, _) => (a, b) == ((1L, 2L)) },
+      s"only the identical pair qualifies at 0.95: $rs")
+  }
+
   test("ImageFileDecoder decodes REAL 24-bit BMP bytes, excluding row padding") {
     // 3x2 24-bit BMP: rowBytes=9, stride=12 (3 pad bytes/row). Pixel
     // bytes all 10, pad bytes 255 — a padding leak would raise the mean.
