@@ -500,14 +500,23 @@ object PipelineOps {
     *
     * Scale shape: decode + fingerprint is one map-side pass (the only
     * mapPartitions, at the codec seam like the rest of the multimodal
-    * stack); blocking key = quantized mean intensity (tot div 4096),
-    * ONE shuffle keyed on it, |block|² cosine work inside blocks (q44's
-    * contract — a hot block re-blocks by a secondary key); nothing
-    * corpus-sized is broadcast and no all-pairs join exists. Cross-
-    * block pairs are out of scope BY CONTRACT (the oracle computes the
-    * same blocked answer); near-identical images straddling a quantile
-    * boundary are the standard blocking recall caveat, mitigated in
-    * production by overlapped blocks.
+    * stack); blocking key = quantized mean intensity with a
+    * CORPUS-AWARE quantum, W = clamp(64, 4096, 20.48M div N) — a fixed
+    * W has fixed block cardinality, so block population and the
+    * within-block |block|² term grow with the corpus (the sf1 audit
+    * measured 1.23e9 candidates at 50k docs with W pinned at 4096;
+    * the rule holds the expected block population roughly constant and
+    * both gate SFs land on W = 4096, same answer as the fixed dial).
+    * ONE shuffle keyed on the block, |block|² cosine work inside
+    * (q44's contract — a hot block re-blocks by a secondary key);
+    * nothing corpus-sized is broadcast and no all-pairs join exists.
+    * Cross-block pairs are out of scope BY CONTRACT (the oracle
+    * computes the same blocked answer); the dial is a measured recall
+    * trade — at sf0.1 the ≥0.95 set keeps 107/120 of the unblocked
+    * pairs at W = 4096 and 65/120 at 1024; near-IDENTICAL images have
+    * near-equal tot and survive any W, boundary-straddling is the
+    * standard blocking caveat, mitigated in production by overlapped
+    * blocks.
     */
   val q128PerceptualDedup = Q(
     "q128_perceptual_dedup",
@@ -530,11 +539,27 @@ object PipelineOps {
       // aggregate/zip_with HOF chain (the q73 anti-pattern — measured
       // 2.3 s at sf0.1, ~3x this plan) never runs per candidate.
       import graft.functions.GraftFunctions.dot
+      // corpus-aware block width (the q122 ivfShortlistFor convention,
+      // one count() and a LITERAL quantum — the declarative 1-row
+      // broadcast variant was measured and rejected: it broke the
+      // fingerprint subtree's exchange reuse between the self-join
+      // sides, 0.73 → 2.32 s at sf0.1): a FIXED intensity quantum
+      // means block population ∝ N and the within-block candidate
+      // count ∝ N²/B — the sf1 audit measured 1.23e9 candidates at
+      // 50k docs with W pinned to 4096. Scaling W inversely with N
+      // keeps the expected block population (and so the |block|² term
+      // per block) bounded; both gate SFs land on W = 4096, and the
+      // dial is a measured recall trade (sf0.1: 107/120 of the
+      // unblocked ≥0.95 pairs at W=4096, 65/120 at 1024 —
+      // near-IDENTICAL pairs have near-equal tot and survive any W;
+      // the boundary cases are the standard blocking caveat).
+      val nDocs = T.documents(s, dir).filter(length(col("text")) >= 1).count()
+      val w = math.max(64L, math.min(4096L, 20480000L / math.max(1L, nDocs)))
       val fp = Multimodal.extractPpmBands(media, bands).toDF()
         .select(col("media_id").as("doc_id"),
           expr("aggregate(bands, 0L, (s, x) -> s + x)").as("tot"),
           col("bands"))
-        .select(col("doc_id"), expr("tot div 4096").as("blk"),
+        .select(col("doc_id"), expr(s"tot div ${w}L").as("blk"),
           expr(s"transform(bands, x -> cast(${bands}L * x - tot as double))")
             .as("c"))
         .select(col("doc_id"), col("blk"), col("c"),
@@ -556,6 +581,9 @@ object PipelineOps {
         SELECT doc_id,
           substr(repeat(text, CAST(ceil(768.0 / len(text)) AS INT)), 1, 768) AS s
         FROM documents WHERE len(text) >= 1),
+      wf AS (
+        SELECT GREATEST(64, LEAST(4096, 20480000 // count(*))) AS w
+        FROM documents WHERE len(text) >= 1),
       fv AS (
         SELECT doc_id,
           list_transform(generate_series(0, 15),
@@ -570,9 +598,9 @@ object PipelineOps {
           list_transform(bands, x -> 16 * x - tot) AS c
         FROM t),
       n AS (
-        SELECT doc_id, CAST(tot // 4096 AS BIGINT) AS blk, c,
+        SELECT doc_id, CAST(tot // wf.w AS BIGINT) AS blk, c,
           sqrt(CAST(list_sum(list_transform(c, x -> x * x)) AS DOUBLE)) AS nrm
-        FROM cv
+        FROM cv CROSS JOIN wf
         WHERE list_sum(list_transform(c, x -> x * x)) > 0)
       SELECT a.blk, a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(list_sum(list_transform(generate_series(1, 16),
