@@ -14,7 +14,15 @@ object ExplainQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(args(1))(spark, args(0))
-    df.collect()
+    // Drive THIS dataframe's own QueryExecution to completion without
+    // materializing on the driver: a noop write (and even
+    // Dataset.foreach, via its separate rddQueryExecution) finalizes a
+    // DIFFERENT QueryExecution and the printed plan stays
+    // isFinalPlan=false; collect() OOMs the diagnostic JVM on
+    // corpus-sized outputs. queryExecution.toRdd is the same QE's
+    // internal-row RDD — foreach on it executes and discards rows on
+    // the executors.
+    df.queryExecution.toRdd.foreach(_ => ())
     println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }

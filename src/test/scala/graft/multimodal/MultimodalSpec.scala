@@ -150,6 +150,28 @@ class MultimodalSpec extends SparkSpec {
       s"only the identical pair qualifies at 0.95: $rs")
   }
 
+  test("q128 fails LOUDLY on non-ASCII text instead of silently diverging from the oracle") {
+    // the oracle renders pixels from CHARACTERS (ord), Spark from BYTES
+    // (cast to binary); a multi-byte char would skew the bands silently
+    // — the woven plan assert must turn that into a job failure.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q128na").toString
+    val t = "café au lait " * 8 // 'é' = 2 UTF-8 bytes
+    Seq((1L, t, "fr", "s1"), (2L, t, "fr", "s1"))
+      .map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      graft.queries.PipelineOps.q128PerceptualDedup.fn(spark, dir).collect()
+    }
+    def chain(x: Throwable): Seq[String] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null).take(8)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("non-ASCII")),
+      s"expected the woven q128 assert in: ${chain(e)}")
+  }
+
   test("ImageFileDecoder decodes REAL 24-bit BMP bytes, excluding row padding") {
     // 3x2 24-bit BMP: rowBytes=9, stride=12 (3 pad bytes/row). Pixel
     // bytes all 10, pad bytes 255 — a padding leak would raise the mean.
