@@ -525,9 +525,14 @@ object PipelineOps {
     * standard blocking caveat, mitigated in production by overlapped
     * blocks.
     */
-  val q128PerceptualDedup = Q(
-    "q128_perceptual_dedup",
-    (s, dir) => {
+  /** q128's render → decode → fingerprint stage, factored so the
+    * streaming twin (Streams.mediaDupMatcher) and its spec feed the
+    * SAME fingerprints through the state-store matcher: returns
+    * (doc_id, blk, c array<double>, nrm) — centered exact-integer
+    * fingerprints, corpus-aware block, zero-norm rows dropped.
+    */
+  private[graft] def perceptualFp(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       import graft.multimodal.Multimodal
       val side = 16
@@ -578,7 +583,7 @@ object PipelineOps {
       val nDocs = renderableDocCount.computeIfAbsent(s.hashCode + "#" + dir,
         _ => T.documents(s, dir).filter(length(col("text")) >= 1).count())
       val w = math.max(64L, math.min(4096L, 20480000L / math.max(1L, nDocs)))
-      val fp = Multimodal.extractPpmBands(media, bands).toDF()
+      Multimodal.extractPpmBands(media, bands).toDF()
         .select(col("media_id").as("doc_id"),
           expr("aggregate(bands, 0L, (s, x) -> s + x)").as("tot"),
           col("bands"))
@@ -588,6 +593,13 @@ object PipelineOps {
         .select(col("doc_id"), col("blk"), col("c"),
           sqrt(dot(col("c"), col("c"))).as("nrm"))
         .filter(col("nrm") > 0)
+  }
+
+  val q128PerceptualDedup = Q(
+    "q128_perceptual_dedup",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dot
+      val fp = perceptualFp(s, dir)
       val a = fp.select(col("blk"), col("doc_id").as("id_a"),
         col("c").as("ca"), col("nrm").as("na"))
       val b = fp.select(col("blk"), col("doc_id").as("id_b"),

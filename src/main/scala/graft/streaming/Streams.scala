@@ -208,6 +208,66 @@ object Streams {
       }
   }
 
+  /** One decoded perceptual fingerprint (q128's unit): the centered
+    * integer band vector as exact doubles (PipelineOps.perceptualFp's
+    * `c` column), with its corpus-aware intensity block. One event per
+    * media item (ids unique by contract, like BlockEvent instances). */
+  final case class MediaFpEvent(mediaId: Long, blk: Long, c: Array[Double])
+
+  final case class MediaMatch(idA: Long, idB: Long, cosine: Double)
+
+  /** Streaming twin of q128's blocked perceptual dedup: per intensity
+    * block, the fingerprints seen so far live in the STATE STORE
+    * (population × 16 doubles per block — bounded by q128's
+    * corpus-aware width dial); each arriving image is compared against
+    * its block's state with the SAME arithmetic as the batch plan (all
+    * values exact integers in double, left-to-right dot fold ≡ the
+    * native kernel — cosines are bit-identical) and emits one match
+    * row per qualifying pair.
+    *
+    * Order-insensitive BY CONSTRUCTION, no corrections needed: an
+    * unordered pair is emitted exactly once — when its second member
+    * arrives — whatever the arrival order or micro-batch split, so the
+    * collected match set converges to exactly batch q128's pair set
+    * (StreamingSpec pins split-invariance and an out-of-order replay).
+    * Zero-norm fingerprints never enter state and never match (the
+    * batch plan's nrm > 0 filter). Within one micro-batch a block's
+    * events are processed in mediaId order, pairing against both the
+    * state and the earlier events of the same batch.
+    */
+  def mediaDupMatcher(fps: Dataset[MediaFpEvent],
+      threshold: Double = 0.95): Dataset[MediaMatch] = {
+    import fps.sparkSession.implicits._
+    fps
+      .groupByKey(_.blk)
+      .flatMapGroupsWithState[Seq[(Long, Array[Double])], MediaMatch](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[MediaFpEvent],
+            state: GroupState[Seq[(Long, Array[Double])]]) =>
+          def dotd(a: Array[Double], b: Array[Double]): Double = {
+            var s = 0.0; var i = 0
+            while (i < a.length) { s += a(i) * b(i); i += 1 }
+            s
+          }
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[MediaMatch]
+          events.toSeq.sortBy(_.mediaId).foreach { e =>
+            val ne = math.sqrt(dotd(e.c, e.c))
+            if (ne > 0 && !seen.exists(_._1 == e.mediaId)) {
+              seen.foreach { case (id, c0) =>
+                val cos = dotd(e.c, c0) / (ne * math.sqrt(dotd(c0, c0)))
+                if (cos >= threshold)
+                  out += MediaMatch(math.min(id, e.mediaId),
+                    math.max(id, e.mediaId), cos)
+              }
+              seen = seen :+ (e.mediaId -> e.c)
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** One LM count observation (q125's training unit), pre-aggregated
     * per micro-batch by the caller: `kind` 0 = unigram/prefix
     * occurrences of token-hash `h`, 1 = bigram occurrences of

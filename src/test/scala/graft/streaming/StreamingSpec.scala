@@ -608,4 +608,37 @@ class StreamingSpec extends SparkSpec {
       assert(replayed.select("url").as[String].collect().sorted === Array("u1", "u2", "u3"))
     } finally q.stop()
   }
+
+  test("mediaDupMatcher (state-store fingerprints) equals batch q128, any split or order") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // the SAME fingerprints the batch plan joins, via the factored stage
+    val fps = graft.queries.PipelineOps.perceptualFp(s, "/root/testdata/sf0.001")
+      .collect().map(r => Streams.MediaFpEvent(r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray)).toSeq
+    val batch = graft.queries.PipelineOps.q128PerceptualDedup
+      .fn(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.nonEmpty, "vacuous: no >=0.95 pairs at sf0.001")
+    def run(order: Seq[Streams.MediaFpEvent], name: String): Set[(Long, Long, Double)] = {
+      val in = MemoryStream[Streams.MediaFpEvent]
+      val q = Streams.mediaDupMatcher(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        val third = math.max(1, order.size / 3)
+        order.grouped(third).foreach { chunk =>
+          in.addData(chunk); q.processAllAvailable()
+        }
+        s.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      } finally q.stop()
+    }
+    // in-order replay and a deterministic shuffle (reversed) — a pair's
+    // members landing in DIFFERENT micro-batches either way round must
+    // yield the identical match set, cosines bit-equal to the batch join
+    assert(run(fps, "media_dup_fwd") === batch)
+    assert(run(fps.reverse, "media_dup_rev") === batch)
+  }
 }
