@@ -185,6 +185,51 @@ class DecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  test("ppmBandSums survives random-byte and mutation fuzz under the decode contract") {
+    // the band featurizer shares the decoder contract: reject with
+    // IllegalArgumentException, never escape with an index/NPE/OOM or
+    // hang — exercised the same three ways as the container decoders.
+    def bandsBounded(id: Long, bytes: Array[Byte]): Unit = {
+      import java.util.concurrent._
+      val exec = Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, s"fuzz-bands-$id"); t.setDaemon(true); t
+      })
+      val fut = exec.submit(new Callable[Unit] {
+        def call(): Unit = { Multimodal.ppmBandSums(bytes, id, 16); () }
+      })
+      try fut.get(timeout.toSeconds, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          fail(s"ppmBandSums hung > $timeout on fuzz case $id")
+        case e: ExecutionException =>
+          e.getCause match {
+            case _: IllegalArgumentException => ()
+            case other => throw other
+          }
+      } finally exec.shutdownNow()
+    }
+    // random bytes behind the magic
+    for (i <- 0 until 200)
+      bandsBounded(9000 + i, "P6".getBytes("US-ASCII") ++ randomBytes(rnd.nextInt(600)))
+    // single-byte mutations of a valid 16x16 render
+    val header = "P6\n16 16\n255\n".getBytes("US-ASCII")
+    val valid = header ++ Array.tabulate(768)(i => (i % 251).toByte)
+    val (_, _, base) = Multimodal.ppmBandSums(valid, 1L, 16)
+    assert(base.length == 16 && base.sum == (0 until 768).map(_ % 251).sum)
+    for (i <- 0 until 300) {
+      val m = valid.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      bandsBounded(9500 + i, m)
+    }
+    // crafted geometry: 9-digit width cannot wrap; huge heights reject
+    // on truncation before any allocation
+    bandsBounded(9900, "P6\n999999999 999999999\n255\n ".getBytes("US-ASCII"))
+    intercept[IllegalArgumentException] {
+      Multimodal.ppmBandSums("P6\n16 17\n255\n".getBytes("US-ASCII") ++
+        Array.fill(17 * 48)(1.toByte), 2L, 16) // 17 rows don't band by 16
+    }
+  }
+
   test("FLAC structure attacks: frame-header fields, Rice partitions, STREAMINFO contradictions") {
     // Bit-precise builder with named field marks, so each attack
     // patches exactly one field and REPAIRS the CRCs that guard it —
