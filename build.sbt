@@ -34,3 +34,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// surface deprecation sites explicitly instead of the count summary
+scalacOptions += "-deprecation"

@@ -288,7 +288,7 @@ object Curate {
     chunked.unpersist()
     val written = spark.read.parquet(s"$outDir/shards")
     val nShards = written.select(col("source"), col("shard_id")).distinct().count(); lap("nShards")
-    val nTokens = Option(written.agg(sum(col("nc"))).head.get(0))
+    val nTokens = Option(written.agg(sum(col("nc"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L); lap("nTokens")
     Report(nInput, nQuality, nLm, nExact, nNear, nClean, nSemClean,
       nRewritten, nSampled, nChunks, nShards, nTokens)

@@ -55,7 +55,7 @@ object ConnectedComponents {
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.select(greatest(col("src"), col("dst")).as("h"),
           least(col("src"), col("dst")).as("l"))
-        .agg(bit_xor(xxhash64(col("h"), col("l"))), count(lit(1))).head
+        .agg(bit_xor(xxhash64(col("h"), col("l"))), count(lit(1))).head()
       (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L), r.getLong(1))
     }
 

@@ -592,7 +592,7 @@ object TrainingOps {
       .union(pairs.select(col("id_b").as("v"), col("id_a").as("u")))
       .persist()
     def lblSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("lbl"))).head.get(0))
+      Option(df.agg(sum(col("lbl"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     var labels = edges.select(col("v")).distinct()
       .withColumn("lbl", col("v")).persist()
