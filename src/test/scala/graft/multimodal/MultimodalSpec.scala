@@ -150,6 +150,27 @@ class MultimodalSpec extends SparkSpec {
       s"only the identical pair qualifies at 0.95: $rs")
   }
 
+  test("ppmBandSums totals agree with ImageFileDecoder's mean on random valid PPMs") {
+    // two independent P6 parsers in the codebase — cross-validate them:
+    // for any valid raster, sum(bands)/raster_len must equal the
+    // decoder's mean_byte exactly (same bytes, same arithmetic)
+    val rnd = new scala.util.Random(0x5EED)
+    for (trial <- 1 to 50) {
+      val w = 1 + rnd.nextInt(12)
+      val bandsN = 1 + rnd.nextInt(4)
+      val rows = bandsN * (1 + rnd.nextInt(5)) // divisible by construction
+      val comment = if (rnd.nextBoolean()) "# c\n" else ""
+      val header = s"P6\n$comment$w $rows\n255\n".getBytes("US-ASCII")
+      val raster = Array.fill(w * rows * 3)(rnd.nextInt(256).toByte)
+      val ppm = header ++ raster
+      val (pw, ph, sums) = Multimodal.ppmBandSums(ppm, trial.toLong, bandsN)
+      val f = new ImageFileDecoder().decode(Media(trial.toLong, "image", ppm))
+      assert(pw == w && ph == rows && pw == f.width && ph == f.height)
+      assert(sums.sum.toDouble / (w * rows * 3) == f.mean_byte,
+        s"trial $trial: band totals diverge from the decoder mean")
+    }
+  }
+
   test("q128 fails LOUDLY on non-ASCII text instead of silently diverging from the oracle") {
     // the oracle renders pixels from CHARACTERS (ord), Spark from BYTES
     // (cast to binary); a multi-byte char would skew the bands silently
