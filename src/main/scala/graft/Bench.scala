@@ -277,6 +277,22 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"WARN Bench: could not write $detailPath: $e")
     }
+    // append-only run history beside the detail file: BENCH_DETAIL is
+    // overwritten per run, and round-14's forensics lost its two best
+    // runs to exactly that — one summary line per run (epoch-stamped)
+    // makes every same-tree series reconstructible after the fact
+    try java.nio.file.Files.write(
+      detailPath.resolveSibling("BENCH_HISTORY.jsonl"),
+      (s"""{"ts":${System.currentTimeMillis / 1000},""" +
+        renderLine(results, errors, sfDir, loadStart, loadPregate,
+          loadEnd(0), gated, gcSpent, passes.size).drop(1) + "\n")
+        .getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARN Bench: could not append history: $e")
+    }
     println(renderLine(results, errors, sfDir, loadStart, loadPregate,
       loadEnd(0), gated, gcSpent, passes.size))
     spark.stop()
