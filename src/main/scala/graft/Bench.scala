@@ -281,11 +281,11 @@ object Bench {
     // overwritten per run, and round-14's forensics lost its two best
     // runs to exactly that — one summary line per run (epoch-stamped)
     // makes every same-tree series reconstructible after the fact
+    val line = renderLine(results, errors, sfDir, loadStart, loadPregate,
+      loadEnd(0), gated, gcSpent, passes.size)
     try java.nio.file.Files.write(
       detailPath.resolveSibling("BENCH_HISTORY.jsonl"),
-      (s"""{"ts":${System.currentTimeMillis / 1000},""" +
-        renderLine(results, errors, sfDir, loadStart, loadPregate,
-          loadEnd(0), gated, gcSpent, passes.size).drop(1) + "\n")
+      (s"""{"ts":${System.currentTimeMillis / 1000},""" + line.drop(1) + "\n")
         .getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
@@ -293,8 +293,7 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"WARN Bench: could not append history: $e")
     }
-    println(renderLine(results, errors, sfDir, loadStart, loadPregate,
-      loadEnd(0), gated, gcSpent, passes.size))
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

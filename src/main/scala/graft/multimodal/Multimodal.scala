@@ -158,18 +158,16 @@ object Multimodal {
   final case class MediaBands(
       media_id: Long, width: Int, height: Int, bands: Array[Long])
 
-  /** Strict binary-PPM (P6) parse to per-row-band pixel sums: the same
-    * header tokenizer discipline as [[ImageFileDecoder.decode]]'s PPM
-    * path (whitespace-separated decimal fields, '#' comments, ≤9-digit
-    * fields so Int cannot wrap, 1-byte samples only, raster-truncation
-    * check), then the raster's `height` rows are grouped into `nBands`
-    * equal bands and each band's bytes summed. Returns
-    * (width, height, sums); requires height % nBands == 0 — a
-    * perceptual fingerprint with ragged bands would not be comparable
-    * across geometries.
+  /** Strict binary-PPM (P6) header parse, shared by the scalar decoder
+    * ([[ImageFileDecoder]]'s PPM path) and the band featurizer:
+    * whitespace-separated decimal fields with '#'-to-end-of-line
+    * comments legal anywhere between fields; ≤9-digit fields so Int
+    * cannot overflow-wrap (a wrapped-negative width would make the
+    * raster-truncation check pass vacuously); 1-byte samples only;
+    * raster-truncation checked. Returns (width, height, rasterStart).
     */
-  def ppmBandSums(p: Array[Byte], mediaId: Long, nBands: Int)
-      : (Int, Int, Array[Long]) = {
+  private[multimodal] def ppmHeader(p: Array[Byte], mediaId: Long)
+      : (Int, Int, Int) = {
     require(p.length >= 2 && p(0) == 'P' && p(1) == '6',
       s"not a P6 PPM: media_id=$mediaId")
     var i = 2
@@ -192,6 +190,19 @@ object Multimodal {
     val expected = width.toLong * height * 3
     require(p.length - i >= expected,
       s"PPM raster truncated (${p.length - i} of $expected bytes): media_id=$mediaId")
+    (width, height, i)
+  }
+
+  /** Per-row-band pixel sums over a binary PPM: [[ppmHeader]]'s strict
+    * parse, then the raster's `height` rows are grouped into `nBands`
+    * equal bands and each band's bytes summed. Returns
+    * (width, height, sums); requires height % nBands == 0 — a
+    * perceptual fingerprint with ragged bands would not be comparable
+    * across geometries.
+    */
+  def ppmBandSums(p: Array[Byte], mediaId: Long, nBands: Int)
+      : (Int, Int, Array[Long]) = {
+    val (width, height, i) = ppmHeader(p, mediaId)
     require(nBands > 0 && height % nBands == 0,
       s"height $height not divisible into $nBands bands: media_id=$mediaId")
     val rowBytes = width * 3
@@ -968,30 +979,11 @@ object Multimodal {
 
     private def decodePpm(m: Media): MediaFeatures = {
       val p = m.payload
-      var i = 2
-      // Header tokenizer: whitespace-separated decimal fields, with
-      // '#'-to-end-of-line comments legal anywhere between fields.
-      def nextInt(): Int = {
-        while (i < p.length && (p(i) == ' ' || p(i) == '\t' || p(i) == '\n' || p(i) == '\r' || p(i) == '#')) {
-          if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
-          else i += 1
-        }
-        var v = 0
-        val start = i
-        while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
-        require(i > start, s"malformed PPM header: media_id=${m.media_id}")
-        // <= 9 digits: Int can't overflow-wrap (a wrapped-negative width
-        // would make the raster-truncation check pass vacuously below)
-        require(i - start <= 9, s"implausible PPM header field: media_id=${m.media_id}")
-        v
-      }
-      val width = nextInt(); val height = nextInt(); val maxval = nextInt()
-      require(maxval > 0 && maxval < 256,
-        s"only 1-byte-sample PPM supported (maxval=$maxval): media_id=${m.media_id}")
-      i += 1 // exactly one whitespace byte separates header from raster
+      // header discipline lives in the shared [[Multimodal.ppmHeader]]
+      // (also the band featurizer's parse; MultimodalSpec cross-checks
+      // the two consumers byte-for-byte on random rasters)
+      val (width, height, i) = ppmHeader(p, m.media_id)
       val expected = width.toLong * height * 3
-      require(p.length - i >= expected,
-        s"PPM raster truncated (${p.length - i} of $expected bytes): media_id=${m.media_id}")
       var sum = 0L
       var j = i
       val end = i + expected.toInt

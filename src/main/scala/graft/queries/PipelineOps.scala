@@ -580,7 +580,8 @@ object PipelineOps {
       // unblocked ≥0.95 pairs at W=4096, 65/120 at 1024 —
       // near-IDENTICAL pairs have near-equal tot and survive any W;
       // the boundary cases are the standard blocking caveat).
-      val nDocs = renderableDocCount.computeIfAbsent(s"${s.hashCode}#$dir",
+      val nDocs = renderableDocCount.computeIfAbsent(
+        s"${System.identityHashCode(s)}#$dir",
         _ => T.documents(s, dir).filter(length(col("text")) >= 1).count())
       val w = math.max(64L, math.min(4096L, 20480000L / math.max(1L, nDocs)))
       Multimodal.extractPpmBands(media, bands).toDF()

@@ -12,6 +12,12 @@ class TrainingOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** md5 hex of a UTF-8 string — the rewrite-fingerprint convention the
+    * q123/q127 oracles hash-compare. */
+  private def m(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("minLabelClusters: long-diameter path graph converges across checkpoints with bounded lineage") {
     import spark.implicits._
     // Path 1-2-3-...-15: diameter 14, so the loop runs ~15 rounds and
@@ -349,10 +355,6 @@ class TrainingOpsSpec extends SparkSpec {
     val rs = TrainingOps.q127SpanCutRewrite.fn(spark, dir).collect().toSeq
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
         r.getString(4)))
-    def m(s: String) = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
     // hand-trimmed expectations: doc 1 loses tokens 1-10 of 12, doc 2
     // loses tokens 4-13 of 16, docs 3/4 keep their full text
     assert(rs === Seq(
@@ -385,10 +387,6 @@ class TrainingOpsSpec extends SparkSpec {
     val rs = TrainingOps.q127SpanCutRewrite.fn(spark, dir).collect().toSeq
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
         r.getString(4)))
-    def m(s: String) = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
     assert(rs === Seq(
       (1L, 0, 0, 0, m("")),
       (2L, 0, 0, 0, m("")),
@@ -422,10 +420,6 @@ class TrainingOpsSpec extends SparkSpec {
         else (0 to ts.length - k).map(i => ts.slice(i, i + k).mkString(" ")).toVector
       val gramDocs = docs.flatMap { case (id, ts) => gramsOf(ts).distinct.map(_ -> id) }
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      def m(s: String) = {
-        val d = java.security.MessageDigest.getInstance("MD5")
-        d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      }
       val expected = docs.map { case (id, ts) =>
         val dupPos = gramsOf(ts).zipWithIndex.collect {
           case (g, i) if (gramDocs(g) - id).nonEmpty => i + 1
@@ -527,8 +521,6 @@ class TrainingOpsSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rs = TrainingOps.q123BlockDedupRewrite.fn(spark, dir).collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
-    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(rs === Seq(
       (1L, 2L, 0L, m(s"$A $B")),
       (2L, 2L, 1L, m(C)),
