@@ -171,6 +171,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q128 equals a driver-side brute-force recompute on generated random-ASCII corpora") {
+    // independent reference: re-render, re-band, re-center, re-block and
+    // all-pairs-compare in plain Scala — none of the plan's machinery
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(0xBADC0DE5L)
+    for (trial <- 1 to 3) {
+      // short ASCII token soup over a tiny alphabet, then plant
+      // near-identical pairs: id%7==5 copies its predecessor verbatim
+      // (cosine exactly 1), id%7==6 copies it with one trailing char
+      // (near-identical, tests the threshold boundary region)
+      val raw = (0L until 40L).map { id =>
+        id -> Seq.fill(8 + rnd.nextInt(40))(
+          ('a' + rnd.nextInt(6)).toChar.toString * (1 + rnd.nextInt(3))).mkString(" ")
+      }.toMap
+      val docs = (0L until 40L).map { id =>
+        id -> (id % 7 match {
+          case 5 => raw(id - 1)
+          case 6 => raw(id - 2) + "x"
+          case _ => raw(id)
+        })
+      }
+      def render(t: String): Array[Int] = {
+        val tiled = (t * (768 / t.length + 1)).take(768)
+        tiled.map(_.toInt).toArray
+      }
+      val feats = docs.flatMap { case (id, t) =>
+        if (t.isEmpty) None else {
+          val px = render(t)
+          val bands = Array.tabulate(16)(b => px.slice(b * 48, (b + 1) * 48).map(_.toLong).sum)
+          val tot = bands.sum
+          val c = bands.map(16L * _ - tot)
+          val n2 = c.map(x => x * x).sum
+          if (n2 == 0) None
+          else Some((id, tot / 4096L, c.map(_.toDouble), math.sqrt(n2.toDouble)))
+        }
+      }
+      val expected = (for {
+        i <- feats.indices; j <- (i + 1) until feats.length
+        (ia, ba, ca, na) = feats(i); (ib, bb, cb, nb) = feats(j)
+        if ba == bb
+        cos = ca.zip(cb).map { case (x, y) => x * y }.sum / (na * nb)
+        if cos >= 0.95
+      } yield (math.min(ia, ib), math.max(ia, ib), cos)).toSet
+      assert(expected.nonEmpty,
+        s"trial $trial vacuous — the planted verbatim copies must pair")
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_q128p$trial").toString
+      docs.map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.queries.PipelineOps.q128PerceptualDedup.fn(spark, dir)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === expected,
+        s"trial $trial: missed=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    }
+  }
+
   test("q128 fails LOUDLY on non-ASCII text instead of silently diverging from the oracle") {
     // the oracle renders pixels from CHARACTERS (ord), Spark from BYTES
     // (cast to binary); a multi-byte char would skew the bands silently
