@@ -594,6 +594,14 @@ object PipelineOps {
         .select(col("doc_id"), col("blk"), col("c"),
           sqrt(dot(col("c"), col("c"))).as("nrm"))
         .filter(col("nrm") > 0)
+        // the round-9 multi-branch rule (q32/q33/q94's shingle frame):
+        // both self-join sides consume this corpus-derived frame, and
+        // without the checkpoint the decode mapPartitions + centering
+        // ran TWICE (plan-audited at sf0.01 — only the repartition
+        // exchange below it was reused). The frame is fingerprint-sized
+        // (~150 B/doc), so the materialization is cheap and the decode
+        // runs exactly once.
+        .localCheckpoint()
   }
 
   val q128PerceptualDedup = Q(
