@@ -1,0 +1,27 @@
+#!/usr/bin/env python3
+"""Summarize BENCH_HISTORY.jsonl (one epoch-stamped summary line per
+graft.Bench run) as a table: wall total, pass count, GC, and the
+load-average evidence — the same-tree contention series at a glance.
+
+Usage: python3 tools/bench_series.py [BENCH_HISTORY.jsonl]
+Driver-side tooling only.
+"""
+import json
+import sys
+import time
+
+path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_HISTORY.jsonl"
+rows = [json.loads(l) for l in open(path) if l.strip()]
+print(f"{'when':16s} {'total':>7s} {'n':>4s} {'passes':>6s} {'gc_s':>5s} "
+      f"{'load@start':>16s} {'end':>5s} {'gated':>5s} {'fail':>4s}")
+for r in rows:
+    when = time.strftime("%m-%d %H:%M", time.localtime(r["ts"]))
+    load = "/".join(f"{x:.1f}" for x in r.get("load", []))
+    print(f"{when:16s} {r['value']:7.2f} {r.get('n_queries', 0):4d} "
+          f"{r.get('passes', 0):6d} {r.get('gc_ms', 0)/1000:5.1f} "
+          f"{load:>16s} {r.get('load_end', -1):5.1f} "
+          f"{r.get('gated', 0):5d} {r.get('n_failed', 0):4d}")
+best = min(rows, key=lambda r: r["value"])
+print(f"\nbest: {best['value']} s at "
+      f"{time.strftime('%m-%d %H:%M', time.localtime(best['ts']))} "
+      f"(gc {best.get('gc_ms', 0)/1000:.1f} s, passes {best.get('passes')})")
