@@ -635,10 +635,15 @@ class StreamingSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       } finally q.stop()
     }
-    // in-order replay and a deterministic shuffle (reversed) — a pair's
-    // members landing in DIFFERENT micro-batches either way round must
-    // yield the identical match set, cosines bit-equal to the batch join
+    // in-order replay, the reversed order, and three seeded random
+    // permutations with random chunk boundaries — a pair's members
+    // landing in different micro-batches in ANY order must yield the
+    // identical match set, cosines bit-equal to the batch join
     assert(run(fps, "media_dup_fwd") === batch)
     assert(run(fps.reverse, "media_dup_rev") === batch)
+    val rnd = new scala.util.Random(0xD15EA5E)
+    for (t <- 1 to 3)
+      assert(run(rnd.shuffle(fps), s"media_dup_rnd$t") === batch,
+        s"random-order replay $t diverged")
   }
 }
