@@ -311,6 +311,49 @@ object Streams {
       }
   }
 
+  /** One KMV observation (q63's collection unit): a 60-bit md5-derived
+    * element hash for `group` (the per-source vocabulary stream). */
+  final case class KmvEvent(group: String, h: Long)
+
+  /** One upserted sketch row: the group's current k-minima buffer —
+    * itself the mergeable KMV sketch (q63's contract). */
+  final case class KmvSketchRow(group: String, mins: Seq[Long])
+
+  /** Streaming twin of q63's KMV sketch COLLECTION — the fleet
+    * pattern that makes sketches the streaming cardinality answer:
+    * per group the k-minima buffer lives in the STATE STORE and every
+    * micro-batch that lowers it emits the new buffer as a correction
+    * row superseding the group's previous one, so an upserting sink
+    * holds — after ANY prefix of the stream — exactly the batch
+    * sketch of the elements seen so far. The merge is
+    * [[graft.functions.KMinDistinctAggregator]]'s own k-bounded
+    * distinct-merge (idempotent + commutative + associative: min-set
+    * union), so arrival order, duplication, and micro-batch splits
+    * can never change the converged buffer — no conditional
+    * correction logic at all, the lmCountTracker argument with an
+    * idempotent monoid instead of a sum. Estimation stays the
+    * consumer's one-liner ((k−1)·2⁶⁰ / mins(k), q63's formula).
+    */
+  def kmvTracker(events: Dataset[KmvEvent], k: Int = 64)
+      : Dataset[KmvSketchRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[Seq[Long], KmvSketchRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: String, evs: Iterator[KmvEvent],
+            state: GroupState[Seq[Long]]) =>
+          val agg = new graft.functions.KMinDistinctAggregator(k)
+          val prev = state.getOption.getOrElse(Seq.empty)
+          val next = evs.foldLeft(prev)((buf, e) => agg.reduce(buf, e.h))
+          if (next == prev) Iterator.empty
+          else {
+            state.update(next)
+            Iterator.single(KmvSketchRow(group, next))
+          }
+      }
+  }
+
   /** One chunk's packing input (q101's shape): `ord` the total order
     * key within a source, `n` its token count.
     */

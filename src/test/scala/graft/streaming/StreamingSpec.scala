@@ -646,4 +646,42 @@ class StreamingSpec extends SparkSpec {
       assert(run(rnd.shuffle(fps), s"media_dup_rnd$t") === batch,
         s"random-order replay $t diverged")
   }
+
+  test("kmvTracker (state-store k-minima) converges to the driver-side sketch, any order") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // the same 60-bit md5-derived element hashes q63 sketches, per
+    // source, NOT pre-distinct (the aggregator's k-window dedups)
+    val events = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select(col("source"), explode(expr("split(lower(text), ' ')")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("source").as("group"),
+        expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)").as("h"))
+      .as[Streams.KmvEvent].collect().toSeq
+    // independent reference: distinct-sort-take driver-side
+    val expected = events.groupBy(_.group).map { case (g, es) =>
+      g -> es.map(_.h).distinct.sorted.take(64)
+    }
+    def run(order: Seq[Streams.KmvEvent], name: String): Map[String, Seq[Long]] = {
+      val in = MemoryStream[Streams.KmvEvent]
+      val q = Streams.kmvTracker(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        order.grouped(math.max(1, order.size / 3)).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
+        // upsert-by-group: the LAST emitted row per group is the sketch
+        s.table(name).withColumn("rn", monotonically_increasing_id())
+          .collect().groupBy(_.getString(0))
+          .map { case (g, rows) =>
+            g -> rows.maxBy(_.getLong(2)).getSeq[Long](1).toSeq
+          }
+      } finally q.stop()
+    }
+    assert(run(events, "kmv_fwd") === expected)
+    assert(run(events.reverse, "kmv_rev") === expected,
+      "k-minima merge must be order-insensitive")
+  }
 }
