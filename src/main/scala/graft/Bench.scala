@@ -283,6 +283,11 @@ object Bench {
     // makes every same-tree series reconstructible after the fact
     val line = renderLine(results, errors, sfDir, loadStart, loadPregate,
       loadEnd(0), gated, gcSpent, passes.size)
+    // the history splice below assumes renderLine emits a bare JSON
+    // object — fail loudly if that coupling ever breaks rather than
+    // corrupting every appended record
+    require(line.startsWith("{") && line.endsWith("}"),
+      s"renderLine no longer emits a bare JSON object: ${line.take(40)}...")
     try java.nio.file.Files.write(
       detailPath.resolveSibling("BENCH_HISTORY.jsonl"),
       (s"""{"ts":${System.currentTimeMillis / 1000},""" + line.drop(1) + "\n")

@@ -184,9 +184,17 @@ object Multimodal {
       v
     }
     val width = nextInt(); val height = nextInt(); val maxval = nextInt()
+    require(width > 0 && height > 0,
+      s"degenerate PPM geometry ${width}x$height: media_id=$mediaId")
     require(maxval > 0 && maxval < 256,
       s"only 1-byte-sample PPM supported (maxval=$maxval): media_id=$mediaId")
-    i += 1 // exactly one whitespace byte separates header from raster
+    // exactly one whitespace byte separates header from raster — verify it
+    // IS whitespace (a digit or '#' here would silently shift the raster
+    // window, breaking the strict-parse contract)
+    require(i < p.length &&
+        (p(i) == ' ' || p(i) == '\t' || p(i) == '\n' || p(i) == '\r'),
+      s"PPM header not terminated by whitespace: media_id=$mediaId")
+    i += 1
     val expected = width.toLong * height * 3
     require(p.length - i >= expected,
       s"PPM raster truncated (${p.length - i} of $expected bytes): media_id=$mediaId")

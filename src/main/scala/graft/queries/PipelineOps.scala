@@ -22,10 +22,18 @@ object PipelineOps {
 
   /** q128's width-deciding doc count, memoized per (session, dir) so the
     * count() job runs once, not once per bench pass (the q112
-    * pairCountBound convention).
+    * pairCountBound convention). The outer map is keyed on the SESSION
+    * OBJECT (reference identity, weakly held) — a `identityHashCode`
+    * string key could collide across sessions and cross-contaminate
+    * entries, and a dead session's entries would never evict. CONTRACT:
+    * the cache assumes the parquet at `dir` is immutable for the
+    * session's lifetime — the bench/verify corpora are; a test that
+    * rewrites documents mid-session must use a fresh dir (every
+    * existing spec does: each writes to its own temp dir).
     */
   private val renderableDocCount =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
 
   // ---------------------------------------------------------------------
   // q42 — SimHash Hamming near-dup (fingerprint consumption)
@@ -580,8 +588,10 @@ object PipelineOps {
       // unblocked ≥0.95 pairs at W=4096, 65/120 at 1024 —
       // near-IDENTICAL pairs have near-equal tot and survive any W;
       // the boundary cases are the standard blocking caveat).
-      val nDocs = renderableDocCount.computeIfAbsent(
-        s"${System.identityHashCode(s)}#$dir",
+      val nDocs = renderableDocCount.synchronized {
+        renderableDocCount.computeIfAbsent(s,
+          _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+      }.computeIfAbsent(dir,
         _ => T.documents(s, dir).filter(length(col("text")) >= 1).count())
       val w = math.max(64L, math.min(4096L, 20480000L / math.max(1L, nDocs)))
       Multimodal.extractPpmBands(media, bands).toDF()

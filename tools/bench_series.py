@@ -22,10 +22,19 @@ for r in rows:
           f"{load:>16s} {r.get('load_end', -1):5.1f} "
           f"{r.get('gated', 0):5d} {r.get('n_failed', 0):4d}")
 # subset runs (SPARK_GRAFT_ONLY) share the file; compare only
-# full-registry runs when naming the best
-full = [r for r in rows
-        if r.get("n_queries") == max(x.get("n_queries", 0) for x in rows)]
-best = min(full, key=lambda r: r["value"])
-print(f"\nbest full run: {best['value']} s / {best['n_queries']} queries at "
-      f"{time.strftime('%m-%d %H:%M', time.localtime(best['ts']))} "
-      f"(gc {best.get('gc_ms', 0)/1000:.1f} s, passes {best.get('passes')})")
+# full-registry runs AT THE SAME SF when naming the best (the history
+# mixes /tmp sf1 subset runs with sf0.1 full runs — same n_queries at a
+# different sf is a different workload, not a peer)
+if not rows:
+    print("\n(no runs in history)")
+else:
+    peak_n = max(x.get("n_queries", 0) for x in rows)
+    peak_sf = next(r.get("sf") for r in rows
+                   if r.get("n_queries", 0) == peak_n)
+    full = [r for r in rows
+            if r.get("n_queries") == peak_n and r.get("sf") == peak_sf]
+    best = min(full, key=lambda r: r["value"])
+    print(f"\nbest full run ({peak_sf}): {best['value']} s / "
+          f"{best['n_queries']} queries at "
+          f"{time.strftime('%m-%d %H:%M', time.localtime(best['ts']))} "
+          f"(gc {best.get('gc_ms', 0)/1000:.1f} s, passes {best.get('passes')})")
