@@ -522,16 +522,37 @@ object PipelineOps {
     * measured 1.23e9 candidates at 50k docs with W pinned at 4096;
     * the rule holds the expected block population roughly constant and
     * both gate SFs land on W = 4096, same answer as the fixed dial).
-    * ONE shuffle keyed on the block, |block|² cosine work inside
-    * (q44's contract — a hot block re-blocks by a secondary key);
-    * nothing corpus-sized is broadcast and no all-pairs join exists.
+    * ONE shuffle keyed on the block, and inside each block a HARD
+    * sorted-neighborhood cap (q44's "a hot block re-blocks by a
+    * secondary key" contract, made real in round 15): rows are ranked
+    * within their block by the NORMALIZED first fingerprint coordinate
+    * c₀/‖c‖ (scale-invariant, so cosine-similar rows rank adjacently —
+    * the raw coordinate was measured strictly worse: 96 vs 107 of 120
+    * recalled pairs at sf0.1), cut into sub-blocks of
+    * [[subBlockRanks]] = 1024 consecutive ranks, and only same- or
+    * adjacent-sub pairs are candidates. Per-block candidates are
+    * therefore ≤ 1.5·pop·P REGARDLESS of how intensity concentrates —
+    * the corpus-wide count is ≤ 1.5·N·P, linear in N (the W dial bounds
+    * the EXPECTED population; the rank cap bounds the WORST CASE — the
+    * replica corpus concentrates 96% of sf0.1 in one block and real
+    * corpora do too: letterboxed frames, near-uniform pages). Measured
+    * at sf0.1: 11.5M → 6.2M candidates with recall at the 107/120
+    * blocked ceiling (every additionally-droppable pair was already a
+    * cross-block loss); at sf1 295M → see SCALING.md round 15.
+    * Nothing corpus-sized is broadcast and no all-pairs join exists.
     * Cross-block pairs are out of scope BY CONTRACT (the oracle
-    * computes the same blocked answer); the dial is a measured recall
-    * trade — at sf0.1 the ≥0.95 set keeps 107/120 of the unblocked
-    * pairs at W = 4096 and 65/120 at 1024; near-IDENTICAL images have
-    * near-equal tot and survive any W, boundary-straddling is the
-    * standard blocking caveat, mitigated in production by overlapped
-    * blocks.
+    * computes the same ranked-blocked answer); the dial is a measured
+    * recall trade — near-IDENTICAL images have near-equal tot AND
+    * near-equal c₀/‖c‖, so they survive any W and any P (exact
+    * duplicates tie in the rank order and sit in the same or adjacent
+    * sub by doc_id tie-break); boundary-straddling is the standard
+    * blocking caveat, mitigated in production by overlapped blocks.
+    * The remaining skew point is the per-block rank WINDOW (a sort of
+    * the ~150 B/doc fingerprint frame, not the payloads): a block
+    * holding 10M docs sorts ~1.5 GB in one task — at that scale the
+    * order-by can be salted into R rank stripes (rank within stripe,
+    * same cap per stripe) at the cost of cross-stripe recall, the same
+    * trade this cap already makes explicit.
     */
   /** q128's render → decode → fingerprint stage, factored so the
     * streaming twin (Streams.mediaDupMatcher) and its spec feed the
@@ -614,23 +635,68 @@ object PipelineOps {
         .localCheckpoint()
   }
 
+  /** q128's within-block sorted-neighborhood width: rows ranked by
+    * c₀/‖c‖ within their intensity block pair only inside a window of
+    * this many ranks (same or adjacent sub-block of this size), so
+    * per-block candidates are ≤ 1.5·pop·P — the hot-block quadratic
+    * valve. 1024 is the measured sweet spot at sf0.1: recall equals
+    * the 107/120 blocked ceiling (zero loss beyond what crossing blk
+    * already costs) at 6.2M candidates vs 11.5M uncapped; 512 keeps
+    * 101 at 3.4M, 256 keeps 90 at 1.8M.
+    */
+  private[graft] val subBlockRanks = 1024
+
   val q128PerceptualDedup = Q(
     "q128_perceptual_dedup",
     (s, dir) => {
       import graft.functions.GraftFunctions.dot
       val fp = perceptualFp(s, dir)
-      val a = fp.select(col("blk"), col("doc_id").as("id_a"),
-        col("c").as("ca"), col("nrm").as("na"))
-      val b = fp.select(col("blk"), col("doc_id").as("id_b"),
-        col("c").as("cb"), col("nrm").as("nb"))
-      a.join(b, Seq("blk"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("blk"), col("id_a"), col("id_b"),
+      // rank cap (see subBlockRanks): the window shuffles the
+      // checkpointed fingerprint frame once on blk; both join sides
+      // then shuffle on (blk, sub), which SPLITS a hot block into
+      // pop/P-way parallelism instead of one quadratic task
+      val rk = fp
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("blk"))
+            .orderBy(col("c").getItem(0) / col("nrm"), col("doc_id"))))
+        .select(col("blk"),
+          expr(s"cast((rn - 1) div $subBlockRanks as bigint)").as("sub"),
+          col("doc_id"), col("c"), col("nrm"))
+      // ONE equi-join realizes both the same-sub and adjacent-sub
+      // candidates: the b side registers under its own sub AND the next
+      // one (a 2x explode of the fingerprint-sized frame), so a pair
+      // with sub_a = sub_b matches at the shared key (kept once via
+      // id_a < id_b) and a pair with sub_a = sub_b + 1 matches at b's
+      // promoted key (each unordered pair exactly once, a in the higher
+      // sub). The probe side is explicitly REPARTITIONED after the
+      // window: the window's hash(blk) exchange has tiny byte size, so
+      // AQE coalesces it to ONE partition, and when the join then
+      // broadcasts the b side (it will whenever the fingerprint frame
+      // is small) ALL per-candidate cosine work lands on that one task
+      // (measured 1.5 s at sf0.1 vs 0.8 s spread; a salted join key was
+      // measured useless here — a broadcast join never reshuffles its
+      // probe side). At corpus scale the extra exchange moves only the
+      // ~150 B/doc fingerprint frame, and (blk, sub) cardinality is
+      // N/P there, so the shuffle join that replaces the broadcast
+      // parallelizes on its own key.
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val a = rk.repartition(nPart, col("blk"), col("sub"), col("doc_id"))
+        .select(col("blk"), col("sub"), col("doc_id").as("id_a"),
+          col("c").as("ca"), col("nrm").as("na"))
+      val bx = rk.select(col("blk"), col("sub").as("sub_b"),
+        col("doc_id").as("id_b"), col("c").as("cb"), col("nrm").as("nb"))
+        .withColumn("sub", explode(array(col("sub_b"), col("sub_b") + 1)))
+      a.join(bx, Seq("blk", "sub"))
+        .filter((col("sub_b") === col("sub") && col("id_a") < col("id_b")) ||
+          (col("sub_b") + 1 === col("sub")))
+        .select(col("blk"),
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
           (dot(col("ca"), col("cb")) / (col("na") * col("nb"))).as("cosine"))
         .filter(col("cosine") >= 0.95)
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some("""
+    Some(s"""
       WITH px AS (
         SELECT doc_id,
           substr(repeat(text, CAST(ceil(768.0 / len(text)) AS INT)), 1, 768) AS s
@@ -655,15 +721,26 @@ object PipelineOps {
         SELECT doc_id, CAST(tot // wf.w AS BIGINT) AS blk, c,
           sqrt(CAST(list_sum(list_transform(c, x -> x * x)) AS DOUBLE)) AS nrm
         FROM cv CROSS JOIN wf
-        WHERE list_sum(list_transform(c, x -> x * x)) > 0)
-      SELECT a.blk, a.doc_id AS id_a, b.doc_id AS id_b,
-        CAST(list_sum(list_transform(generate_series(1, 16),
-          i -> a.c[i] * b.c[i])) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
-      FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
-      WHERE CAST(list_sum(list_transform(generate_series(1, 16),
-          i -> a.c[i] * b.c[i])) AS DOUBLE) / (a.nrm * b.nrm) >= 0.95
+        WHERE list_sum(list_transform(c, x -> x * x)) > 0),
+      rk AS (
+        SELECT doc_id, blk, c, nrm,
+          CAST((row_number() OVER (PARTITION BY blk
+                 ORDER BY CAST(c[1] AS DOUBLE) / nrm, doc_id) - 1)
+               // $subBlockRanks AS BIGINT) AS sub
+        FROM n),
+      pr AS (
+        SELECT a.blk AS blk,
+          LEAST(a.doc_id, b.doc_id) AS id_a,
+          GREATEST(a.doc_id, b.doc_id) AS id_b,
+          CAST(list_sum(list_transform(generate_series(1, 16),
+            i -> a.c[i] * b.c[i])) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+        FROM rk a JOIN rk b
+          ON a.blk = b.blk
+         AND ((a.sub = b.sub AND a.doc_id < b.doc_id) OR a.sub + 1 = b.sub))
+      SELECT blk, id_a, id_b, cosine FROM pr
+      WHERE cosine >= 0.95
       ORDER BY id_a, id_b""".stripMargin),
-    "perceptual image dedup (multimodal -> ANN composition): real P6 PPM payloads decoded at the MediaDecoder seam into 16 integer row-band sums, centered in exact ints (16*band - tot), then q44's blocked cosine (block = quantized mean intensity, one keyed shuffle, |block|^2 inside) — every value through the division exact, bit-identical cross-engine")
+    "perceptual image dedup (multimodal -> ANN composition): real P6 PPM payloads decoded at the MediaDecoder seam into 16 integer row-band sums, centered in exact ints (16*band - tot), then blocked cosine with a HARD sorted-neighborhood cap (block = quantized mean intensity, rows ranked by c0/|c| inside, only same/adjacent 1024-rank sub-blocks pair -> candidates <= 1.5*N*1024, linear in N) — every value through the division exact, bit-identical cross-engine")
 
   // ---------------------------------------------------------------------
   // q60 — IVF-style cell-partitioned ANN over embeddings
