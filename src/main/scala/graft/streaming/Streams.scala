@@ -217,23 +217,44 @@ object Streams {
   final case class MediaMatch(idA: Long, idB: Long, cosine: Double)
 
   /** Streaming twin of q128's blocked perceptual dedup: per intensity
-    * block, the fingerprints seen so far live in the STATE STORE
-    * (population × 16 doubles per block — bounded by q128's
-    * corpus-aware width dial); each arriving image is compared against
-    * its block's state with the SAME arithmetic as the batch plan (all
-    * values exact integers in double, left-to-right dot fold ≡ the
-    * native kernel — cosines are bit-identical) and emits one match
-    * row per qualifying pair.
+    * block, the fingerprints seen so far live in the STATE STORE;
+    * each arriving image is compared against its block's state with
+    * the SAME arithmetic as the batch plan (all values exact integers
+    * in double, left-to-right dot fold ≡ the native kernel — cosines
+    * are bit-identical) and emits one match row per qualifying pair.
     *
     * Order-insensitive BY CONSTRUCTION, no corrections needed: an
     * unordered pair is emitted exactly once — when its second member
     * arrives — whatever the arrival order or micro-batch split, so the
-    * collected match set converges to exactly batch q128's pair set
-    * (StreamingSpec pins split-invariance and an out-of-order replay).
-    * Zero-norm fingerprints never enter state and never match (the
-    * batch plan's nrm > 0 filter). Within one micro-batch a block's
-    * events are processed in mediaId order, pairing against both the
-    * state and the earlier events of the same batch.
+    * collected match set converges to exactly the block-complete pair
+    * set (StreamingSpec pins split-invariance and an out-of-order
+    * replay). Zero-norm fingerprints never enter state and never match
+    * (the batch plan's nrm > 0 filter). Within one micro-batch a
+    * block's events are processed in mediaId order, pairing against
+    * both the state and the earlier events of the same batch.
+    *
+    * STATE CONTRACT (round 15): state per block is EXACTLY one
+    * fingerprint per distinct non-zero-norm media id — never more,
+    * whatever duplication the stream carries (StreamingSpec asserts
+    * the bound behaviorally: a probe event emits one match per
+    * distinct prior id, not per delivery). So state size ≤ block
+    * population × ~150 B, with the EXPECTED population governed by
+    * q128's corpus-aware W dial. `NoTimeout` is deliberate: a
+    * fingerprint must stay matchable forever for exactly-once pair
+    * emission to hold — eviction would silently drop future pairs, so
+    * a long-running deployment bounds state by RE-BLOCKING instead
+    * (restart the query on a narrower W epoch), the same valve the
+    * batch side dials. The batch side's rank cap (subBlockRanks) has
+    * no online analog — a row's rank depends on the corpus AFTER it —
+    * so the twin implements the UNCAPPED within-block semantics and
+    * equals batch q128 exactly whenever every block's population is
+    * ≤ subBlockRanks (the StreamingSpec corpora; at larger populations
+    * the batch cap drops far-rank pairs the stream keeps — the stream
+    * is a superset, never a miss).
+    *
+    * Per-event cost is O(|block|) dots — inherent to blocked matching
+    * — but membership dedup is O(1) (hash set, not a Seq scan) and
+    * every stored norm is computed ONCE per batch, not once per pair.
     */
   def mediaDupMatcher(fps: Dataset[MediaFpEvent],
       threshold: Double = 0.95): Dataset[MediaMatch] = {
@@ -249,21 +270,28 @@ object Streams {
             while (i < a.length) { s += a(i) * b(i); i += 1 }
             s
           }
-          var seen = state.getOption.getOrElse(Seq.empty)
+          // state decodes once per batch into (id, c, norm) with an
+          // O(1)-membership id set; insertion order is preserved so
+          // emission order stays replay-deterministic
+          val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+          val seenIds = scala.collection.mutable.HashSet.empty[Long]
+          state.getOption.getOrElse(Seq.empty).foreach { case (id, c0) =>
+            seen += ((id, c0, math.sqrt(dotd(c0, c0)))); seenIds += id
+          }
           val out = scala.collection.mutable.ArrayBuffer.empty[MediaMatch]
           events.toSeq.sortBy(_.mediaId).foreach { e =>
             val ne = math.sqrt(dotd(e.c, e.c))
-            if (ne > 0 && !seen.exists(_._1 == e.mediaId)) {
-              seen.foreach { case (id, c0) =>
-                val cos = dotd(e.c, c0) / (ne * math.sqrt(dotd(c0, c0)))
+            if (ne > 0 && !seenIds.contains(e.mediaId)) {
+              seen.foreach { case (id, c0, n0) =>
+                val cos = dotd(e.c, c0) / (ne * n0)
                 if (cos >= threshold)
                   out += MediaMatch(math.min(id, e.mediaId),
                     math.max(id, e.mediaId), cos)
               }
-              seen = seen :+ (e.mediaId -> e.c)
+              seen += ((e.mediaId, e.c, ne)); seenIds += e.mediaId
             }
           }
-          state.update(seen)
+          state.update(seen.map(t => (t._1, t._2)).toSeq)
           out.iterator
       }
   }

@@ -647,6 +647,38 @@ class StreamingSpec extends SparkSpec {
         s"random-order replay $t diverged")
   }
 
+  test("mediaDupMatcher state holds one fingerprint per distinct id — the block-population bound") {
+    // the round-15 state contract, asserted behaviorally: duplicates
+    // and zero-norm events must never enter state, so a probe that
+    // pairs with EVERYTHING (threshold below any cosine) emits exactly
+    // one match per distinct prior non-zero id — if state grew per
+    // DELIVERY the probe would emit per delivery
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    def fp(id: Long) = Streams.MediaFpEvent(id, 7L, Array(1.0, 2.0, id.toDouble))
+    val in = MemoryStream[Streams.MediaFpEvent]
+    val q = Streams.mediaDupMatcher(in.toDS(), threshold = -2.0)
+      .writeStream.format("memory").queryName("media_dup_bound")
+      .outputMode("update").start()
+    try {
+      in.addData((1L to 5L).map(fp)); q.processAllAvailable()
+      in.addData((1L to 5L).map(fp)); q.processAllAvailable() // full replay: all dups
+      in.addData(Seq(Streams.MediaFpEvent(6L, 7L, Array(0.0, 0.0, 0.0)), fp(3L)))
+      q.processAllAvailable() // zero-norm + one more dup
+      in.addData(Seq(fp(999L))); q.processAllAvailable() // the probe
+      val rows = s.table("media_dup_bound").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val probe = rows.filter(_._2 == 999L)
+      assert(probe.map(_._1).sorted == (1L to 5L),
+        s"probe must see exactly the 5 distinct non-zero ids, got $probe")
+      // and the duplicate deliveries emitted nothing: 10 first-arrival
+      // pairs among ids 1..5 plus the 5 probe pairs, nothing else
+      assert(rows.size == 15 && rows.distinct.size == 15,
+        s"exactly-once pair emission violated: ${rows.sorted}")
+    } finally q.stop()
+  }
+
   test("kmvTracker (state-store k-minima) converges to the driver-side sketch, any order") {
     val s = spark
     import s.implicits._
