@@ -105,6 +105,7 @@ object ConnectedComponents {
       prev = cs
       edges = small
     }
+    System.err.println(s"[cc] large/small-star converged in $rounds rounds")
     // fixpoint: every edge is (v, componentMin). Vertices that ARE the
     // minimum appear only on the dst side — union them back with
     // themselves as label.
