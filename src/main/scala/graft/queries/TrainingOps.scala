@@ -25,10 +25,15 @@ object TrainingOps {
   private val toksSql = "split(lower(text), ' ')"
 
   /** q112's broadcast-decision bound, memoized per (session, dir) so the
-    * deciding count() job runs once, not once per invocation.
+    * deciding count() job runs once, not once per invocation. Keyed on
+    * the session OBJECT, weakly held (PipelineOps.renderableDocCount's
+    * round-15 pattern — an identityHashCode string key could collide
+    * across sessions); assumes the corpus at `dir` is immutable for the
+    * session's lifetime, which the bench/verify corpora are.
     */
   private val pairCountBound =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
 
   // ---------------------------------------------------------------------
   // q66 — TF-IDF term relevance
@@ -188,9 +193,10 @@ object TrainingOps {
       // action per invocation (round-9 advice). Cheap either way against
       // the checkpointed frame, but a timed query body should not hide
       // ANY avoidable job.
-      val labelBytesUpperBound = pairCountBound.computeIfAbsent(
-        s"${System.identityHashCode(s)}#$dir",
-        _ => pairs.count() * 2 * 64): Long
+      val labelBytesUpperBound = pairCountBound.synchronized {
+        pairCountBound.computeIfAbsent(s,
+          _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+      }.computeIfAbsent(dir, _ => pairs.count() * 2 * 64): Long
       val labelSide =
         if (thresholdBytes > 0 && labelBytesUpperBound <= thresholdBytes)
           broadcast(labels)
