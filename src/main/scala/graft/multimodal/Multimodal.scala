@@ -243,6 +243,74 @@ object Multimodal {
     }
   }
 
+  /** Acoustic featurization row: per-band INTEGER energies (sums of
+    * squared linear PCM samples) from a real audio container parse —
+    * the audio twin of [[MediaBands]]. Integer energies, not float
+    * RMS: exact under any partitioning and reproducible by any engine
+    * that can see the data bytes and the G.711 expansion formula.
+    */
+  final case class AudioBands(media_id: Long, bands: Array[Long])
+
+  /** Per-band PCM ENERGY over a mono 8-bit G.711 μ-law WAV: the strict
+    * RIFF/fmt/data walk (the [[AudioFileDecoder]] WAV contract — fmt
+    * tag 7, 1 channel, 8 bits, chunk bounds checked), each data byte
+    * expanded through the REAL [[G711.ulawToPcm]] kernel, the samples
+    * grouped into `nBands` equal bands, each band accumulating Σ pcm².
+    * Every energy is an exact integer: |pcm| ≤ 32124, pcm² ≤ 1.033e9,
+    * ×(samples/band) far below 2⁵³ for any corpus-rendered clip — the
+    * q128 fixed-point discipline on the audio modality.
+    */
+  def wavUlawBandEnergies(p: Array[Byte], mediaId: Long, nBands: Int)
+      : Array[Long] = {
+    require(p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E',
+      s"not a RIFF/WAVE payload: media_id=$mediaId")
+    def leU16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def leU32(off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    var i = 12
+    var fmtTag = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= p.length) {
+      val id = new String(p, i, 4, "US-ASCII")
+      val len = leU32(i + 4)
+      require(len >= 0 && i + 8 + len <= p.length,
+        s"WAV chunk '$id' overruns the payload: media_id=$mediaId")
+      if (id == "fmt ") {
+        require(len >= 16, s"fmt chunk too short: media_id=$mediaId")
+        fmtTag = leU16(i + 8); channels = leU16(i + 10); bits = leU16(i + 22)
+      } else if (id == "data") { dataOff = i + 8; dataLen = len.toInt }
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    require(fmtTag == 7 && channels == 1 && bits == 8,
+      s"expected mono 8-bit G.711 mu-law WAV (tag=$fmtTag ch=$channels " +
+        s"bits=$bits): media_id=$mediaId")
+    require(dataOff >= 0, s"WAV without data chunk: media_id=$mediaId")
+    require(nBands > 0 && dataLen > 0 && dataLen % nBands == 0,
+      s"$dataLen samples not divisible into $nBands bands: media_id=$mediaId")
+    val per = dataLen / nBands
+    val out = new Array[Long](nBands)
+    var j = 0
+    while (j < dataLen) {
+      val pcm = G711.ulawToPcm(p(dataOff + j)).toLong
+      out(j / per) += pcm * pcm
+      j += 1
+    }
+    out
+  }
+
+  /** [[wavUlawBandEnergies]] as the mapPartitions batch seam (the
+    * [[extractPpmBands]] shape — one decoder pass per partition).
+    */
+  def extractWavBands(media: Dataset[Media], nBands: Int): Dataset[AudioBands] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(m => AudioBands(m.media_id,
+        wavUlawBandEnergies(m.payload, m.media_id, nBands)))
+    }
+  }
+
   /** Deterministic stand-in for the codec-backed decoder (no image/audio
     * libraries exist in this environment): parses the GRFT header
     * arithmetically and "featurizes" the body as its exact mean byte

@@ -743,6 +743,94 @@ object PipelineOps {
     "perceptual image dedup (multimodal -> ANN composition): real P6 PPM payloads decoded at the MediaDecoder seam into 16 integer row-band sums, centered in exact ints (16*band - tot), then blocked cosine with a HARD sorted-neighborhood cap (block = quantized mean intensity, rows ranked by c0/|c| inside, only same/adjacent 1024-rank sub-blocks pair -> candidates <= 1.5*N*1024, linear in N) — every value through the division exact, bit-identical cross-engine")
 
   // ---------------------------------------------------------------------
+  // q129 — audio-fingerprint dedup over DECODED G.711 (multimodal audio)
+  // ---------------------------------------------------------------------
+
+  /** The audio modality's registry query (round-15 directive: the
+    * WAV/G.711/ADPCM/FLAC decoders were spec-exercised only): exact
+    * audio dedup by acoustic fingerprint. Each document renders a REAL
+    * mono 8-bit G.711 μ-law WAV — a 44-byte RIFF/fmt/data header (all
+    * header bytes ≤ 0x7F, so the binary cast is byte-exact) followed by
+    * the doc's first 768 ASCII bytes as μ-law codes — and the payload
+    * goes through the strict container walk + the REAL
+    * [[graft.multimodal.Multimodal.G711.ulawToPcm]] expansion at the
+    * decoder seam. The fingerprint is 16 per-band PCM ENERGIES
+    * (Σ pcm² over 48 samples, every value an exact integer ≤ 5e10 —
+    * the q128 fixed-point discipline), and dedup is q29's hash-groupBy
+    * on the joined fingerprint string: ONE shuffle of 16 longs per
+    * clip, map-side combined, linear at any corpus size — no pair
+    * join, no new scale caveats. The oracle reproduces the DECODED
+    * samples from the text characters (255−ord is ~code, then the
+    * closed-form μ-law expansion in integer SQL), so the whole
+    * container → decode → featurize → dedup path is cross-engine
+    * hash-gated, not just spec-gated.
+    */
+  val q129AudioFpDedup = Q(
+    "q129_audio_fp_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val nSamples = 768
+      val bands = 16
+      def leU32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def leU16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      // RIFF + fmt(tag 7 mu-law, mono, 8 kHz, 8-bit) + data(768)
+      val hdr = "RIFF".getBytes("US-ASCII") ++ leU32(36 + nSamples) ++
+        "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+        leU32(16) ++ leU16(7) ++ leU16(1) ++ leU32(8000) ++ leU32(8000) ++
+        leU16(1) ++ leU16(8) ++ "data".getBytes("US-ASCII") ++ leU32(nSamples)
+      val exactLen = hdr.length + nSamples
+      val media = T.documentsSpread(s, dir)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), lit("wav").as("kind"),
+          concat(lit(hdr),
+            expr(s"cast(substring(repeat(text, cast(ceil($nSamples.0 / length(text)) as int)), 1, $nSamples) as binary)"))
+            .as("payload"))
+        // q128's woven non-ASCII assert: the oracle decodes CHARACTERS,
+        // Spark decodes BYTES — a multi-byte char inflates the payload
+        // and must fail the job loudly, not hash-diverge
+        .select(
+          when(assert_true(length(col("payload")) === exactLen,
+            lit(s"q129: non-ASCII text rendered a non-$exactLen-byte WAV")).isNull,
+            col("doc_id")).as("media_id"),
+          col("kind"), col("payload"))
+        .as[Multimodal.Media]
+      Multimodal.extractWavBands(media, bands).toDF()
+        .select(col("media_id").as("doc_id"),
+          array_join(col("bands"), "|").as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("fp"))
+    },
+    Some("""
+      WITH px AS (
+        SELECT doc_id,
+          substr(repeat(text, CAST(ceil(768.0 / len(text)) AS INT)), 1, 768) AS sdata
+        FROM documents WHERE len(text) >= 1),
+      pcm AS (
+        SELECT doc_id,
+          list_transform(
+            list_transform(generate_series(1, 768),
+              j -> 255 - ord(substr(sdata, CAST(j AS INTEGER), 1))),
+            u -> CASE WHEN (u & 128) != 0
+              THEN 132 - ((((u & 15) * 8) + 132) * (1 << ((u // 16) & 7)))
+              ELSE ((((u & 15) * 8) + 132) * (1 << ((u // 16) & 7))) - 132
+            END) AS s16
+        FROM px),
+      fv AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 15), b ->
+            CAST(list_sum(list_transform(generate_series(1, 48), j ->
+              s16[CAST(b * 48 + j AS INTEGER)] * s16[CAST(b * 48 + j AS INTEGER)]))
+            AS BIGINT)) AS bands
+        FROM pcm)
+      SELECT array_to_string(bands, '|') AS fp,
+        COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
+      FROM fv GROUP BY 1 ORDER BY fp""".stripMargin),
+    "audio-fingerprint dedup (multimodal audio -> exact dedup): real mono G.711 mu-law WAV payloads through the strict RIFF walk + the real ulawToPcm expansion into 16 exact-integer PCM band energies, then one hash-groupBy shuffle on the fingerprint — linear at any scale, the audio decoders' first oracle-gated path")
+
+  // ---------------------------------------------------------------------
   // q60 — IVF-style cell-partitioned ANN over embeddings
   // ---------------------------------------------------------------------
 
@@ -1626,5 +1714,6 @@ ${(1 to 3).map(round).mkString(",\n")}
     q45LanguageId, q46BpeTokens, q47RollingHash, q48BinaryPayload,
     q60AnnIvf, q63KmvDistinct, q79KmvMerge, q99HllDistinct,
     q104Winnowing, q105EmbedQuantize, q106WinnowDup, q108QuantizedAnn,
-    q109TokenDiversity, q124BpeMerges, q128PerceptualDedup)
+    q109TokenDiversity, q124BpeMerges, q128PerceptualDedup,
+    q129AudioFpDedup)
 }

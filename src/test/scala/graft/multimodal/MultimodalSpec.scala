@@ -268,6 +268,73 @@ class MultimodalSpec extends SparkSpec {
       "identical renders must pair at cosine exactly 1.0")
   }
 
+  test("q129 audio dedup equals a driver-side G711 recompute; dups group, strict parse rejects") {
+    val s = spark
+    import s.implicits._
+    // corpus with planted exact dups (1==2, 4==5) and singletons
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta", 2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "one two three four five six seven", 4L -> "do re mi fa sol la ti",
+      5L -> "do re mi fa sol la ti", 6L -> "completely different content here")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q129").toString
+    texts.toSeq.map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent reference: repeat/truncate to 768 chars, expand each
+    // char through the REAL mu-law kernel, band the squares in plain
+    // Scala — none of the plan's render/container/walk machinery
+    def fp(t: String): String = {
+      val sdata = (t * (768 / t.length + 1)).take(768)
+      val pcm = sdata.map(c => Multimodal.G711.ulawToPcm(c.toByte).toLong)
+      Array.tabulate(16)(b => pcm.slice(b * 48, (b + 1) * 48).map(x => x * x).sum)
+        .mkString("|")
+    }
+    val expected = texts.toSeq.groupBy { case (_, t) => fp(t) }
+      .map { case (f, ds) => (f, ds.size.toLong, ds.map(_._1).min) }.toSet
+    val got = graft.queries.PipelineOps.q129AudioFpDedup.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"missed=${(expected -- got).take(2)} extra=${(got -- expected).take(2)}")
+    assert(got.exists(_._2 == 2L), "planted dups must group")
+    // strict container walk: wrong fmt tag / truncated / ragged bands
+    val good = {
+      def leU32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def leU16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      "RIFF".getBytes("US-ASCII") ++ leU32(36 + 32) ++ "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ leU32(16) ++ leU16(7) ++ leU16(1) ++
+        leU32(8000) ++ leU32(8000) ++ leU16(1) ++ leU16(8) ++
+        "data".getBytes("US-ASCII") ++ leU32(32) ++ Array.fill(32)(0x41.toByte)
+    }
+    assert(Multimodal.wavUlawBandEnergies(good, 1L, 16).length == 16)
+    intercept[IllegalArgumentException] { // PCM tag, not mu-law
+      val bad = good.clone(); bad(20) = 1; Multimodal.wavUlawBandEnergies(bad, 2L, 16)
+    }
+    intercept[IllegalArgumentException] { // truncated data chunk
+      Multimodal.wavUlawBandEnergies(good.dropRight(4), 3L, 16)
+    }
+    intercept[IllegalArgumentException] { // 32 samples not divisible by 5
+      Multimodal.wavUlawBandEnergies(good, 4L, 5)
+    }
+  }
+
+  test("q129 fails LOUDLY on non-ASCII text (the q128 woven-assert contract)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q129na").toString
+    Seq((1L, "naïve audio " * 8, "fr", "s1", 96L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      graft.queries.PipelineOps.q129AudioFpDedup.fn(spark, dir).collect()
+    }
+    def chain(x: Throwable): Seq[String] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null).take(8)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("non-ASCII")),
+      s"expected the woven q129 assert in: ${chain(e)}")
+  }
+
   test("q128 fails LOUDLY on non-ASCII text instead of silently diverging from the oracle") {
     // the oracle renders pixels from CHARACTERS (ord), Spark from BYTES
     // (cast to binary); a multi-byte char would skew the bands silently
