@@ -17,6 +17,10 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match Bench's shuffle-writer path (sort-based, not bypass) so
+      // profiles describe what the bench actually runs — see Bench's
+      // builder comment for the A/B and the at-scale rationale
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val starts = TrieMap.empty[Int, (Long, String)]

@@ -93,13 +93,22 @@ object ConnectedComponents {
         .union(large.select(col("dst").as("u"), col("src").as("v")))
       val mins2 = nbrs2.groupBy(col("u"))
         .agg(min(least(col("v"), col("u"))).as("m"))
+      // LAZY checkpoint: the checksum action below is the round's one
+      // materialization pass — it computes small, writes the
+      // checkpoint blocks, and aggregates the convergence scalar in
+      // the same job (the round-11 lazy-checkpoint-plus-action
+      // pattern, one action instead of two per round). Safe here
+      // because the checksum is the frame's ONLY consumer until the
+      // blocks exist — unlike `large`, which two branches of nbrs2
+      // read and must therefore be materialized eagerly before use
+      // (concurrent first-computation of a lazy checkpoint races).
       val small = nbrs2.join(mins2, "u")
         .filter(col("v") <= col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .union(mins2.select(col("u").as("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val cs = checksum(small)
       converged = cs == prev
       prev = cs
