@@ -166,6 +166,14 @@ object Bench {
       // on the full suite (round-15 A/B/A/B: 106.6/104.9 s bypass vs
       // 93.8/95.7 s sort, quiet host, identical tree).
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // Kryo for the JVM-object serializer — the Spark tuning guide's
+      // standing production recommendation ("in any network-intensive
+      // application"). SQL shuffle rows are Tungsten UnsafeRow either
+      // way; this covers broadcast payloads, checkpoint/cache block
+      // spill, and task closures. Round-15 full-suite A/B: base
+      // 93.8/95.7 s vs Kryo 89.7/92.7 s (129 q, quiet host) —
+      // non-overlapping samples, ~4%.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     // SPARK_GRAFT_CONF="k=v;k=v" — extra session confs for conf-level
     // A/B experiments (the BENCH_NOTES A/B protocol) without a code
     // edit per arm; semicolon-separated because conf VALUES may

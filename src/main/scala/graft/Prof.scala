@@ -17,10 +17,11 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // match Bench's shuffle-writer path (sort-based, not bypass) so
-      // profiles describe what the bench actually runs — see Bench's
-      // builder comment for the A/B and the at-scale rationale
+      // match Bench's shuffle-writer path (sort-based, not bypass) and
+      // serializer (Kryo) so profiles describe what the bench actually
+      // runs — see Bench's builder comments for the A/Bs and rationale
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val starts = TrieMap.empty[Int, (Long, String)]
