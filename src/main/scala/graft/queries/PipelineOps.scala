@@ -253,6 +253,21 @@ object PipelineOps {
   // q44 — blocking-key near-dup over embeddings
   // ---------------------------------------------------------------------
 
+  /** The q44/q128 within-block sorted-neighborhood width: rows ranked
+    * by their normalized first coordinate within their block pair only
+    * inside a window of this many ranks (same or adjacent sub-block of
+    * this size), so per-block candidates are ≤ 1.5·pop·P — the
+    * hot-block quadratic valve. Defined ABOVE both consumers because
+    * the oracle SQL strings interpolate it at object-init time (a
+    * forward val reference would silently interpolate 0). 1024 is the
+    * measured sweet spot for q128 at sf0.1: recall equals the 107/120
+    * blocked ceiling (zero loss beyond what crossing blk already
+    * costs) at 6.2M candidates vs 11.5M uncapped; 512 keeps 101 at
+    * 3.4M, 256 keeps 90 at 1.8M. For q44 any P ≥ 218 is exact at the
+    * gate SFs (blocks are single-sub there).
+    */
+  private[graft] val subBlockRanks = 1024
+
   /** Embedding-cosine near-dup with METADATA BLOCKING — the third
     * candidate-generation strategy next to q32's inverted index and
     * q33/q42/q43's hash bucketing: candidates are pairs sharing a
@@ -262,11 +277,24 @@ object PipelineOps {
     * recall over cross-block pairs is out of scope BY CONTRACT — the
     * oracle computes the same blocked answer.
     *
-    * Scale: one shuffle keyed on the blocking key; per-block cost is
-    * |block|², so block size is the knob — a hot block gets salted by a
-    * secondary key or re-blocked (e.g. label × LSH band, composing q43's
-    * machinery). Threshold 0.35 sits inside this corpus's top pair range
-    * (max pairwise cosine 0.513).
+    * Scale: one shuffle keyed on the blocking key, with q128's HARD
+    * sorted-neighborhood cap INSIDE each block (round 15 — previously
+    * this sentence said "a hot block gets salted or re-blocked" and
+    * implemented neither, the exact documented-but-not-implemented gap
+    * the round-14 verdict flagged on q128): rows rank within their
+    * block by the scale-invariant v₀/‖v‖ (cosine-similar vectors rank
+    * adjacently), only same- or adjacent-[[subBlockRanks]]-rank
+    * sub-blocks pair, so per-block candidates are ≤ 1.5·pop·P — LINEAR
+    * in block population. The blocking keys here are the 10 labels, so
+    * blocks grow ∝ corpus and uncapped |block|² grew ×100 per decade
+    * (measured 15.1 s at sf1 in the round-15 full-registry run); with
+    * the cap the sf0.01/sf0.1 answers are BIT-IDENTICAL (max block 218
+    * < P = 1024 — every block is one sub, the spec's within-block
+    * brute-force equality still holds) and sf1's 2,180-row blocks
+    * split 3-way. The oracle mirrors the ranked sub-blocking — every
+    * rank-key operand is exact (float→double cast, one IEEE sqrt, one
+    * division), so both engines rank identically. Threshold 0.35 sits
+    * inside this corpus's top pair range (max pairwise cosine 0.513).
     */
   val q44BlockedNearDup = Q(
     "q44_blocked_near_dup",
@@ -277,13 +305,31 @@ object PipelineOps {
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .select(col("vec_id"), col("label"), col("v"),
           sqrt(dot(col("v"), col("v"))).as("nrm"))
-      val a = e.select(col("label"), col("vec_id").as("id_a"),
-        col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("label"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("label"), col("id_a"), col("id_b"),
+      val rk = e
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(col("v").getItem(0) / col("nrm"), col("vec_id"))))
+        .select(col("label"),
+          expr(s"cast((rn - 1) div $subBlockRanks as bigint)").as("sub"),
+          col("vec_id"), col("v"), col("nrm"))
+      // the q128 join shape: b registers under its own sub AND the next
+      // one, so same-sub pairs match once (id_a < id_b) and adjacent-sub
+      // pairs match at b's promoted key; the probe side is explicitly
+      // repartitioned so an AQE-coalesced window exchange + broadcast
+      // join cannot serialize the cosine work onto one task
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val a = rk.repartition(nPart, col("label"), col("sub"), col("vec_id"))
+        .select(col("label"), col("sub"), col("vec_id").as("id_a"),
+          col("v").as("va"), col("nrm").as("na"))
+      val bx = rk.select(col("label"), col("sub").as("sub_b"),
+        col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+        .withColumn("sub", explode(array(col("sub_b"), col("sub_b") + 1)))
+      a.join(bx, Seq("label", "sub"))
+        .filter((col("sub_b") === col("sub") && col("id_a") < col("id_b")) ||
+          (col("sub_b") + 1 === col("sub")))
+        .select(col("label"),
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
           (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
         .filter(col("cosine") >= 0.35)
         .orderBy(col("id_a"), col("id_b"))
@@ -294,15 +340,24 @@ object PipelineOps {
           list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
           sqrt(list_reduce(list_transform(embedding,
             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y)) nrm
-        FROM embeddings)
-      SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        FROM embeddings),
+      rk AS (
+        SELECT vec_id, label, v, nrm,
+          CAST((row_number() OVER (PARTITION BY label
+                 ORDER BY v[1] / nrm, vec_id) - 1)
+               // $subBlockRanks AS BIGINT) AS sub
+        FROM n)
+      SELECT a.label, LEAST(a.vec_id, b.vec_id) AS id_a,
+        GREATEST(a.vec_id, b.vec_id) AS id_b,
         list_reduce(list_transform(generate_series(1, $embDim),
           i -> a.v[i]*b.v[i]), (x,y) -> x+y) / (a.nrm*b.nrm) AS cosine
-      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM rk a JOIN rk b
+        ON a.label = b.label
+       AND ((a.sub = b.sub AND a.vec_id < b.vec_id) OR a.sub + 1 = b.sub)
       WHERE list_reduce(list_transform(generate_series(1, $embDim),
           i -> a.v[i]*b.v[i]), (x,y) -> x+y) / (a.nrm*b.nrm) >= 0.35
       ORDER BY id_a, id_b""".stripMargin),
-    "embedding near-dup with metadata blocking: candidates share the blocking key (label), exact cosine verify within blocks — one keyed shuffle, |block|^2 bounded")
+    "embedding near-dup with metadata blocking: candidates share the blocking key (label), exact cosine verify within blocks under q128's hard sorted-neighborhood rank cap (rows ranked by v0/|v|, only same/adjacent 1024-rank sub-blocks pair) — one keyed shuffle, candidates <= 1.5*pop*1024 per block, linear in corpus")
 
   // ---------------------------------------------------------------------
   // q45 — language identification (stopword n-gram heuristic)
@@ -634,17 +689,6 @@ object PipelineOps {
         // runs exactly once.
         .localCheckpoint()
   }
-
-  /** q128's within-block sorted-neighborhood width: rows ranked by
-    * c₀/‖c‖ within their intensity block pair only inside a window of
-    * this many ranks (same or adjacent sub-block of this size), so
-    * per-block candidates are ≤ 1.5·pop·P — the hot-block quadratic
-    * valve. 1024 is the measured sweet spot at sf0.1: recall equals
-    * the 107/120 blocked ceiling (zero loss beyond what crossing blk
-    * already costs) at 6.2M candidates vs 11.5M uncapped; 512 keeps
-    * 101 at 3.4M, 256 keeps 90 at 1.8M.
-    */
-  private[graft] val subBlockRanks = 1024
 
   val q128PerceptualDedup = Q(
     "q128_perceptual_dedup",

@@ -190,6 +190,35 @@ class NearDupRecallSpec extends SparkSpec {
     assert(maxDiff < 1e-12, s"cosine drift vs independent fold: $maxDiff")
   }
 
+  test("q44 planted hot block: the rank cap bounds candidates, sub0 x sub2 excluded") {
+    // the q128 planted-hot-block geometry on q44's surface: 2,560
+    // IDENTICAL vectors under ONE label (every pair cosine exactly 1.0,
+    // ranks tie -> vec_id order) split into subs of 1024: 1024|1024|512.
+    // Expected pair census = same-sub + adjacent-sub only:
+    //   C(1024,2)*2 + C(512,2) + 1024*1024 + 1024*512 = 2,751,232
+    // of brute-force C(2560,2) = 3,275,520 — with every sub0 x sub2
+    // pair (1024*512 = 524,288 of them) PROVABLY excluded even though
+    // their cosine is 1.0: that exclusion is the hard bound that keeps
+    // a hot block linear, and it is the documented recall trade.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q44hot").toString
+    val v = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f).toSeq
+    (0L until 2560L).map(id => (id, v, 7))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = PipelineOps.q44BlockedNearDup.fn(spark, dir)
+      .select(col("id_a"), col("id_b"), col("cosine")).persist()
+    val n = got.count()
+    assert(n == 2751232L, s"capped candidate census: expected 2751232, got $n")
+    val crossTwo = got.filter(col("id_a") < 1024 && col("id_b") >= 2048).count()
+    assert(crossTwo == 0L, s"sub0 x sub2 pairs must be excluded, found $crossTwo")
+    val cosRange = got.agg(min(col("cosine")), max(col("cosine"))).head()
+    assert(cosRange.getDouble(0) == 1.0 && cosRange.getDouble(1) == 1.0,
+      s"identical vectors must pair at cosine exactly 1.0: $cosRange")
+    got.unpersist()
+  }
+
   test("q72 Pregel clusters == driver-side union-find over truth pairs at sf0.1") {
     // independent transitive closure: path-compressing union-find
     val parent = scala.collection.mutable.Map[Long, Long]()
