@@ -69,10 +69,33 @@ object Bench {
     * evidence of the contention that triggered it (round-9 advice: the
     * post-sleep re-read used to overwrite it).
     */
+  /** Fixed-work CPU probe: wall-time of a constant xorshift64 loop, in
+    * ms. The quiet-host gate reads /proc/loadavg, but this VM's
+    * contention is often HYPERVISOR steal — co-tenant VMs consuming
+    * the physical cores — which in-guest load average cannot see
+    * (round 15 measured back-to-back full runs at 93.8 and 130.0 s,
+    * both passing the load gate at <1.3). Timing fixed work sees it
+    * directly: the probe's ratio to its quiet-host floor (~150-250 ms
+    * on this box, per BENCH_HISTORY calibration) marks a polluted
+    * artifact even when loadavg looked clean. Observational, not a
+    * gate — recorded at run start and end as `spin_ms`.
+    */
+  private[graft] def spinProbeMs(): Long = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 100000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1000000
+    if (x == 0L) System.err.println("unreachable: xorshift hit zero")
+    dt
+  }
+
   private[graft] def renderLine(results: Seq[(String, Double)],
       errors: Map[String, String], sfDir: String, load: Array[Double],
       loadPregate: Option[Double], loadEnd: Double, gated: Int,
-      gcMs: Long, passes: Int): String = {
+      gcMs: Long, passes: Int, spinMs: (Long, Long) = (-1L, -1L)): String = {
     // slowest lineTopK successes + every failure (-1 values must stay
     // visible in the line even when they are not "slow")
     val kept = results.filter(_._2 < 0) ++
@@ -84,7 +107,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val pregate = loadPregate.map(l => s""","load_pregate":${d2(l)}""").getOrElse("")
-    s"""{"metric":"total","value":${d2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(load(0))},${d2(load(1))},${d2(load(2))}]$pregate,"load_end":${d2(loadEnd)},"gated":$gated,"gc_ms":$gcMs,"passes":$passes}"""
+    s"""{"metric":"total","value":${d2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(load(0))},${d2(load(1))},${d2(load(2))}]$pregate,"load_end":${d2(loadEnd)},"gated":$gated,"gc_ms":$gcMs,"spin_ms":[${spinMs._1},${spinMs._2}],"passes":$passes}"""
   }
 
   /** Full-precision per-query map, written beside the repo as
@@ -145,6 +168,10 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_SLEEP_S", "60").toLong * 1000)
       loadStart = loadAvgs()
     }
+
+    // steal-visible contention probe at run start (post-gate, so it
+    // describes the window the timed passes actually ran in)
+    val spinStart = spinProbeMs()
 
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -279,6 +306,7 @@ object Bench {
     // when the line outgrew the window). renderLine is the compact
     // serializer; BenchLineSpec pins its size at the live registry.
     val loadEnd = loadAvgs()
+    val spinEnd = spinProbeMs()
     // Anchor the detail artifact to the repo root (nearest ancestor of
     // the launch cwd holding build.sbt), not the bare cwd — `sbt
     // runMain` and a forked JVM can disagree on cwd, and a detail file
@@ -313,7 +341,7 @@ object Bench {
     // runs to exactly that — one summary line per run (epoch-stamped)
     // makes every same-tree series reconstructible after the fact
     val line = renderLine(results, errors, sfDir, loadStart, loadPregate,
-      loadEnd(0), gated, gcSpent, passes.size)
+      loadEnd(0), gated, gcSpent, passes.size, (spinStart, spinEnd))
     // the history splice below assumes renderLine emits a bare JSON
     // object — fail loudly if that coupling ever breaks rather than
     // corrupting every appended record
