@@ -95,7 +95,7 @@ object Bench {
   private[graft] def renderLine(results: Seq[(String, Double)],
       errors: Map[String, String], sfDir: String, load: Array[Double],
       loadPregate: Option[Double], loadEnd: Double, gated: Int,
-      gcMs: Long, passes: Int, spinMs: (Long, Long) = (-1L, -1L)): String = {
+      gcMs: Long, passes: Int, spinMs: Seq[Long] = Nil): String = {
     // slowest lineTopK successes + every failure (-1 values must stay
     // visible in the line even when they are not "slow")
     val kept = results.filter(_._2 < 0) ++
@@ -107,7 +107,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val pregate = loadPregate.map(l => s""","load_pregate":${d2(l)}""").getOrElse("")
-    s"""{"metric":"total","value":${d2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(load(0))},${d2(load(1))},${d2(load(2))}]$pregate,"load_end":${d2(loadEnd)},"gated":$gated,"gc_ms":$gcMs,"spin_ms":[${spinMs._1},${spinMs._2}],"passes":$passes}"""
+    s"""{"metric":"total","value":${d2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(load(0))},${d2(load(1))},${d2(load(2))}]$pregate,"load_end":${d2(loadEnd)},"gated":$gated,"gc_ms":$gcMs,"spin_ms":[${spinMs.mkString(",")}],"passes":$passes}"""
   }
 
   /** Full-precision per-query map, written beside the repo as
@@ -169,9 +169,12 @@ object Bench {
       loadStart = loadAvgs()
     }
 
-    // steal-visible contention probe at run start (post-gate, so it
-    // describes the window the timed passes actually ran in)
-    val spinStart = spinProbeMs()
+    // steal-visible contention probes: run start (post-gate), after
+    // warmup, after every timed pass, run end — the ARRAY localizes an
+    // episodic steal burst to the pass it hit (the first start/end-only
+    // version recorded 212/210 ms around a run that was 20% inflated:
+    // the burst lived entirely between the two samples)
+    val spins = scala.collection.mutable.ArrayBuffer(spinProbeMs())
 
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -257,6 +260,7 @@ object Bench {
       try materialize(n) catch { case _: Throwable => () }
       release()
     }
+    spins += spinProbeMs() // after warmup
     var errors = ListMap.empty[String, String]
     // Timed passes, per-query value = min. The min of repeated runs is
     // the standard noise-robust estimator for a deterministic workload:
@@ -265,7 +269,7 @@ object Bench {
     // page-cache miss). Round-3 showed exactly that failure mode —
     // identical code timed 10-30× slower late in a long run on a
     // contended host while early queries matched local runs.
-    def timedPass(): Map[String, Double] = names.map { name =>
+    def timedPass(): Map[String, Double] = try names.map { name =>
       val t0 = System.nanoTime()
       val timed = try {
         materialize(name)
@@ -277,7 +281,7 @@ object Bench {
       }
       release() // isolation cost stays out of the measured window
       timed
-    }.toMap
+    }.toMap finally spins += spinProbeMs() // after each timed pass
     val gc0 = gcMs()
     var passes = List(timedPass(), timedPass())
     // disagreement between the two passes is the contention signature —
@@ -306,7 +310,6 @@ object Bench {
     // when the line outgrew the window). renderLine is the compact
     // serializer; BenchLineSpec pins its size at the live registry.
     val loadEnd = loadAvgs()
-    val spinEnd = spinProbeMs()
     // Anchor the detail artifact to the repo root (nearest ancestor of
     // the launch cwd holding build.sbt), not the bare cwd — `sbt
     // runMain` and a forked JVM can disagree on cwd, and a detail file
@@ -341,7 +344,7 @@ object Bench {
     // runs to exactly that — one summary line per run (epoch-stamped)
     // makes every same-tree series reconstructible after the fact
     val line = renderLine(results, errors, sfDir, loadStart, loadPregate,
-      loadEnd(0), gated, gcSpent, passes.size, (spinStart, spinEnd))
+      loadEnd(0), gated, gcSpent, passes.size, spins.toSeq)
     // the history splice below assumes renderLine emits a bare JSON
     // object — fail loudly if that coupling ever breaks rather than
     // corrupting every appended record
