@@ -69,27 +69,39 @@ object Bench {
     * evidence of the contention that triggered it (round-9 advice: the
     * post-sleep re-read used to overwrite it).
     */
-  /** Fixed-work CPU probe: wall-time of a constant xorshift64 loop, in
-    * ms. The quiet-host gate reads /proc/loadavg, but this VM's
-    * contention is often HYPERVISOR steal — co-tenant VMs consuming
-    * the physical cores — which in-guest load average cannot see
-    * (round 15 measured back-to-back full runs at 93.8 and 130.0 s,
-    * both passing the load gate at <1.3). Timing fixed work sees it
-    * directly: the probe's ratio to its quiet-host floor (~150-250 ms
-    * on this box, per BENCH_HISTORY calibration) marks a polluted
-    * artifact even when loadavg looked clean. Observational, not a
-    * gate — recorded at run start and end as `spin_ms`.
+  /** Fixed-work PARALLEL CPU probe: every one of `threads` threads runs
+    * a constant xorshift64 loop; the reported ms is the SLOWEST
+    * thread's wall. The quiet-host gate reads /proc/loadavg, but this
+    * VM's contention is hypervisor steal — co-tenant VMs holding some
+    * of the physical cores — which in-guest load average cannot see,
+    * and which a SINGLE-thread probe dodges by landing on a free core:
+    * round 15 measured full runs at 111-130 s (vs the same tree's
+    * 89.7-95.7 s quiet samples) with 1-thread probes flat at the
+    * ~210 ms floor through all of them. Only all-core fixed work
+    * exposes partial-core steal: quiet, max-thread wall ≈ the 1-thread
+    * floor (every vCPU gets a core); contended, the slowest thread
+    * carries the steal directly. Observational, not a gate — recorded
+    * as `spin_ms` at run start (post-gate), post-warmup, and after
+    * every timed pass, so an episodic burst is localized to the pass
+    * it hit; the quiet-floor calibration lives in BENCH_HISTORY.
     */
-  private[graft] def spinProbeMs(): Long = {
-    var x = 0x9e3779b97f4a7c15L
-    var i = 0
-    val t0 = System.nanoTime()
-    while (i < 100000000) {
-      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+  private[graft] def spinProbeMs(threads: Int = 32): Long = {
+    val walls = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ts = (1 to threads).map { _ =>
+      new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0
+        val t0 = System.nanoTime()
+        while (i < 100000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        val dt = (System.nanoTime() - t0) / 1000000
+        if (x == 0L) System.err.println("unreachable: xorshift hit zero")
+        walls.accumulateAndGet(dt, math.max)
+      })
     }
-    val dt = (System.nanoTime() - t0) / 1000000
-    if (x == 0L) System.err.println("unreachable: xorshift hit zero")
-    dt
+    ts.foreach(_.start()); ts.foreach(_.join())
+    walls.get()
   }
 
   private[graft] def renderLine(results: Seq[(String, Double)],
