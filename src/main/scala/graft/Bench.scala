@@ -36,6 +36,24 @@ import scala.collection.immutable.ListMap
   *    noise-robust estimator, and a third sample under disagreement is
   *    what makes two consecutive artifacts agree within ~10% on a noisy
   *    host instead of needing adjudication.
+  *
+  * Round-16 additions (round-15 verdict #1 — the gate artifact breached
+  * 2× while the same tree ran 1.58× quiet hours earlier; loadavg saw
+  * nothing): the run now ACTS on its contention instruments instead of
+  * only recording them.
+  *  - pre-run SPIN gate: a 1-thread fixed-work probe calibrates the
+  *    host's quiet per-core floor (steal-immune — it lands on a free
+  *    core), then the all-core probe must come within
+  *    SPARK_GRAFT_SPIN_GATE_RATIO (1.25×) of it or the run sleeps and
+  *    re-probes, sharing the load gate's bounded tries;
+  *  - post-run HISTORY retry: if the min-total exceeds
+  *    SPARK_GRAFT_RETRY_RATIO (1.25×) the best clean same-sf
+  *    same-registry total in the in-tree BENCH_HISTORY.jsonl — the
+  *    tree's own quiet floor, which sees the memory-bandwidth co-tenant
+  *    pressure no probe here fully does — one more full pass runs after
+  *    a gate-interval sleep (bounded by SPARK_GRAFT_RUN_RETRIES=1) and
+  *    per-query mins keep whichever samples were better; the line
+  *    records `retried`/`pre_retry_total` so both totals are evidence.
   */
 object Bench {
 
@@ -85,7 +103,7 @@ object Bench {
     * every timed pass, so an episodic burst is localized to the pass
     * it hit; the quiet-floor calibration lives in BENCH_HISTORY.
     */
-  private[graft] def spinProbeMs(threads: Int = 32): Long = {
+  private[graft] def spinProbeMs(threads: Int): Long = {
     val walls = new java.util.concurrent.atomic.AtomicLong(0L)
     val ts = (1 to threads).map { _ =>
       new Thread(() => {
@@ -107,7 +125,9 @@ object Bench {
   private[graft] def renderLine(results: Seq[(String, Double)],
       errors: Map[String, String], sfDir: String, load: Array[Double],
       loadPregate: Option[Double], loadEnd: Double, gated: Int,
-      gcMs: Long, passes: Int, spinMs: Seq[Long] = Nil): String = {
+      gcMs: Long, passes: Int, spinMs: Seq[Long] = Nil,
+      spinThreads: Int = 32, spinFloor: Long = -1, histBest: Double = -1,
+      retried: Int = 0, preRetryTotal: Double = -1): String = {
     // slowest lineTopK successes + every failure (-1 values must stay
     // visible in the line even when they are not "slow")
     val kept = results.filter(_._2 < 0) ++
@@ -119,7 +139,41 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val pregate = loadPregate.map(l => s""","load_pregate":${d2(l)}""").getOrElse("")
-    s"""{"metric":"total","value":${d2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(load(0))},${d2(load(1))},${d2(load(2))}]$pregate,"load_end":${d2(loadEnd)},"gated":$gated,"gc_ms":$gcMs,"spin_ms":[${spinMs.mkString(",")}],"passes":$passes}"""
+    // retry evidence only when a retry actually fired — keeps the
+    // common-case line short while "record both totals" (round-15
+    // directive 1a) holds whenever it matters
+    val retryJson = if (retried > 0)
+      s""","retried":$retried,"pre_retry_total":${d2(preRetryTotal)}""" else ""
+    s"""{"metric":"total","value":${d2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(load(0))},${d2(load(1))},${d2(load(2))}]$pregate,"load_end":${d2(loadEnd)},"gated":$gated,"gc_ms":$gcMs,"spin_ms":[${spinMs.mkString(",")}],"spin_t":$spinThreads,"spin_floor":$spinFloor,"hist_best":${d2(histBest)}$retryJson,"passes":$passes}"""
+  }
+
+  /** Best (minimum) clean same-shape total in the append-only run
+    * history: same sf dir, same registry size, zero failures. This is
+    * the tree's own quiet floor — the reference the post-run retry
+    * gate compares against (round-15 verdict #1: the gate "never
+    * consults the in-tree BENCH_HISTORY floor"). Regex field pulls, not
+    * a JSON parser: the file is machine-written one-object-per-line by
+    * renderLine above, and a malformed line must skip, not crash. */
+  private[graft] def historyBest(path: java.nio.file.Path, sfDir: String,
+      nQueries: Int): Double = {
+    val value = """"value":([0-9.]+)""".r
+    val nq = """"n_queries":(\d+)""".r
+    val nf = """"n_failed":(\d+)""".r
+    val sf = """"sf":"((?:[^"\\]|\\.)*)"""".r
+    try {
+      import scala.jdk.CollectionConverters._
+      val best = java.nio.file.Files.readAllLines(path).asScala.iterator
+        .flatMap { l =>
+          for {
+            v <- value.findFirstMatchIn(l).map(_.group(1).toDouble)
+            q <- nq.findFirstMatchIn(l).map(_.group(1).toInt)
+            f <- nf.findFirstMatchIn(l).map(_.group(1).toInt)
+            s <- sf.findFirstMatchIn(l).map(_.group(1))
+            if q == nQueries && f == 0 && s == sfDir && v > 0
+          } yield v
+        }.foldLeft(Double.MaxValue)(math.min)
+      if (best == Double.MaxValue) -1.0 else best
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
   }
 
   /** Full-precision per-query map, written beside the repo as
@@ -185,8 +239,37 @@ object Bench {
     // warmup, after every timed pass, run end — the ARRAY localizes an
     // episodic steal burst to the pass it hit (the first start/end-only
     // version recorded 212/210 ms around a run that was 20% inflated:
-    // the burst lived entirely between the two samples)
-    val spins = scala.collection.mutable.ArrayBuffer(spinProbeMs())
+    // the burst lived entirely between the two samples).
+    //
+    // Probe threads = the same count as the Spark master (round-15
+    // advice: a hardcoded 32 silently mis-subscribes other hosts);
+    // recorded in the line as `spin_t`.
+    val spinThreads = cpus.toInt
+    // Host floor calibration: ONE thread running the same fixed work.
+    // Round-15 forensics showed the 1-thread probe stays flat at the
+    // host's quiet per-core time (~210 ms here) even through 45%-
+    // inflated runs (it lands on a free core), so it is a steal-immune
+    // floor estimate computed fresh per host per run — no hardcoded ms.
+    // Quiet, the all-core probe's slowest thread ≈ this floor; the
+    // ratio above 1 is the steal/bandwidth tax.
+    val spinFloor = spinProbeMs(1)
+    // Spin-aware pre-run gate (round-15 verdict #1a: the gate "records
+    // spin_ms but doesn't ACT on it"): if the parallel probe exceeds
+    // SPARK_GRAFT_SPIN_GATE_RATIO × floor (default 1.25 — the breach
+    // run's probes sat at 1.01-1.21× while quiet runs sit ≈1.0×),
+    // sleep and re-probe, bounded by the same gateTries budget. Each
+    // probe lands in `spins`, so the artifact shows the gate's
+    // evidence trail; `gated` counts BOTH load and spin sleeps.
+    val spinGateRatio =
+      sys.env.getOrElse("SPARK_GRAFT_SPIN_GATE_RATIO", "1.25").toDouble
+    val gateSleepMs =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_SLEEP_S", "60").toLong * 1000
+    val spins = scala.collection.mutable.ArrayBuffer(spinProbeMs(spinThreads))
+    while (spins.last > spinGateRatio * spinFloor && gated < gateTries) {
+      gated += 1
+      Thread.sleep(gateSleepMs)
+      spins += spinProbeMs(spinThreads)
+    }
 
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -223,6 +306,9 @@ object Bench {
     // run is untouched by the hook's existence.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').iterator
       .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        // a stray ';k' or bare token used to die as an opaque
+        // MatchError with no hint which entry was bad (round-15 advice)
+        require(kv.contains('='), s"malformed SPARK_GRAFT_CONF entry (no '='): $kv")
         val Array(k, v) = kv.split("=", 2)
         builder.config(k, v)
       })
@@ -272,7 +358,7 @@ object Bench {
       try materialize(n) catch { case _: Throwable => () }
       release()
     }
-    spins += spinProbeMs() // after warmup
+    spins += spinProbeMs(spinThreads) // after warmup
     var errors = ListMap.empty[String, String]
     // Timed passes, per-query value = min. The min of repeated runs is
     // the standard noise-robust estimator for a deterministic workload:
@@ -293,7 +379,25 @@ object Bench {
       }
       release() // isolation cost stays out of the measured window
       timed
-    }.toMap finally spins += spinProbeMs() // after each timed pass
+    }.toMap finally spins += spinProbeMs(spinThreads) // after each timed pass
+    // Anchor the detail/history artifacts to the repo root (nearest
+    // ancestor of the launch cwd holding build.sbt), not the bare cwd —
+    // `sbt runMain` and a forked JVM can disagree on cwd (round-13
+    // advice #4). Resolved BEFORE the timed region because the
+    // post-run retry gate below reads BENCH_HISTORY from here.
+    val detailPath = sys.env.get("SPARK_GRAFT_DETAIL_PATH")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val cwd = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+        var d = cwd
+        while (d.getParent != null &&
+            !java.nio.file.Files.exists(d.resolve("build.sbt")))
+          d = d.getParent
+        val root =
+          if (java.nio.file.Files.exists(d.resolve("build.sbt"))) d else cwd
+        root.resolve("BENCH_DETAIL.json")
+      }
+
     val gc0 = gcMs()
     var passes = List(timedPass(), timedPass())
     // disagreement between the two passes is the contention signature —
@@ -310,6 +414,37 @@ object Bench {
     val (t1, t2) = (inBoth.map(p1).sum, inBoth.map(p2).sum)
     if (t1 > 0 && t2 > 0 && math.abs(t1 - t2) / math.min(t1, t2) > 0.10)
       passes :+= timedPass()
+    // History-aware bounded retry (round-15 verdict #1a, second
+    // instrument): this host's co-tenant memory-bandwidth pressure is
+    // invisible to loadavg and only partially visible to the spin
+    // probe (the 2.27×-gate-breach artifact carried probes at just
+    // 1.01-1.21× floor) — but the TREE'S OWN quiet floor in the
+    // in-tree run history sees it directly. If the run's min-total
+    // exceeds SPARK_GRAFT_RETRY_RATIO (default 1.25×) the best clean
+    // same-sf same-registry history total, sleep one gate interval
+    // (let the burst decay) and buy one more full pass, bounded by
+    // SPARK_GRAFT_RUN_RETRIES (default 1). Per-query mins across ALL
+    // passes are the result, so "keep the better artifact" is
+    // automatic; the pre-retry total is recorded in the line
+    // (`pre_retry_total`) so both totals stay on the record.
+    def minTotal(ps: List[Map[String, Double]]): Double = names.map { n =>
+      val ok = ps.map(_.getOrElse(n, -1.0)).filter(_ >= 0)
+      if (ok.nonEmpty) ok.min else 0.0
+    }.sum
+    val histBest = historyBest(
+      detailPath.resolveSibling("BENCH_HISTORY.jsonl"), sfDir, names.size)
+    val retryRatio =
+      sys.env.getOrElse("SPARK_GRAFT_RETRY_RATIO", "1.25").toDouble
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_RUN_RETRIES", "1").toInt
+    var retried = 0
+    var preRetryTotal = -1.0
+    while (histBest > 0 && minTotal(passes) > retryRatio * histBest &&
+        retried < maxRetries) {
+      if (retried == 0) preRetryTotal = minTotal(passes)
+      retried += 1
+      Thread.sleep(gateSleepMs)
+      passes :+= timedPass()
+    }
     val gcSpent = gcMs() - gc0
     val results = names.map { n =>
       val ok = passes.map(_.getOrElse(n, -1.0)).filter(_ >= 0)
@@ -322,27 +457,9 @@ object Bench {
     // when the line outgrew the window). renderLine is the compact
     // serializer; BenchLineSpec pins its size at the live registry.
     val loadEnd = loadAvgs()
-    // Anchor the detail artifact to the repo root (nearest ancestor of
-    // the launch cwd holding build.sbt), not the bare cwd — `sbt
-    // runMain` and a forked JVM can disagree on cwd, and a detail file
-    // written into some sub-directory silently vanishes from the
-    // round-over-round comparison surface (round-13 advice #4).
-    // SPARK_GRAFT_DETAIL_PATH overrides outright. Best-effort stays,
-    // but only for non-fatal errors, and failing now WARNS instead of
-    // swallowing: an OOM/LinkageError must kill the run, and a full
-    // disk should at least say so.
-    val detailPath = sys.env.get("SPARK_GRAFT_DETAIL_PATH")
-      .map(java.nio.file.Paths.get(_))
-      .getOrElse {
-        val cwd = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
-        var d = cwd
-        while (d.getParent != null &&
-            !java.nio.file.Files.exists(d.resolve("build.sbt")))
-          d = d.getParent
-        val root =
-          if (java.nio.file.Files.exists(d.resolve("build.sbt"))) d else cwd
-        root.resolve("BENCH_DETAIL.json")
-      }
+    // Detail write is best-effort, but only for non-fatal errors, and
+    // failing WARNS instead of swallowing: an OOM/LinkageError must
+    // kill the run, and a full disk should at least say so.
     try java.nio.file.Files.write(
       detailPath,
       (renderDetail(results, sfDir, gcSpent, passes.size) + "\n")
@@ -356,7 +473,8 @@ object Bench {
     // runs to exactly that — one summary line per run (epoch-stamped)
     // makes every same-tree series reconstructible after the fact
     val line = renderLine(results, errors, sfDir, loadStart, loadPregate,
-      loadEnd(0), gated, gcSpent, passes.size, spins.toSeq)
+      loadEnd(0), gated, gcSpent, passes.size, spins.toSeq,
+      spinThreads, spinFloor, histBest, retried, preRetryTotal)
     // the history splice below assumes renderLine emits a bare JSON
     // object — fail loudly if that coupling ever breaks rather than
     // corrupting every appended record

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed per-block ranking: `row_number() OVER (PARTITION BY
+  * block ORDER BY key...)` semantics WITHOUT the per-block
+  * single-task sort — the round-15 verdict's last prose-only scale
+  * valve (q44/q128: a 10M-doc hot block is a ~1.5 GB sort owned by
+  * ONE window task; linear and spillable, but parallelism collapses
+  * exactly where the data is hottest).
+  *
+  * This is [[DenseIds]]'s range-split numbering generalized from one
+  * global sequence to per-block sequences, and it is a PHYSICAL
+  * rewrite only: the produced rank is bit-identical to the global
+  * window form (BlockRanksSpec pins equality, planted mega-block
+  * included), so q44/q128's DuckDB oracles — which mirror the ranked
+  * sub-blocking rank-for-rank — need no change at all. That is the
+  * decisive advantage over the salted-stripe alternative the q128
+  * scaladoc used to gesture at: hash stripes change WHICH pairs are
+  * candidates (cross-stripe neighbors never meet — a recall cut), while
+  * a range split preserves the exact total order and merely spreads
+  * the sort.
+  *
+  * Decomposition (three corpus-sized-frame-free steps after the one
+  * range exchange):
+  *
+  *   1. `repartitionByRange(p, block, key...)` splits the combined
+  *      (block, key) space into p ordered ranges — a hot block SPANS
+  *      as many ranges as its share of the corpus, so the sort behind
+  *      the ranking runs p-way regardless of block skew. The full
+  *      tuple (block, key..., tiebreak-id) is unique by the callers'
+  *      contract, so every row lands in exactly one range and
+  *      cross-range order is total.
+  *   2. per-(range, block) row counts — a frame of at most
+  *      p + |blocks| rows (a block contributes to every range it
+  *      spans; a range holds at most one partial block at each end) —
+  *      with an exclusive prefix sum over ranges WITHIN each block: a
+  *      window over the tiny count frame, never the corpus.
+  *   3. `row_number()` within (range, block) ordered by the same key,
+  *      plus the broadcast per-(range, block) offset = the exact
+  *      per-block rank.
+  *
+  * The ranged frame is eagerly `localCheckpoint`ed for the same
+  * reason DenseIds' is: both q44/q128 join sides read the ranked
+  * frame, and two planner instantiations of the range exchange would
+  * re-sample boundaries independently — per-branch disagreement on
+  * which range a row fell in silently corrupts ranks. One cheap
+  * materialization (the callers feed fingerprint-sized frames,
+  * ~150 B/doc) pins the boundaries physically; it also stops the
+  * range sampler from re-executing an expensive child twice.
+  *
+  * Caller contract (both enforced by construction at the call sites):
+  * `orderCols` must end in a unique tie-break column (q44/q128 pass
+  * the doc/vec id) — ties would make row_number nondeterministic in
+  * EITHER form; and `df` must not already contain the reserved temp
+  * columns.
+  */
+object BlockRanks {
+
+  /** Adds `rnCol` = the 1-based rank of each row within its
+    * `blockCol` group under `orderCols`, as LongType. Plan-equivalent
+    * to `row_number().over(Window.partitionBy(blockCol).orderBy
+    * (orderCols))` with p-way parallelism in every stage.
+    */
+  def withBlockRank(df: DataFrame, blockCol: String, orderCols: Seq[Column],
+      rnCol: String, partitions: Int = 0): DataFrame = {
+    val reserved = Seq("__pid", "__cnt", "__off")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not contain reserved temp columns ${reserved.mkString(", ")}")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+    val ranged = df
+      .repartitionByRange(p, (col(blockCol) +: orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin sampled boundaries for multi-branch readers
+
+    // exclusive prefix sum of range populations within each block —
+    // the offset every range adds to its local row numbers
+    val wOff = Window.partitionBy(col(blockCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"), col(blockCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__pid"), col(blockCol), col("__off"))
+
+    val wIn = Window.partitionBy(col("__pid"), col(blockCol))
+      .orderBy(orderCols: _*)
+    ranged.join(broadcast(offsets), Seq("__pid", blockCol))
+      .withColumn(rnCol, row_number().over(wIn).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+}

@@ -114,7 +114,11 @@ object ConnectedComponents {
       prev = cs
       edges = small
     }
-    System.err.println(s"[cc] large/small-star converged in $rounds rounds")
+    // round-count diagnostic is opt-in: this is library code, and an
+    // unconditional stderr print would fire for every embedding caller
+    // (round-15 advice). GRAFT_CC_DEBUG=1 turns it on for forensics.
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] large/small-star converged in $rounds rounds")
     // fixpoint: every edge is (v, componentMin). Vertices that ARE the
     // minimum appear only on the dst side — union them back with
     // themselves as label.

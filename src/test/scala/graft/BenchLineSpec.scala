@@ -21,8 +21,16 @@ class BenchLineSpec extends AnyFunSuite {
     // registered query has ever exceeded 13 s warm; 99.99 is the widest
     // a 2-decimal sub-100 value renders), gate fired, huge GC figure
     val results = names.map(_ -> 99.99)
+    // worst-plausible spin trail (round-15 advice: the default Nil hid
+    // ~50 B of live entries from this contract): floor + initial + 3
+    // spin-gate retries + warmup + 4 timed passes (3 + 1 history
+    // retry) = up to 10 parallel entries, 7 digits each under extreme
+    // contention; retry fields at their widest
+    val spins = Seq.fill(10)(9999999L)
     val line = Bench.renderLine(results, Map.empty, "/root/testdata/sf0.1",
-      Array(99.99, 99.99, 99.99), Some(99.99), 99.99, 1, 9999999L, 3)
+      Array(99.99, 99.99, 99.99), Some(99.99), 99.99, 3, 9999999L, 4, spins,
+      spinThreads = 32, spinFloor = 9999999L, histBest = 9999.99,
+      retried = 1, preRetryTotal = 99999.99)
     // round-12 contract: the line's queries map is bounded (top-K +
     // failures), so its size must be nearly INVARIANT in registry
     // growth — 25 more queries may add bytes only through n_queries'
@@ -35,7 +43,9 @@ class BenchLineSpec extends AnyFunSuite {
     val grown = Bench.renderLine(
       results ++ (1 to 200).map(i => s"q${i + 900}_future" -> 99.99),
       Map.empty, "/root/testdata/sf0.1",
-      Array(99.99, 99.99, 99.99), Some(99.99), 99.99, 1, 9999999L, 3)
+      Array(99.99, 99.99, 99.99), Some(99.99), 99.99, 3, 9999999L, 4, spins,
+      spinThreads = 32, spinFloor = 9999999L, histBest = 9999.99,
+      retried = 1, preRetryTotal = 99999.99)
     assert(grown.length <= line.length + 4,
       s"line grew ${grown.length - line.length} B for 200 extra queries — " +
         "the top-K bound is not holding")
@@ -80,5 +90,41 @@ class BenchLineSpec extends AnyFunSuite {
     val gatedLine = Bench.renderLine(Seq("q01_x" -> 1.0), Map.empty, "sf",
       Array(2.0, 1.0, 0.5), Some(2.5), 1.0, 1, 0L, 2)
     assert(gatedLine.contains("\"load_pregate\":2.5"))
+    // new gate-evidence fields: spin threads/floor + history floor
+    // always present; retry evidence only when a retry fired
+    assert(gatedLine.contains("\"spin_t\":32"))
+    assert(gatedLine.contains("\"spin_floor\":-1"))
+    assert(gatedLine.contains("\"hist_best\":-1"))
+    assert(!gatedLine.contains("retried"), "retry fields only when retried>0")
+    val retriedLine = Bench.renderLine(Seq("q01_x" -> 1.0), Map.empty, "sf",
+      Array(2.0, 1.0, 0.5), None, 1.0, 0, 0L, 4, Seq(210L, 230L),
+      spinThreads = 16, spinFloor = 208L, histBest = 89.7,
+      retried = 1, preRetryTotal = 131.52)
+    assert(retriedLine.contains("\"spin_t\":16"))
+    assert(retriedLine.contains("\"spin_floor\":208"))
+    assert(retriedLine.contains("\"hist_best\":89.7"))
+    assert(retriedLine.contains("\"retried\":1"))
+    assert(retriedLine.contains("\"pre_retry_total\":131.52"))
+  }
+
+  test("historyBest picks the min clean same-shape total, skipping other sfs, sizes, failed and malformed lines") {
+    val dir = java.nio.file.Files.createTempDirectory("benchhist")
+    val p = dir.resolve("BENCH_HISTORY.jsonl")
+    val lines = Seq(
+      // clean matches: 92.7 and 89.7 → best 89.7
+      """{"ts":1,"metric":"total","value":92.7,"unit":"sec","n_queries":129,"queries":{},"errors":{},"n_failed":0,"sf":"/root/testdata/sf0.1","load":[0.1,0.1,0.1],"load_end":0.1,"gated":0,"gc_ms":2100,"spin_ms":[210],"passes":2}""",
+      """{"ts":2,"metric":"total","value":89.7,"unit":"sec","n_queries":129,"queries":{},"errors":{},"n_failed":0,"sf":"/root/testdata/sf0.1","load":[0.1,0.1,0.1],"load_end":0.1,"gated":0,"gc_ms":2100,"spin_ms":[210],"passes":2}""",
+      // wrong sf (the sf1 decade run), wrong registry size, a failed
+      // run with a suspiciously low total, and plain garbage — all skip
+      """{"ts":3,"metric":"total","value":23.0,"unit":"sec","n_queries":129,"queries":{},"errors":{},"n_failed":0,"sf":"/tmp/sf1","load":[0.1,0.1,0.1],"load_end":0.1,"gated":0,"gc_ms":2,"spin_ms":[],"passes":2}""",
+      """{"ts":4,"metric":"total","value":0.63,"unit":"sec","n_queries":1,"queries":{},"errors":{},"n_failed":0,"sf":"/root/testdata/sf0.1","load":[0.1,0.1,0.1],"load_end":0.1,"gated":0,"gc_ms":2,"spin_ms":[],"passes":2}""",
+      """{"ts":5,"metric":"total","value":11.0,"unit":"sec","n_queries":129,"queries":{},"errors":{"q01":"boom"},"n_failed":1,"sf":"/root/testdata/sf0.1","load":[0.1,0.1,0.1],"load_end":0.1,"gated":0,"gc_ms":2,"spin_ms":[],"passes":2}""",
+      """not json at all""")
+    java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    assert(Bench.historyBest(p, "/root/testdata/sf0.1", 129) === 89.7)
+    assert(Bench.historyBest(p, "/root/testdata/sf0.1", 7) === -1.0,
+      "no same-shape record → -1 (retry gate disabled)")
+    assert(Bench.historyBest(dir.resolve("missing.jsonl"),
+      "/root/testdata/sf0.1", 129) === -1.0, "missing file → -1, no throw")
   }
 }
