@@ -59,17 +59,40 @@ import org.apache.spark.sql.functions._
   */
 object BlockRanks {
 
+  /** Input-size threshold for the plain-window fast path: at or below
+    * this many TOTAL rows the single-task per-block window runs
+    * instead of the range split. 32·1024 rows of ~150 B fingerprint is
+    * ~5 MB — a sub-millisecond sort for one task, well below the fixed
+    * cost of the split's three extra stages (range-sample job,
+    * checkpoint, offset join; measured +0.8 s per query at sf0.1 on
+    * 2k-5k-row frames), while above it the split hands every one of
+    * ~32 tasks at least a [[graft.queries.PipelineOps.subBlockRanks]]-
+    * sized range. The two paths produce IDENTICAL ranks
+    * (BlockRanksSpec pins it), so the branch is a physical choice
+    * only — the round-15 directive's "salted rank stripes above a
+    * population threshold", with a range split (order-preserving, no
+    * recall cut) where stripes would have cut recall. */
+  val windowFormMaxRows: Long = 32L * 1024L
+
   /** Adds `rnCol` = the 1-based rank of each row within its
     * `blockCol` group under `orderCols`, as LongType. Plan-equivalent
     * to `row_number().over(Window.partitionBy(blockCol).orderBy
     * (orderCols))` with p-way parallelism in every stage.
+    *
+    * `knownRows`: the caller's (cached) input row count, if it has
+    * one; a value in [0, windowFormMaxRows] selects the plain-window
+    * form. Pass -1 (default) when unknown — the scale-safe split runs
+    * unconditionally.
     */
   def withBlockRank(df: DataFrame, blockCol: String, orderCols: Seq[Column],
-      rnCol: String, partitions: Int = 0): DataFrame = {
+      rnCol: String, partitions: Int = 0, knownRows: Long = -1L): DataFrame = {
     val reserved = Seq("__pid", "__cnt", "__off")
     require(!df.columns.exists(reserved.contains),
       s"input must not contain reserved temp columns ${reserved.mkString(", ")}")
     require(orderCols.nonEmpty, "orderCols must be non-empty")
+    if (knownRows >= 0 && knownRows <= windowFormMaxRows)
+      return df.withColumn(rnCol, row_number().over(
+        Window.partitionBy(col(blockCol)).orderBy(orderCols: _*)).cast("long"))
     val p =
       if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt

@@ -35,6 +35,16 @@ object PipelineOps {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
 
+  /** Session-scoped memoized row count (the renderableDocCount cache,
+    * generalized to any key — `dir` for the renderable-doc count,
+    * `dir#emb` for the embeddings count q44's rank-path branch needs).
+    * Same immutable-corpus contract as the map it wraps. */
+  private def cachedCount(s: SparkSession, key: String)(f: => Long): Long =
+    renderableDocCount.synchronized {
+      renderableDocCount.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+    }.computeIfAbsent(key, _ => f)
+
   // ---------------------------------------------------------------------
   // q42 — SimHash Hamming near-dup (fingerprint consumption)
   // ---------------------------------------------------------------------
@@ -305,13 +315,16 @@ object PipelineOps {
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .select(col("vec_id"), col("label"), col("v"),
           sqrt(dot(col("v"), col("v"))).as("nrm"))
-      // round 16: the rank comes from BlockRanks' range-split numbering
-      // — bit-identical to row_number() OVER (PARTITION BY label ...)
-      // (BlockRanksSpec pins it), but the sort behind it is a p-way
-      // range exchange instead of one task per label block, closing
-      // the last single-task-sort valve the round-15 verdict flagged
+      // round 16: the rank comes from BlockRanks — bit-identical to
+      // row_number() OVER (PARTITION BY label ...) (BlockRanksSpec
+      // pins it), but above the population threshold the sort behind
+      // it is a p-way range exchange instead of one task per label
+      // block, closing the last single-task-sort valve the round-15
+      // verdict flagged; the cached corpus count picks the path
+      val nEmb = cachedCount(s, dir + "#emb")(T.embeddings(s, dir).count())
       val rk = graft.ops.BlockRanks.withBlockRank(e, "label",
-          Seq(col("v").getItem(0) / col("nrm"), col("vec_id")), "rn")
+          Seq(col("v").getItem(0) / col("nrm"), col("vec_id")), "rn",
+          knownRows = nEmb)
         .select(col("label"),
           expr(s"cast((rn - 1) div $subBlockRanks as bigint)").as("sub"),
           col("vec_id"), col("v"), col("nrm"))
@@ -671,11 +684,8 @@ object PipelineOps {
       // unblocked ≥0.95 pairs at W=4096, 65/120 at 1024 —
       // near-IDENTICAL pairs have near-equal tot and survive any W;
       // the boundary cases are the standard blocking caveat).
-      val nDocs = renderableDocCount.synchronized {
-        renderableDocCount.computeIfAbsent(s,
-          _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
-      }.computeIfAbsent(dir,
-        _ => T.documents(s, dir).filter(length(col("text")) >= 1).count())
+      val nDocs = cachedCount(s, dir)(
+        T.documents(s, dir).filter(length(col("text")) >= 1).count())
       val w = math.max(64L, math.min(4096L, 20480000L / math.max(1L, nDocs)))
       Multimodal.extractPpmBands(media, bands).toDF()
         .select(col("media_id").as("doc_id"),
@@ -709,8 +719,11 @@ object PipelineOps {
       // both join sides then shuffle on (blk, sub), which SPLITS a
       // hot block into pop/P-way parallelism instead of one
       // quadratic task
+      val nDocs = cachedCount(s, dir)(
+        T.documents(s, dir).filter(length(col("text")) >= 1).count())
       val rk = graft.ops.BlockRanks.withBlockRank(fp, "blk",
-          Seq(col("c").getItem(0) / col("nrm"), col("doc_id")), "rn")
+          Seq(col("c").getItem(0) / col("nrm"), col("doc_id")), "rn",
+          knownRows = nDocs)
         .select(col("blk"),
           expr(s"cast((rn - 1) div $subBlockRanks as bigint)").as("sub"),
           col("doc_id"), col("c"), col("nrm"))

@@ -83,6 +83,29 @@ class BlockRanksSpec extends SparkSpec {
     assert(bad.isEmpty, "a block's ranks are not dense 1..pop")
   }
 
+  test("knownRows threshold picks the path; both paths produce identical ranks") {
+    val df = fixture
+    val expected = windowForm(df)
+    val small = BlockRanks.withBlockRank(df, "blk", Seq(col("k"), col("id")),
+      "rn", 8, knownRows = df.count())
+    val large = BlockRanks.withBlockRank(df, "blk", Seq(col("k"), col("id")),
+      "rn", 8, knownRows = BlockRanks.windowFormMaxRows + 1)
+    def tuples(g: DataFrame) = g.select(col("blk"), col("id"), col("rn"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(tuples(small) == expected && tuples(large) == expected)
+    // the physical claim behind the branch: the small-input path is the
+    // plain window over the raw frame (no checkpointed ranged RDD, no
+    // offset join); the above-threshold path reads the eagerly
+    // checkpointed ranged frame (its LogicalRDD is the range split's
+    // footprint — the exchange itself is behind the checkpoint cut)
+    val smallPlan = small.queryExecution.optimizedPlan.toString
+    assert(!smallPlan.contains("LogicalRDD"),
+      "small-input path should not materialize a ranged checkpoint")
+    assert(large.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      "above-threshold path must go through the checkpointed range split")
+  }
+
   test("reserved temp columns are rejected") {
     val df = fixture.withColumn("__pid", lit(1))
     intercept[IllegalArgumentException] {
