@@ -62,7 +62,7 @@ object CurateAudit {
       s"""{"sf":"$sfDir","in":${inputBytes.sum()},"sh":${shuffleBytes.sum()},""" +
         s""""wall":${math.rint(wall * 100) / 100},"funnel":{"input":${r.nInput},""" +
         s""""quality":${r.nQuality},"lm":${r.nLmPass},"exact":${r.nExactDedup},""" +
-        s""""near":${r.nNearDedup},"decontam":${r.nDecontaminated},""" +
+        s""""near":${r.nNearDedup},"media":${r.nMediaDedup},"decontam":${r.nDecontaminated},""" +
         s""""sem":${r.nSemClean},"rewritten":${r.nRewritten},"sampled":${r.nSampled},""" +
         s""""chunks":${r.nChunks},"shards":${r.nShards},"tokens":${r.nTokens}}}""")
     spark.stop()

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *   4. near-dup prune      — the shared near-dup pair graph (q33's
   *                            LSH generation ≡ q32's exact pairs) +
   *                            q89's lose-to-higher-score rule
+  *  4b. multimodal dedup    — q128's perceptual pair graph + q129's
+  *                            exact audio-fingerprint groups, both via
+  *                            the factored fingerprint seams, min-doc
+  *                            survivor
   *   5. decontamination     — q77's 5-gram overlap vs the eval probe set
   *  5b. semantic decontam   — q126's kernel: drop docs whose embedding
   *                            sits within `semThr` cosine of any eval
@@ -57,7 +61,7 @@ object Curate {
 
   final case class Report(
       nInput: Long, nQuality: Long, nLmPass: Long, nExactDedup: Long,
-      nNearDedup: Long, nDecontaminated: Long, nSemClean: Long,
+      nNearDedup: Long, nMediaDedup: Long, nDecontaminated: Long, nSemClean: Long,
       nRewritten: Long, nSampled: Long, nChunks: Long, nShards: Long,
       nTokens: Long)
 
@@ -161,6 +165,32 @@ object Curate {
     val nNear = nearDeduped.count(); lap("near")
     exact.unpersist()
 
+    // 4b. MULTIMODAL dedup (round 16): the corpus's rendered media
+    // deduped through the same factored seams the oracle-gated queries
+    // verify — q128's perceptual pair graph (capped blocked cosine
+    // ≥ 0.95; pairs carry id_a < id_b, so dropping every id_b is the
+    // min-doc-survivor rule) and q129's exact audio-fingerprint
+    // groups (all but the min doc_id of each band-energy group).
+    // Both graphs are computed CORPUS-WIDE and losers subtracted from
+    // the current survivors — the stage-4 nearDupPairs convention (a
+    // winner the funnel already dropped still eliminates its copies).
+    // Scale shape: one capped blocked join + one map-side-combined
+    // window over fingerprints, both linear in the corpus (q128/q129's
+    // documented contracts); nothing corpus-sized is broadcast.
+    val pLosers = graft.queries.PipelineOps.perceptualDupPairs(spark, sfDir)
+      .select(col("id_b").as("doc_id"))
+    val aLosers = {
+      val wFp = Window.partitionBy(col("fp"))
+      graft.queries.PipelineOps.audioFp(spark, sfDir)
+        .withColumn("__keep", col("doc_id") === min(col("doc_id")).over(wFp))
+        .filter(!col("__keep")).select(col("doc_id"))
+    }
+    val mediaDeduped = nearDeduped
+      .join(pLosers.union(aLosers).distinct(), Seq("doc_id"), "left_anti")
+      .persist()
+    val nMedia = mediaDeduped.count(); lap("media")
+    nearDeduped.unpersist()
+
     // 5. decontamination: drop docs sharing any 5-gram with the eval set (q77)
     val grams = (df: DataFrame) => df
       .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
@@ -169,12 +199,12 @@ object Curate {
         explode(array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 5))).as("g"))
     val probe = grams(T.documents(spark, sfDir).filter(col("doc_id") < evalIdBelow))
       .select(col("g")).distinct()
-    val contaminated = grams(nearDeduped).join(broadcast(probe), "g")
+    val contaminated = grams(mediaDeduped).join(broadcast(probe), "g")
       .select(col("doc_id")).distinct()
-    val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = mediaDeduped.join(contaminated, Seq("doc_id"), "left_anti")
       .persist()
     val nClean = clean.count(); lap("decontam")
-    nearDeduped.unpersist()
+    mediaDeduped.unpersist()
 
     // 5b. SEMANTIC decontamination (q126's kernel): drop docs whose
     // embedding is within `semThr` cosine of any eval probe — the
@@ -290,7 +320,7 @@ object Curate {
     val nShards = written.select(col("source"), col("shard_id")).distinct().count(); lap("nShards")
     val nTokens = Option(written.agg(sum(col("nc"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L); lap("nTokens")
-    Report(nInput, nQuality, nLm, nExact, nNear, nClean, nSemClean,
+    Report(nInput, nQuality, nLm, nExact, nNear, nMedia, nClean, nSemClean,
       nRewritten, nSampled, nChunks, nShards, nTokens)
   }
 }

@@ -311,6 +311,123 @@ object Multimodal {
     }
   }
 
+  /** Video featurization row — the video twin of [[MediaBands]]/
+    * [[AudioBands]]: per-band INTEGER pixel energies over every frame
+    * of a decoded uncompressed-DIB AVI, plus the stream geometry the
+    * container declared. */
+  final case class VideoBands(media_id: Long, width: Int, height: Int,
+      n_frames: Int, bands: Array[Long])
+
+  /** Per-band pixel ENERGY over an uncompressed-DIB AVI (RIFF form
+    * 'AVI ', BI_RGB 24-bit '##db' streams — the codec
+    * [[decodeAviMjpeg]]'s MJPEG path used to reject with a scope
+    * message): the strict RIFF walk (depth-bounded LIST recursion,
+    * chunk bounds checked — the WAV-walk contract on the video
+    * container), stream geometry taken from the 'strf'
+    * BITMAPINFOHEADER and ENFORCED against every frame (frame length
+    * must equal stride·height with stride = 4-byte-aligned 3·width,
+    * the DIB row-padding rule), frame count cross-checked against the
+    * 'avih' header's dwTotalFrames. Rows decode BOTTOM-UP (positive
+    * biHeight — DIB's storage order; top-down negative-height files
+    * are out of scope and rejected loudly), so band b of the DECODED
+    * image reads stored row height−1−r — an order-SENSITIVE feature
+    * that fails if a consumer skips the flip. Each band accumulates
+    * Σ byte² over its row group's PIXEL bytes across all frames
+    * (padding bytes excluded); every energy is an exact integer
+    * (≤ 255²·stride·frames ≪ 2⁵³ — the q128/q129 fixed-point
+    * discipline on the video modality).
+    */
+  def aviDibBandEnergies(p: Array[Byte], mediaId: Long, nBands: Int)
+      : VideoBands = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$msg: media_id=$mediaId")
+    if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+        p(3) != 'F' || new String(p, 8, 4, "US-ASCII") != "AVI ")
+      fail("not a RIFF/AVI payload")
+    def leU16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def leU32(off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    var biW = -1; var biH = -1; var biBits = -1; var biComp = -1L
+    var totalFrames = -1L
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit && id.endsWith("db")
+    def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > 16)
+        fail(s"AVI list nesting deeper than 16 at $start — not a real AVI")
+      var i = start
+      while (i + 8 <= end) {
+        val id = new String(p, i, 4, "US-ASCII")
+        val len = leU32(i + 4)
+        if (len < 0 || i + 8 + len > end)
+          fail(s"AVI chunk '$id' overruns its enclosing list ($len bytes at $i)")
+        if (id == "RIFF" || id == "LIST") {
+          if (len < 4) fail(s"AVI list at $i too short for a form type")
+          val form = new String(p, i + 8, 4, "US-ASCII")
+          walk(i + 12, i + 8 + len.toInt,
+            inMovi || form == "movi" || form == "rec ", depth + 1)
+        } else if (id == "avih") {
+          if (len < 32) fail(s"avih chunk too short ($len bytes)")
+          totalFrames = leU32(i + 8 + 16)
+        } else if (id == "strf") {
+          if (len < 40) fail(s"strf chunk too short for BITMAPINFOHEADER ($len bytes)")
+          if (biW >= 0) fail("more than one video strf stream header")
+          biW = leU32(i + 8 + 4).toInt; biH = leU32(i + 8 + 8).toInt
+          biBits = leU16(i + 8 + 14); biComp = leU32(i + 8 + 16)
+        } else if (inMovi && isFrameId(id) && len > 0) {
+          frames += ((i + 8, len.toInt))
+        }
+        i += 8 + len.toInt + (len.toInt & 1) // word-aligned, like WAV
+      }
+    }
+    walk(0, p.length, inMovi = false, depth = 0)
+    if (biW < 0) fail("AVI without a strf BITMAPINFOHEADER")
+    if (biComp != 0L || biBits != 24)
+      fail(s"expected uncompressed BI_RGB 24-bit DIB video (compression=" +
+        s"$biComp bits=$biBits) — compressed streams go through the MJPEG path")
+    if (biW <= 0 || biH <= 0)
+      fail(s"non-positive DIB geometry ${biW}x$biH (top-down negative-height " +
+        "DIBs are out of scope)")
+    if (frames.isEmpty) fail("AVI without DIB frame chunks in a movi list")
+    if (totalFrames >= 0 && totalFrames != frames.size)
+      fail(s"avih declares $totalFrames frames but the movi list holds ${frames.size}")
+    val stride = ((biW * 3 + 3) / 4) * 4
+    val frameLen = stride * biH
+    if (nBands <= 0 || biH % nBands != 0)
+      fail(s"$biH rows not divisible into $nBands bands")
+    val rowsPerBand = biH / nBands
+    val out = new Array[Long](nBands)
+    frames.foreach { case (off, len) =>
+      if (len != frameLen)
+        fail(s"DIB frame is $len bytes, want stride($stride)x$biH = $frameLen")
+      var r = 0
+      while (r < biH) {
+        val rowOff = off + (biH - 1 - r) * stride // bottom-up storage
+        val b = r / rowsPerBand
+        var c = 0
+        var acc = 0L
+        while (c < biW * 3) {
+          val v = (p(rowOff + c) & 0xff).toLong
+          acc += v * v
+          c += 1
+        }
+        out(b) += acc
+        r += 1
+      }
+    }
+    VideoBands(mediaId, biW, biH, frames.size, out)
+  }
+
+  /** [[aviDibBandEnergies]] as the mapPartitions batch seam. */
+  def extractAviDibBands(media: Dataset[Media], nBands: Int)
+      : Dataset[VideoBands] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(m => aviDibBandEnergies(m.payload, m.media_id, nBands))
+    }
+  }
+
   /** Deterministic stand-in for the codec-backed decoder (no image/audio
     * libraries exist in this environment): parses the GRFT header
     * arithmetically and "featurizes" the body as its exact mean byte
@@ -420,10 +537,16 @@ object Multimodal {
       val p = m.payload
       def fail(msg: String): Nothing =
         throw new IllegalArgumentException(s"$msg: media_id=${m.media_id}")
+      def leU16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
       def leU32(off: Int): Long =
         (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
           ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      // strf BITMAPINFOHEADER, captured during the walk: the DIB frame
+      // path (round 16) takes its geometry from here — raw '##db'
+      // frames carry no per-frame header, unlike MJPEG's self-
+      // describing JPEGs
+      var biW = -1; var biH = -1; var biBits = -1; var biComp = -1L
       def isFrameId(id: String): Boolean =
         id.length == 4 && id(0).isDigit && id(1).isDigit &&
           (id.endsWith("dc") || id.endsWith("db"))
@@ -447,6 +570,9 @@ object Multimodal {
             val form = new String(p, i + 8, 4, "US-ASCII")
             walk(i + 12, i + 8 + len.toInt,
               inMovi || form == "movi" || form == "rec ", depth + 1)
+          } else if (id == "strf" && len >= 40 && biW < 0) {
+            biW = leU32(i + 8 + 4).toInt; biH = leU32(i + 8 + 8).toInt
+            biBits = leU16(i + 8 + 14); biComp = leU32(i + 8 + 16)
           } else if (inMovi && isFrameId(id) && len > 0) {
             frames += ((i + 8, len.toInt))
           }
@@ -459,20 +585,45 @@ object Multimodal {
       var pxSum = 0.0; var pxCnt = 0L
       frames.foreach { case (off, len) =>
         // '##db' conventionally carries uncompressed DIB frames in AVI;
-        // some MJPEG encoders use it for JPEG frames too, so accept
-        // either id but check the payload IS a JPEG before handing it to
-        // the JPEG path — a DIB stream should get a scope message, not a
-        // confusing marker-sync error from inside the JPEG decoder.
-        if (len < 2 || (p(off) & 0xff) != 0xff || (p(off + 1) & 0xff) != 0xd8)
-          fail("AVI stream chunk is not a JPEG frame — only MJPEG AVI is " +
-            "supported (uncompressed DIB '##db' streams are out of scope)")
-        val f = decodeJpeg(Media(m.media_id, m.kind,
-          java.util.Arrays.copyOfRange(p, off, off + len)))
-        if (w < 0) { w = f.width; h = f.height; ch = f.channels }
-        else if (f.width != w || f.height != h || f.channels != ch)
-          fail(s"AVI frames disagree on geometry (${f.width}x${f.height}x${f.channels} vs ${w}x${h}x$ch)")
-        val n = f.width.toLong * f.height * f.channels
-        pxSum += f.mean_byte * n; pxCnt += n
+        // some MJPEG encoders use it for JPEG frames too, so sniff the
+        // payload: a JPEG SOI goes to the JPEG path, anything else is a
+        // raw DIB frame (round 16 — previously a scope rejection)
+        // decoded against the strf BITMAPINFOHEADER: BI_RGB 24-bit,
+        // bottom-up, 4-byte-aligned rows, frame length enforced.
+        val isJpeg =
+          len >= 2 && (p(off) & 0xff) == 0xff && (p(off + 1) & 0xff) == 0xd8
+        val (fw, fh, fch, fMean) =
+          if (isJpeg) {
+            val f = decodeJpeg(Media(m.media_id, m.kind,
+              java.util.Arrays.copyOfRange(p, off, off + len)))
+            (f.width, f.height, f.channels, f.mean_byte)
+          } else {
+            if (biW < 0) fail("raw DIB frame in an AVI without a strf " +
+              "BITMAPINFOHEADER")
+            if (biComp != 0L || biBits != 24)
+              fail(s"AVI stream chunk is neither a JPEG frame nor BI_RGB " +
+                s"24-bit DIB (compression=$biComp bits=$biBits)")
+            if (biW <= 0 || biH <= 0)
+              fail(s"non-positive DIB geometry ${biW}x$biH (top-down " +
+                "negative-height DIBs are out of scope)")
+            val stride = ((biW * 3 + 3) / 4) * 4
+            if (len != stride * biH)
+              fail(s"DIB frame is $len bytes, want stride($stride)x$biH = " +
+                s"${stride * biH}")
+            var sum = 0L
+            var r = 0
+            while (r < biH) {
+              var c = 0
+              while (c < biW * 3) { sum += (p(off + r * stride + c) & 0xff); c += 1 }
+              r += 1
+            }
+            (biW, biH, 3, sum.toDouble / (biW.toLong * biH * 3))
+          }
+        if (w < 0) { w = fw; h = fh; ch = fch }
+        else if (fw != w || fh != h || fch != ch)
+          fail(s"AVI frames disagree on geometry (${fw}x${fh}x$fch vs ${w}x${h}x$ch)")
+        val n = fw.toLong * fh * fch
+        pxSum += fMean * n; pxCnt += n
       }
       MediaFeatures(m.media_id, m.kind, w, h, ch, p.length.toLong,
         if (pxCnt == 0) 0.0 else pxSum / pxCnt)

@@ -707,9 +707,13 @@ object PipelineOps {
         .localCheckpoint()
   }
 
-  val q128PerceptualDedup = Q(
-    "q128_perceptual_dedup",
-    (s, dir) => {
+  /** q128's full candidate-generation + verify kernel, factored (round
+    * 16) so Curate's multimodal-dedup stage consumes the IDENTICAL
+    * pair graph the oracle-gated query verifies: (blk, id_a, id_b,
+    * cosine) with cosine ≥ 0.95 and id_a < id_b, unordered. */
+  private[graft] def perceptualDupPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
       import graft.functions.GraftFunctions.dot
       val fp = perceptualFp(s, dir)
       // rank cap (see subBlockRanks): ranks via BlockRanks'
@@ -759,8 +763,11 @@ object PipelineOps {
           greatest(col("id_a"), col("id_b")).as("id_b"),
           (dot(col("ca"), col("cb")) / (col("na") * col("nb"))).as("cosine"))
         .filter(col("cosine") >= 0.95)
-        .orderBy(col("id_a"), col("id_b"))
-    },
+  }
+
+  val q128PerceptualDedup = Q(
+    "q128_perceptual_dedup",
+    (s, dir) => perceptualDupPairs(s, dir).orderBy(col("id_a"), col("id_b")),
     Some(s"""
       WITH px AS (
         SELECT doc_id,
@@ -830,9 +837,12 @@ object PipelineOps {
     * container → decode → featurize → dedup path is cross-engine
     * hash-gated, not just spec-gated.
     */
-  val q129AudioFpDedup = Q(
-    "q129_audio_fp_dedup",
-    (s, dir) => {
+  /** q129's render → strict WAV walk → G.711 expand → band-energy
+    * fingerprint stage, factored (round 16, the perceptualFp
+    * convention) so Curate's multimodal-dedup stage consumes the
+    * IDENTICAL (doc_id, fp) frame the oracle-gated query groups. */
+  private[graft] def audioFp(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
       import s.implicits._
       import graft.multimodal.Multimodal
       val nSamples = 768
@@ -864,10 +874,14 @@ object PipelineOps {
       Multimodal.extractWavBands(media, bands).toDF()
         .select(col("media_id").as("doc_id"),
           array_join(col("bands"), "|").as("fp"))
-        .groupBy(col("fp"))
-        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
-        .orderBy(col("fp"))
-    },
+  }
+
+  val q129AudioFpDedup = Q(
+    "q129_audio_fp_dedup",
+    (s, dir) => audioFp(s, dir)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("fp")),
     Some("""
       WITH px AS (
         SELECT doc_id,
@@ -894,6 +908,114 @@ object PipelineOps {
         COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
       FROM fv GROUP BY 1 ORDER BY fp""".stripMargin),
     "audio-fingerprint dedup (multimodal audio -> exact dedup): real mono G.711 mu-law WAV payloads through the strict RIFF walk + the real ulawToPcm expansion into 16 exact-integer PCM band energies, then one hash-groupBy shuffle on the fingerprint — linear at any scale, the audio decoders' first oracle-gated path")
+
+  // ---------------------------------------------------------------------
+  // q130 — video-fingerprint dedup over DECODED raw-DIB AVI (multimodal video)
+  // ---------------------------------------------------------------------
+
+  /** The video modality's first ORACLE-GATED registry query (round-15
+    * verdict #5: MJPEG's JPEG entropy decode cannot be re-derived in
+    * DuckDB SQL, but a raw-DIB AVI through the same RIFF container
+    * walk CAN — the q129 closed-form-decode trick applied to video).
+    * Each document renders a REAL 4-frame uncompressed-DIB AVI —
+    * RIFF('AVI ') with a full hdrl (avih declaring 4 frames, strl with
+    * a 'vids'/'DIB ' strh and a BI_RGB 24-bit 16×16 BITMAPINFOHEADER)
+    * and a movi list of four 768-byte '00db' frames cut from the doc's
+    * first 3072 ASCII bytes — and the payload goes through
+    * [[graft.multimodal.Multimodal.aviDibBandEnergies]]: the strict
+    * depth-bounded RIFF walk, geometry/compression enforced from strf,
+    * frame count cross-checked against avih, and rows decoded
+    * BOTTOM-UP (DIB storage order). The fingerprint is 16 per-DECODED-
+    * ROW pixel energies (Σ byte² across all 4 frames — exact integers,
+    * the q128/q129 fixed-point discipline), ORDER-SENSITIVE in the row
+    * flip: an engine that skipped the bottom-up decode would hash-
+    * diverge. Dedup is q29's hash-groupBy on the joined fingerprint —
+    * ONE map-side-combined shuffle of 16 longs per clip, linear at any
+    * corpus size, no pair join. The oracle re-derives every decoded
+    * byte from the text characters with closed-form index arithmetic
+    * (stored row 15−b of frame k//48 at column k%48), so container →
+    * walk → flip → featurize → dedup is cross-engine hash-gated.
+    */
+  val q130VideoDibDedup = Q(
+    "q130_video_dib_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val side = 16
+      val bands = 16
+      val stride = side * 3 // 48 — already 4-byte aligned, no padding
+      val frameLen = stride * side // 768
+      val nFrames = 4
+      val dataLen = frameLen * nFrames // 3072
+      def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def cc(s4: String) = s4.getBytes("US-ASCII")
+      // BITMAPINFOHEADER: BI_RGB 24-bit side×side, bottom-up
+      val strf = cc("strf") ++ le32(40) ++ le32(40) ++ le32(side) ++
+        le32(side) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(frameLen) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = cc("strh") ++ le32(56) ++ cc("vids") ++ cc("DIB ") ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
+        le32(0) ++ le32(nFrames) ++ le32(frameLen) ++ le32(0) ++
+        le32(frameLen) ++ le16(0) ++ le16(0) ++ le16(side) ++ le16(side)
+      val strl = cc("LIST") ++ le32(4 + strh.length + strf.length) ++
+        cc("strl") ++ strh ++ strf
+      val avih = cc("avih") ++ le32(56) ++ le32(40000) ++ le32(0) ++
+        le32(0) ++ le32(0) ++ le32(nFrames) ++ le32(0) ++ le32(1) ++
+        le32(frameLen) ++ le32(side) ++ le32(side) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = cc("LIST") ++ le32(4 + avih.length + strl.length) ++
+        cc("hdrl") ++ avih ++ strl
+      val moviHdr = cc("LIST") ++ le32(4 + nFrames * (8 + frameLen)) ++ cc("movi")
+      val riffLen = 4 + hdrl.length + moviHdr.length + nFrames * (8 + frameLen)
+      val preMovi = cc("RIFF") ++ le32(riffLen) ++ cc("AVI ") ++ hdrl ++ moviHdr
+      val chunkHdr = cc("00db") ++ le32(frameLen)
+      val exactLen = preMovi.length + nFrames * (8 + frameLen)
+      val sliced = T.documentsSpread(s, dir)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"),
+          expr(s"cast(substring(repeat(text, cast(ceil($dataLen.0 / length(text)) as int)), 1, $dataLen) as binary)")
+            .as("sdata"))
+      val media = sliced
+        .select(col("doc_id"), lit("avi").as("kind"),
+          concat(lit(preMovi) +:
+            (0 until nFrames).flatMap(f => Seq(lit(chunkHdr),
+              substring(col("sdata"), f * frameLen + 1, frameLen))): _*)
+            .as("payload"))
+        // q128/q129's woven non-ASCII assert: the oracle decodes
+        // CHARACTERS, Spark decodes BYTES — a multi-byte char inflates
+        // the payload and must fail the job loudly, not hash-diverge
+        .select(
+          when(assert_true(length(col("payload")) === exactLen,
+            lit(s"q130: non-ASCII text rendered a non-$exactLen-byte AVI")).isNull,
+            col("doc_id")).as("media_id"),
+          col("kind"), col("payload"))
+        .as[Multimodal.Media]
+      Multimodal.extractAviDibBands(media, bands).toDF()
+        .select(col("media_id").as("doc_id"),
+          array_join(col("bands"), "|").as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("fp"))
+    },
+    Some("""
+      WITH px AS (
+        SELECT doc_id,
+          substr(repeat(text, CAST(ceil(3072.0 / len(text)) AS INT)), 1, 3072) AS sdata
+        FROM documents WHERE len(text) >= 1),
+      fv AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 15), b ->
+            CAST(list_sum(list_transform(generate_series(0, 191), k ->
+              ord(substr(sdata, CAST((k // 48) * 768 + (15 - b) * 48 + (k % 48) + 1 AS INTEGER), 1)) *
+              ord(substr(sdata, CAST((k // 48) * 768 + (15 - b) * 48 + (k % 48) + 1 AS INTEGER), 1))))
+            AS BIGINT)) AS bands
+        FROM px)
+      SELECT array_to_string(bands, '|') AS fp,
+        COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
+      FROM fv GROUP BY 1 ORDER BY fp""".stripMargin),
+    "video-fingerprint dedup (multimodal video -> exact dedup): real 4-frame uncompressed-DIB AVIs through the strict RIFF walk (strf geometry enforced, avih frame count cross-checked, bottom-up row decode) into 16 exact-integer per-row pixel energies, then one hash-groupBy shuffle on the fingerprint — linear at any scale, the video container's first oracle-gated path")
 
   // ---------------------------------------------------------------------
   // q60 — IVF-style cell-partitioned ANN over embeddings
@@ -1780,5 +1902,5 @@ ${(1 to 3).map(round).mkString(",\n")}
     q60AnnIvf, q63KmvDistinct, q79KmvMerge, q99HllDistinct,
     q104Winnowing, q105EmbedQuantize, q106WinnowDup, q108QuantizedAnn,
     q109TokenDiversity, q124BpeMerges, q128PerceptualDedup,
-    q129AudioFpDedup)
+    q129AudioFpDedup, q130VideoDibDedup)
 }

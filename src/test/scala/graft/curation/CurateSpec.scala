@@ -67,7 +67,8 @@ class CurateSpec extends SparkSpec {
   test("the funnel only ever shrinks, and every stage count is populated") {
     val (_, r) = outA
     val funnel = Seq(r.nInput, r.nQuality, r.nLmPass, r.nExactDedup,
-      r.nNearDedup, r.nDecontaminated, r.nSemClean, r.nRewritten, r.nSampled)
+      r.nNearDedup, r.nMediaDedup, r.nDecontaminated, r.nSemClean,
+      r.nRewritten, r.nSampled)
     assert(funnel === funnel.sorted.reverse, s"funnel grew somewhere: $r")
     assert(r.nInput > 0 && r.nSampled > 0 && r.nShards > 0 && r.nTokens > 0, r.toString)
     // chunking fans out, never filters: >= one chunk per non-empty doc
@@ -148,12 +149,25 @@ class CurateSpec extends SparkSpec {
           (scores(other) > scores(me) ||
             (scores(other) == scores(me) && other < me)) => me }.toSet
     val nearIds = exactIds -- losers
+    // stage 4b: multimodal dedup — losers from the same factored
+    // fingerprint seams the pipeline consumes (each seam's SEMANTICS
+    // has its own oracle-gated query, q128/q129; this test targets the
+    // funnel splice). Corpus-wide graphs, per the stage-4 convention.
+    val pLosers = graft.queries.PipelineOps.perceptualDupPairs(spark, sf)
+      .select(col("id_b")).collect().map(_.getLong(0)).toSet
+    val afp = graft.queries.PipelineOps.audioFp(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val aLosers = afp.map(_._1).toSet --
+      afp.groupBy(_._2).map { case (_, g) => g.map(_._1).min }
+    val mediaIds = nearIds -- pLosers -- aLosers
+    assert(outA._2.nMediaDedup === mediaIds.size.toLong,
+      s"nMediaDedup=${outA._2.nMediaDedup} != reconstructed ${mediaIds.size}")
     // decontamination (the independent 5-gram recompute above)
     val probe = graft.Tables.documents(spark, sf).where("doc_id < 10")
       .selectExpr("explode(array_distinct(transform(sequence(1, size(filter(split(lower(text), ' '), t -> t <> '')) - 4), " +
         "i -> concat_ws(' ', slice(filter(split(lower(text), ' '), t -> t <> ''), i, 5))))) g")
       .distinct().collect().map(_.getString(0)).toSet
-    val cleanIds = nearIds.filter { id =>
+    val cleanIds = mediaIds.filter { id =>
       val ts = rawToks(id)
       ts.length < 5 || !ts.sliding(5).exists(w => probe(w.mkString(" ")))
     }

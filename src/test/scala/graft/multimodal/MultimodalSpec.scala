@@ -875,6 +875,115 @@ class MultimodalSpec extends SparkSpec {
       (ref.width, ref.height, ref.channels, ref.mean_byte))
   }
 
+  test("raw-DIB AVI: strict walk, strf-enforced geometry, bottom-up flip, exact band energies") {
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(form: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", form.getBytes("US-ASCII") ++ inner)
+    // width 5 → stride 16 (15 pixel bytes + 1 padding byte per row):
+    // the padding-exclusion rule is part of the measured contract
+    val (w, h, frames) = (5, 4, 2)
+    val stride = ((w * 3 + 3) / 4) * 4
+    def strfFor(comp: Int, bits: Int, bw: Int = w, bh: Int = h) =
+      chunk("strf", le32(40) ++ le32(bw) ++ le32(bh) ++ le16(1) ++ le16(bits) ++
+        le32(comp) ++ le32(stride * h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    def avihFor(n: Int) = chunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(n) ++ Array.fill[Byte](36)(0))
+    // frame bytes: padding carries a poison 0x7f that must NOT be counted
+    def frame(seed: Int): Array[Byte] = {
+      val f = new Array[Byte](stride * h)
+      for (r <- 0 until h; c <- 0 until stride)
+        f(r * stride + c) =
+          if (c >= w * 3) 0x7f.toByte else ((seed + r * 31 + c * 7) % 251).toByte
+      f
+    }
+    val (fa, fb) = (frame(3), frame(90))
+    def aviOf(hdr: Array[Byte], frameChunks: Array[Byte]): Array[Byte] = {
+      val body = "AVI ".getBytes("US-ASCII") ++ hdr ++ list("movi", frameChunks)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val hdrOk = list("hdrl", avihFor(frames) ++
+      list("strl", chunk("strh", Array.fill[Byte](56)(0)) ++ strfFor(0, 24)))
+    val avi = aviOf(hdrOk, chunk("00db", fa) ++ chunk("00db", fb))
+
+    val vb = aviDibBandEnergies(avi, 41L, h) // one band per decoded row
+    assert((vb.media_id, vb.width, vb.height, vb.n_frames) === (41L, w, h, frames))
+    // hand-derived expectation WITH the bottom-up flip: decoded row r is
+    // stored row h-1-r; padding bytes excluded
+    val expected = (0 until h).map { r =>
+      Seq(fa, fb).map { f =>
+        (0 until w * 3).map { c =>
+          val v = (f((h - 1 - r) * stride + c) & 0xff).toLong; v * v
+        }.sum
+      }.sum
+    }
+    assert(vb.bands.toSeq === expected)
+    // order-sensitivity: an engine that skips the flip computes the
+    // REVERSED band vector, which differs for this data
+    assert(vb.bands.toSeq !== expected.reverse)
+
+    // the generic codec decoder takes the same frames through its DIB path
+    val f = new ImageFileDecoder().decode(Media(42L, "video", avi))
+    val pixBytes = for (fr <- Seq(fa, fb); r <- 0 until h; c <- 0 until w * 3)
+      yield (fr(r * stride + c) & 0xff).toLong
+    assert((f.width, f.height, f.channels) === (w, h, 3))
+    assert(math.abs(f.mean_byte - pixBytes.sum.toDouble / pixBytes.size) < 1e-9)
+
+    // strictness: every declared property is enforced, loudly
+    def expectFail(bytes: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](aviDibBandEnergies(bytes, 9L, h))
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    expectFail(aviOf(hdrOk, chunk("00db", fa.dropRight(8)) ++ chunk("00db", fb)),
+      "want stride")
+    expectFail(aviOf(list("hdrl", avihFor(3) ++
+      list("strl", strfFor(0, 24))), chunk("00db", fa) ++ chunk("00db", fb)),
+      "declares 3 frames")
+    expectFail(aviOf(list("hdrl", avihFor(frames) ++
+      list("strl", strfFor(1, 24))), chunk("00db", fa) ++ chunk("00db", fb)),
+      "BI_RGB")
+    expectFail(aviOf(list("hdrl", avihFor(frames) ++
+      list("strl", strfFor(0, 24, bh = -h))), chunk("00db", fa) ++ chunk("00db", fb)),
+      "top-down")
+    expectFail(aviOf(list("hdrl", avihFor(frames)),
+      chunk("00db", fa) ++ chunk("00db", fb)), "strf")
+    // truncated container trips the bounds check, not an array read
+    intercept[IllegalArgumentException](aviDibBandEnergies(avi.dropRight(20), 9L, h))
+  }
+
+  test("DIB AVI runs through the batched Spark featurizer seam") {
+    val s = spark
+    import s.implicits._
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data
+    def list(form: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", form.getBytes("US-ASCII") ++ inner)
+    val (w, h) = (4, 2) // stride 12, no padding
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+      le16(24) ++ le32(0) ++ le32(w * 3 * h) ++ Array.fill[Byte](16)(0))
+    val avih = chunk("avih", le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1) ++ Array.fill[Byte](36)(0))
+    val fr = Array.tabulate[Byte](w * 3 * h)(i => (i * 5 % 200).toByte)
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", avih ++ list("strl", strf)) ++ list("movi", chunk("00db", fr))
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val out = extractAviDibBands(Seq(Media(77L, "video", avi)).toDS(), h)
+      .collect().toSeq
+    assert(out.map(v => (v.media_id, v.width, v.height, v.n_frames)) ===
+      Seq((77L, w, h, 1)))
+    val expected = (0 until h).map(r => (0 until w * 3).map { c =>
+      val v = (fr((h - 1 - r) * w * 3 + c) & 0xff).toLong; v * v
+    }.sum)
+    assert(out.head.bands.toSeq === expected)
+  }
+
   test("PNG decode runs through the batched Spark featurizer seam") {
     val s = spark
     import s.implicits._
