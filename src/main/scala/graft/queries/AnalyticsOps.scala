@@ -851,9 +851,13 @@ object AnalyticsOps {
       // for one scalar. Round 12 measured the three-exchanges-per-round
       // shape at 3.4 s wall on 0.3 s of parallel CPU — the loop was all
       // job latency, not work.
+      // LAZY checkpoint (the q111 rule): nodes.count() two lines down is
+      // the first action and materializes it — sequential, so the
+      // q72/q89 concurrent-first-use race cannot happen here, and the
+      // eager form's separate materialization job is saved.
       val edges = edges0.join(deg, col("src") === col("dv"))
         .select(col("src"), col("dst"), col("d"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nodes = edges.select(col("src").as("v")).distinct()
       val n = nodes.count()
       val rInit = if (n > 0) mass / n else 0L
@@ -875,10 +879,16 @@ object AnalyticsOps {
         // without it round t's broadcast exchange carries rounds 1..t−1
         // as a nested subplan — planning cost grows quadratically in
         // rounds and each broadcast job replans the whole prefix.
+        // LAZY (round-16): the plan is truncated at declaration either
+        // way; round t+1's broadcast exchange is the first action and
+        // folds the materialization into its own job, saving the eager
+        // form's five separate round-boundary jobs. Uses are strictly
+        // sequential (each round's broadcast gates the next), so the
+        // lazy-checkpoint race window never opens.
         r = contrib.groupBy(col("dst")).agg(sum(col("c")).as("cs"))
           .select(col("dst").as("v"),
             (lit(teleport) + expr("(85 * cs) div 100")).as("r"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       r.orderBy(col("r").desc, col("v")).limit(20)
         .select(col("v").as("node"), col("r").as("rank"))
