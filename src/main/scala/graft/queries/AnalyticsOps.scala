@@ -832,12 +832,20 @@ object AnalyticsOps {
     "q107_graph_pagerank",
     (s, dir) => {
       val mass = 1000000000000L
+      // EAGER checkpoint on the corpus-scale edge derivation: `raw`
+      // fans out FOUR ways below (both union branches of edges0, and
+      // edges0 again inside deg) and Catalyst does not share identical
+      // subplans across union branches — unmaterialized, the
+      // orders⋈lineitem join + distinct ran 4× inside the edges build
+      // (Prof round-16: 35 s of the query's 50 s task time sat in
+      // those duplicate scans). One materialization, four cache reads.
       val raw = T.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
         .join(T.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"),
           (col("l_suppkey") + 2000000L).as("supp"))
         .distinct()
+        .localCheckpoint()
       val edges0 = raw.select(col("cust").as("src"), col("supp").as("dst"))
         .union(raw.select(col("supp").as("src"), col("cust").as("dst")))
       val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("d"))
