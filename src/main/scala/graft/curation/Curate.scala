@@ -150,8 +150,15 @@ object Curate {
     // 4. near-dup prune: the shared near-dup pair graph (q33's LSH
     // generation, ≡ q32's exact output — LlmOps.nearDupPairs' doc),
     // q89's survivor rule
+    // EAGER checkpoint: `pairs` feeds BOTH union branches below and
+    // Catalyst plans each occurrence independently — unmaterialized,
+    // the whole LSH generation (shingle → minhash → band join →
+    // Jaccard verify) ran twice (the q107 round-16 lesson). The pair
+    // graph is output-sized (edges between near-dups), tiny next to
+    // the corpus scan that produces it.
     val pairs = graft.queries.LlmOps.nearDupPairs(spark, sfDir)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     val e = pairs.select(col("id_a").as("me"), col("id_b").as("other"))
       .union(pairs.select(col("id_b").as("me"), col("id_a").as("other")))
     val losers = e

@@ -292,6 +292,14 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
         .select(col("doc_id"), xxhash64(col("g")).as("h"))
         .groupBy(col("doc_id"), col("h"))
         .agg(count(lit(1)).as("tf"))
+        // EAGER checkpoint: `tf` is the corpus-scale pass (explode →
+        // hash → count) and occurs FOUR times below — `postings`
+        // appears on both the query side (filter) and the scan side
+        // of the match join, and each `postings` contains tf twice
+        // (directly and inside wt's document-frequency agg). Catalyst
+        // does not share identical subplans; unmaterialized, the
+        // corpus exploded 4× (the q107 round-16 lesson).
+        .localCheckpoint()
       val ndocs = T.documents(s, dir).agg(count(lit(1)).as("n"))
       val wt = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .join(broadcast(ndocs))
@@ -407,6 +415,14 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
         .select(col("doc_id"), xxhash64(col("g")).as("h"))
         .groupBy(col("doc_id"), col("h"))
         .agg(count(lit(1)).as("tf"))
+        // EAGER checkpoint: `tf` is the corpus-scale pass (explode →
+        // hash → count) and occurs FOUR times below — `postings`
+        // appears on both the query side (filter) and the scan side
+        // of the match join, and each `postings` contains tf twice
+        // (directly and inside wt's document-frequency agg). Catalyst
+        // does not share identical subplans; unmaterialized, the
+        // corpus exploded 4× (the q107 round-16 lesson).
+        .localCheckpoint()
       val ndocs = T.documents(s, dir).agg(count(lit(1)).as("n"))
       val wt = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .join(broadcast(ndocs))
