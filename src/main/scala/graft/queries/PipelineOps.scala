@@ -1469,7 +1469,11 @@ object PipelineOps {
         .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .agg(count(lit(1)).as("n_shared_fp"))
         .filter(col("n_shared_fp") >= 2)
-      val sh = LlmOps.shingledHashed(s, dir)
+      // EAGER checkpoint like every other shingledHashed consumer
+      // (q32/q33/q94): the corpus shingle derivation feeds BOTH verify
+      // branches below, and Catalyst plans each occurrence
+      // independently — unmaterialized it ran twice (round-16 sweep).
+      val sh = LlmOps.shingledHashed(s, dir).localCheckpoint()
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       cands.join(a, "id_a").join(b, "id_b")
