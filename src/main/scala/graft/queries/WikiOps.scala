@@ -193,7 +193,19 @@ object WikiOps {
         // sf0.1 — the post-sort projection chain collapses and
         // re-evaluates the concat under the parse, costing far more
         // than the ~3.5 MB the range exchange saves.
-        .orderBy(col("o_orderkey"))
+        // PINNED range partition count + local sort, not orderBy
+        // (round 16): the two are the same plan (range exchange +
+        // per-partition sort = total order), but AQE coalesces
+        // orderBy's exchange on BYTES — the pre-parse frame is small,
+        // so the whole native parse above it collapsed into ~5 tasks
+        // (Prof: one 5.4 s stage) while 32 cores idled. The explicit
+        // count is AQE-proof (the repartition(n, col) rule in the
+        // verify notes), spreading the parse across the cluster; at
+        // scale the exchange would be above-threshold anyway and the
+        // pin is harmless.
+        .repartitionByRange(
+          s.sessionState.conf.numShufflePartitions, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
         // parse ONCE into a struct (SURVEY.md §4), then project fields —
         // the reference's per-UDF re-parse is its documented flaw. The
         // parse is the NATIVE parse_page expression (word count folded
