@@ -545,6 +545,12 @@ object AnalyticsOps {
             |  'o_totalprice',  v_price,
             |  'o_orderstatus', v_status,
             |  'o_orderdate',   v_date) AS (col_name, v)""".stripMargin))
+        // EAGER checkpoint: the unpivoted frame feeds BOTH the min/max
+        // stats agg and the KMV hash stream below, and Catalyst plans
+        // each occurrence independently — unmaterialized, the string
+        // formatting + 4x stack ran twice (the two dominant stages in
+        // the round-16 profile). The frame is 4·|orders| short strings.
+        .localCheckpoint()
       val stats = unp.groupBy(col("col_name"))
         .agg(count(lit(1)).as("n_rows"),
           (count(lit(1)) - count(col("v"))).as("n_null"),
