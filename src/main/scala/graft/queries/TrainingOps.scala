@@ -346,8 +346,18 @@ object TrainingOps {
       val toks = T.documentsSpread(s, dir)
         .select(expr(s"filter($toksSql, t -> t <> '')").as("toks"))
       val uni = toks.select(explode(col("toks")).as("t"))
+      // The count tables are CHECKPOINTED and the totals derived from
+      // them (u_total = Σc, b_total = Σc_ab — identities, not
+      // approximations): the first cut aggregated the exploded corpus
+      // once per count table AND once per total, and the unigram table
+      // was additionally replanned for each side of the survivor join
+      // (Catalyst does not share identical subplans — the round-16
+      // sweep). Two corpus passes total now, and both count frames are
+      // vocabulary/bigram-table-sized — the compact artifacts a
+      // 100 TB LM-stats job materializes anyway.
       val uniCounts = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
-      val uniTotal = uni.agg(count(lit(1)).as("u_total"))
+        .localCheckpoint()
+      val uniTotal = uniCounts.agg(sum(col("c")).as("u_total"))
       val bi = toks
         .filter(size(col("toks")) >= 2)
         .select(explode(expr(
@@ -355,7 +365,8 @@ object TrainingOps {
           .as("p"))
         .select(col("p")("0").as("a"), col("p")("1").as("b"))
       val biCounts = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-      val biTotal = bi.agg(count(lit(1)).as("b_total"))
+        .localCheckpoint()
+      val biTotal = biCounts.agg(sum(col("c_ab")).as("b_total"))
       val survivors = biCounts.filter(col("c_ab") >= 5)
       // broadcast the SURVIVOR frame (bounded by the min-support
       // threshold), never a vocabulary-sized count frame: the unigram
