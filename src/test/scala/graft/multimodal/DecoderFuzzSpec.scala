@@ -404,10 +404,12 @@ class DecoderFuzzSpec extends SparkSpec {
     expectReject(3L, aviOf(chunk("00dc", jpegA), chunk("01dc", jpegB)),
       "disagree on geometry")
 
-    // '##db' carrying a non-JPEG (DIB-style) payload: scope message,
-    // not a JPEG marker-sync error (round-9 advice; regression fixture)
+    // '##db' carrying a non-JPEG payload is a raw DIB frame since the
+    // q130 decoder (round 16) — without a strf BITMAPINFOHEADER its
+    // geometry is unknowable, and the rejection must SAY that (not a
+    // JPEG marker-sync error, and no longer the pre-q130 scope message)
     expectReject(4L, aviOf(chunk("00db", randomBytes(64))),
-      "only MJPEG AVI is supported")
+      "raw DIB frame in an AVI without a strf")
 
     // an oversized chunk length overruns its enclosing list
     expectReject(5L, aviOf(
