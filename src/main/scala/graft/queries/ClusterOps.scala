@@ -305,6 +305,11 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
         .join(broadcast(ndocs))
         .filter(col("df") * 4 <= col("n"))
         .select(col("h"), expr("(n * 256) div df").as("wt"))
+        // checkpointed for the same reason as tf: `postings` occurs
+        // twice below, so wt's subplan (df agg + the ndocs scan) would
+        // replay per occurrence. The frame is df-filtered vocabulary —
+        // tiny at any scale.
+        .localCheckpoint()
       val postings = tf.join(wt, "h")
       val qside = postings.filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"), col("h"),
@@ -428,6 +433,11 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
         .join(broadcast(ndocs))
         .filter(col("df") * 4 <= col("n"))
         .select(col("h"), expr("(n * 256) div df").as("wt"))
+        // checkpointed for the same reason as tf: `postings` occurs
+        // twice below, so wt's subplan (df agg + the ndocs scan) would
+        // replay per occurrence. The frame is df-filtered vocabulary —
+        // tiny at any scale.
+        .localCheckpoint()
       val postings = tf.join(wt, "h")
       val qsideS = postings.filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"), col("h"), col("tf").as("tfq"))

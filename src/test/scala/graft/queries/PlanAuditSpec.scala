@@ -112,6 +112,36 @@ class PlanAuditSpec extends SparkSpec {
       s"q32 must not re-scan parquet below the checkpointed shingles:\n$plan")
   }
 
+  test("round-16 fan-out checkpoints hold: the swept queries never re-derive their corpus frame") {
+    // Regression pins for the round-16 duplicate-subplan sweep:
+    // Catalyst plans each occurrence of a repeated subplan
+    // independently, so a corpus-scale frame feeding several
+    // join/union branches recomputes once PER OCCURRENCE unless
+    // checkpointed at the fan-out point. Each entry asserts the final
+    // plan's parquet-scan budget — a regression (checkpoint dropped,
+    // new unshared branch) shows up as extra source scans.
+    val budgets = Seq(
+      // q107: every frame in the final sort derives from the
+      // checkpointed rank/edge state — no source scan at all
+      (AnalyticsOps.q107GraphPagerank, 0),
+      // q120/q121: the posting build AND the idf weight table are
+      // checkpointed; q120's final plan reads no source at all, q121
+      // keeps only the small embeddings arm's scans (e + query side)
+      (ClusterOps.q120SparseRetrieval, 0),
+      (ClusterOps.q121HybridRrf, 2),
+      // q106: candidates and verify sides read checkpoints only
+      (PipelineOps.q106WinnowDup, 0),
+      // q97: stats and KMV arms read the checkpointed unpivot
+      (AnalyticsOps.q97SketchProfile, 0))
+    budgets.foreach { case (q, budget) =>
+      val plan = executedPlan(q)
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans <= budget,
+        s"${q.name}: $scans parquet scans (budget $budget) — a fan-out " +
+          s"checkpoint regressed:\n$plan")
+    }
+  }
+
   test("q113 plans the sample cut as TakeOrdered, never a global sort of the corpus") {
     val plan = executedPlan(AnalyticsOps.q113KmvQuantiles)
     assert(plan.contains("TakeOrderedAndProject"),
