@@ -299,6 +299,17 @@ object Bench {
       // 93.8/95.7 s vs Kryo 89.7/92.7 s (129 q, quiet host) —
       // non-overlapping samples, ~4%.
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // The generated-class cache defaults to 100 entries — sized for
+      // a memory-tight driver, not a 130-query suite: each query holds
+      // several codegen units (WholeStageCodegen spans, expression
+      // kernels, Kryo-ish projections), so one pass cycles the cache
+      // several times over and EVERY pass recompiles EVERY query's
+      // generated code inside its timed window (janino, driver-side,
+      // 10-100 ms per unit — the solo-vs-full gap: a solo run fits in
+      // 100 entries and compiles once at warmup). A long-running
+      // production driver sizes this for its workload; metaspace cost
+      // at 10k classes is a few hundred MB ceiling, unreachable here.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     // SPARK_GRAFT_CONF="k=v;k=v" — extra session confs for conf-level
     // A/B experiments (the BENCH_NOTES A/B protocol) without a code
     // edit per arm; semicolon-separated because conf VALUES may

@@ -22,6 +22,7 @@ object Prof {
       // runs — see Bench's builder comments for the A/Bs and rationale
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val starts = TrieMap.empty[Int, (Long, String)]
