@@ -324,6 +324,17 @@ object Bench {
         builder.config(k, v)
       })
     val spark = builder.getOrCreate()
+    // codegen.cache.maxEntries is a STATIC SQL conf: builder.config
+    // only takes effect for the FIRST session in the JVM and is
+    // silently ignored if getOrCreate returned an existing one — in an
+    // embedded/reused-JVM context the recompilation fix would silently
+    // vanish and every timed pass would recompile every query (the
+    // round-16 ~35% find, un-fixed). Fail loudly instead (round-16
+    // advice).
+    require(spark.conf.get("spark.sql.codegen.cache.maxEntries") == "10000",
+      "Bench requires a fresh JVM: spark.sql.codegen.cache.maxEntries is a " +
+        "static conf and an existing SparkSession ignored it — timings would " +
+        "silently include per-pass codegen recompilation")
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String): Unit =

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *                            LSH generation ≡ q32's exact pairs) +
   *                            q89's lose-to-higher-score rule
   *  4b. multimodal dedup    — q128's perceptual pair graph + q129's
-  *                            exact audio-fingerprint groups, both via
+  *                            exact audio-fingerprint groups + q130's
+  *                            exact video-fingerprint groups, all via
   *                            the factored fingerprint seams, min-doc
   *                            survivor
   *   5. decontamination     — q77's 5-gram overlap vs the eval probe set
@@ -172,28 +173,31 @@ object Curate {
     val nNear = nearDeduped.count(); lap("near")
     exact.unpersist()
 
-    // 4b. MULTIMODAL dedup (round 16): the corpus's rendered media
-    // deduped through the same factored seams the oracle-gated queries
-    // verify — q128's perceptual pair graph (capped blocked cosine
-    // ≥ 0.95; pairs carry id_a < id_b, so dropping every id_b is the
-    // min-doc-survivor rule) and q129's exact audio-fingerprint
-    // groups (all but the min doc_id of each band-energy group).
-    // Both graphs are computed CORPUS-WIDE and losers subtracted from
+    // 4b. MULTIMODAL dedup (round 16; video added round 17): the
+    // corpus's rendered media deduped through the same factored seams
+    // the oracle-gated queries verify — q128's perceptual pair graph
+    // (capped blocked cosine ≥ 0.95; pairs carry id_a < id_b, so
+    // dropping every id_b is the min-doc-survivor rule), q129's exact
+    // audio-fingerprint groups, and q130's exact video-fingerprint
+    // groups (each: all but the min doc_id of its band-energy group).
+    // All graphs are computed CORPUS-WIDE and losers subtracted from
     // the current survivors — the stage-4 nearDupPairs convention (a
     // winner the funnel already dropped still eliminates its copies).
-    // Scale shape: one capped blocked join + one map-side-combined
-    // window over fingerprints, both linear in the corpus (q128/q129's
-    // documented contracts); nothing corpus-sized is broadcast.
+    // Scale shape: one capped blocked join + two map-side-combined
+    // fingerprint exchanges, all linear in the corpus (q128/q129/
+    // q130's documented contracts); nothing corpus-sized is broadcast.
     val pLosers = graft.queries.PipelineOps.perceptualDupPairs(spark, sfDir)
       .select(col("id_b").as("doc_id"))
-    val aLosers = {
+    def fpLosers(fp: DataFrame): DataFrame = {
       val wFp = Window.partitionBy(col("fp"))
-      graft.queries.PipelineOps.audioFp(spark, sfDir)
-        .withColumn("__keep", col("doc_id") === min(col("doc_id")).over(wFp))
+      fp.withColumn("__keep", col("doc_id") === min(col("doc_id")).over(wFp))
         .filter(!col("__keep")).select(col("doc_id"))
     }
+    val aLosers = fpLosers(graft.queries.PipelineOps.audioFp(spark, sfDir))
+    val vLosers = fpLosers(graft.queries.PipelineOps.videoFp(spark, sfDir))
     val mediaDeduped = nearDeduped
-      .join(pLosers.union(aLosers).distinct(), Seq("doc_id"), "left_anti")
+      .join(pLosers.union(aLosers).union(vLosers).distinct(),
+        Seq("doc_id"), "left_anti")
       .persist()
     val nMedia = mediaDeduped.count(); lap("media")
     nearDeduped.unpersist()

@@ -527,30 +527,38 @@ object AnalyticsOps {
     * the ESTIMATE bit-for-bit — the gate pins the sketch, not a
     * tolerance.
     */
+  /** q97's unpivot derivation WITHOUT the checkpoint, factored (round-16
+    * advice) so PlanAuditSpec can assert the no-Expand property on the
+    * derivation itself — the eager localCheckpoint below hides this
+    * subtree behind a LogicalRDD, so a final-plan audit alone could not
+    * see an Expand regression here. */
+  private[graft] def q97Unpivot(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    T.ordersSpread(s, dir)
+      .select(
+        lpad(col("o_orderkey").cast("string"), 12, "0").as("v_key"),
+        lpad(col("o_totalprice").cast(graft.Qdsl.D2).cast("string"), 21, "0")
+          .as("v_price"),
+        col("o_orderstatus").as("v_status"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("v_date"))
+      .select(expr(
+        """stack(4,
+          |  'o_orderkey',    v_key,
+          |  'o_totalprice',  v_price,
+          |  'o_orderstatus', v_status,
+          |  'o_orderdate',   v_date) AS (col_name, v)""".stripMargin))
+
   val q97SketchProfile = Q(
     "q97_sketch_profile",
     (s, dir) => {
       import graft.functions.KMinDistinctAggregator
       val k = 64
-      val unp = T.ordersSpread(s, dir)
-        .select(
-          lpad(col("o_orderkey").cast("string"), 12, "0").as("v_key"),
-          lpad(col("o_totalprice").cast(graft.Qdsl.D2).cast("string"), 21, "0")
-            .as("v_price"),
-          col("o_orderstatus").as("v_status"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("v_date"))
-        .select(expr(
-          """stack(4,
-            |  'o_orderkey',    v_key,
-            |  'o_totalprice',  v_price,
-            |  'o_orderstatus', v_status,
-            |  'o_orderdate',   v_date) AS (col_name, v)""".stripMargin))
-        // EAGER checkpoint: the unpivoted frame feeds BOTH the min/max
-        // stats agg and the KMV hash stream below, and Catalyst plans
-        // each occurrence independently — unmaterialized, the string
-        // formatting + 4x stack ran twice (the two dominant stages in
-        // the round-16 profile). The frame is 4·|orders| short strings.
-        .localCheckpoint()
+      // EAGER checkpoint: the unpivoted frame feeds BOTH the min/max
+      // stats agg and the KMV hash stream below, and Catalyst plans
+      // each occurrence independently — unmaterialized, the string
+      // formatting + 4x stack ran twice (the two dominant stages in
+      // the round-16 profile). The frame is 4·|orders| short strings.
+      val unp = q97Unpivot(s, dir).localCheckpoint()
       val stats = unp.groupBy(col("col_name"))
         .agg(count(lit(1)).as("n_rows"),
           (count(lit(1)) - count(col("v"))).as("n_null"),

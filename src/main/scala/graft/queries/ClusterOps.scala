@@ -279,38 +279,46 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
     * SparseRetrievalSpec). The only corpus-wide shuffles are the two
     * hash-aggs and the (query, doc) partial agg.
     */
+  /** The shared gram-posting build consumed by q120 and q121's sparse
+    * arm (factored round 17 — the two ~25-line copies had drifted-edit
+    * risk on the checkpoint placements): tf → df-filtered weights →
+    * joined postings (doc_id, h, tf, wt).
+    *
+    * Both checkpoints are load-bearing. `tf` is the corpus-scale pass
+    * (explode → hash → count) and occurs FOUR times downstream —
+    * `postings` appears on both the query side (filter) and the scan
+    * side of the match join, and each `postings` contains tf twice
+    * (directly and inside wt's document-frequency agg). Catalyst does
+    * not share identical subplans; unmaterialized, the corpus exploded
+    * 4× (the q107 round-16 lesson; solo walls 1.73→1.40 / 2.30→1.52 s).
+    * `wt` occurs twice for the same reason; its frame is df-filtered
+    * vocabulary — tiny at any scale. */
+  private def gramPostings(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = T.documentsSpread(s, dir)
+      .select(col("doc_id"),
+        expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.ngrams(col("ts"), 3)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val ndocs = T.documents(s, dir).agg(count(lit(1)).as("n"))
+    val wt = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .join(broadcast(ndocs))
+      .filter(col("df") * 4 <= col("n"))
+      .select(col("h"), expr("(n * 256) div df").as("wt"))
+      .localCheckpoint()
+    tf.join(wt, "h")
+  }
+
   val q120SparseRetrieval = Q(
     "q120_sparse_retrieval",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val tf = T.documentsSpread(s, dir)
-        .select(col("doc_id"),
-          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
-        .filter(size(col("ts")) >= 3)
-        .select(col("doc_id"),
-          explode(graft.functions.GraftFunctions.ngrams(col("ts"), 3)).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("h"))
-        .groupBy(col("doc_id"), col("h"))
-        .agg(count(lit(1)).as("tf"))
-        // EAGER checkpoint: `tf` is the corpus-scale pass (explode →
-        // hash → count) and occurs FOUR times below — `postings`
-        // appears on both the query side (filter) and the scan side
-        // of the match join, and each `postings` contains tf twice
-        // (directly and inside wt's document-frequency agg). Catalyst
-        // does not share identical subplans; unmaterialized, the
-        // corpus exploded 4× (the q107 round-16 lesson).
-        .localCheckpoint()
-      val ndocs = T.documents(s, dir).agg(count(lit(1)).as("n"))
-      val wt = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .join(broadcast(ndocs))
-        .filter(col("df") * 4 <= col("n"))
-        .select(col("h"), expr("(n * 256) div df").as("wt"))
-        // checkpointed for the same reason as tf: `postings` occurs
-        // twice below, so wt's subplan (df agg + the ndocs scan) would
-        // replay per occurrence. The frame is df-filtered vocabulary —
-        // tiny at any scale.
-        .localCheckpoint()
-      val postings = tf.join(wt, "h")
+      val postings = gramPostings(s, dir)
       val qside = postings.filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"), col("h"),
           col("tf").as("tfq"))
@@ -410,35 +418,9 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
         .withColumn("rd", row_number().over(wD))
         .filter(col("rd") <= 20)
         .select(col("query_id"), col("neighbor_id"), col("rd"))
-      // sparse arm: q120's gram postings, cut at top-20
-      val tf = T.documentsSpread(s, dir)
-        .select(col("doc_id"),
-          expr(s"filter($toksSql, t -> t <> '')").as("ts"))
-        .filter(size(col("ts")) >= 3)
-        .select(col("doc_id"),
-          explode(graft.functions.GraftFunctions.ngrams(col("ts"), 3)).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("h"))
-        .groupBy(col("doc_id"), col("h"))
-        .agg(count(lit(1)).as("tf"))
-        // EAGER checkpoint: `tf` is the corpus-scale pass (explode →
-        // hash → count) and occurs FOUR times below — `postings`
-        // appears on both the query side (filter) and the scan side
-        // of the match join, and each `postings` contains tf twice
-        // (directly and inside wt's document-frequency agg). Catalyst
-        // does not share identical subplans; unmaterialized, the
-        // corpus exploded 4× (the q107 round-16 lesson).
-        .localCheckpoint()
-      val ndocs = T.documents(s, dir).agg(count(lit(1)).as("n"))
-      val wt = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .join(broadcast(ndocs))
-        .filter(col("df") * 4 <= col("n"))
-        .select(col("h"), expr("(n * 256) div df").as("wt"))
-        // checkpointed for the same reason as tf: `postings` occurs
-        // twice below, so wt's subplan (df agg + the ndocs scan) would
-        // replay per occurrence. The frame is df-filtered vocabulary —
-        // tiny at any scale.
-        .localCheckpoint()
-      val postings = tf.join(wt, "h")
+      // sparse arm: q120's gram postings (shared gramPostings build —
+      // tf/wt checkpoints documented there), cut at top-20
+      val postings = gramPostings(s, dir)
       val qsideS = postings.filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"), col("h"), col("tf").as("tfq"))
       val wS = Window.partitionBy(col("query_id"))

@@ -936,9 +936,12 @@ object PipelineOps {
     * (stored row 15−b of frame k//48 at column k%48), so container →
     * walk → flip → featurize → dedup is cross-engine hash-gated.
     */
-  val q130VideoDibDedup = Q(
-    "q130_video_dib_dedup",
-    (s, dir) => {
+  /** q130's render → strict AVI walk → bottom-up DIB decode → per-row
+    * pixel-energy fingerprint stage, factored (round 17, the audioFp
+    * convention) so Curate's multimodal-dedup stage consumes the
+    * IDENTICAL (doc_id, fp) frame the oracle-gated query groups. */
+  private[graft] def videoFp(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
       import s.implicits._
       import graft.multimodal.Multimodal
       val side = 16
@@ -995,10 +998,14 @@ object PipelineOps {
       Multimodal.extractAviDibBands(media, bands).toDF()
         .select(col("media_id").as("doc_id"),
           array_join(col("bands"), "|").as("fp"))
-        .groupBy(col("fp"))
-        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
-        .orderBy(col("fp"))
-    },
+  }
+
+  val q130VideoDibDedup = Q(
+    "q130_video_dib_dedup",
+    (s, dir) => videoFp(s, dir)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("fp")),
     Some("""
       WITH px AS (
         SELECT doc_id,

@@ -151,15 +151,19 @@ class CurateSpec extends SparkSpec {
     val nearIds = exactIds -- losers
     // stage 4b: multimodal dedup — losers from the same factored
     // fingerprint seams the pipeline consumes (each seam's SEMANTICS
-    // has its own oracle-gated query, q128/q129; this test targets the
-    // funnel splice). Corpus-wide graphs, per the stage-4 convention.
+    // has its own oracle-gated query, q128/q129/q130; this test targets
+    // the funnel splice). Corpus-wide graphs, per the stage-4
+    // convention. Audio and video apply the same keep-min-doc group
+    // rule, reconstructed imperatively here.
     val pLosers = graft.queries.PipelineOps.perceptualDupPairs(spark, sf)
       .select(col("id_b")).collect().map(_.getLong(0)).toSet
-    val afp = graft.queries.PipelineOps.audioFp(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    val aLosers = afp.map(_._1).toSet --
-      afp.groupBy(_._2).map { case (_, g) => g.map(_._1).min }
-    val mediaIds = nearIds -- pLosers -- aLosers
+    def groupLosers(fp: Array[(Long, String)]): Set[Long] =
+      fp.map(_._1).toSet -- fp.groupBy(_._2).map { case (_, g) => g.map(_._1).min }
+    val aLosers = groupLosers(graft.queries.PipelineOps.audioFp(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))))
+    val vLosers = groupLosers(graft.queries.PipelineOps.videoFp(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))))
+    val mediaIds = nearIds -- pLosers -- aLosers -- vLosers
     assert(outA._2.nMediaDedup === mediaIds.size.toLong,
       s"nMediaDedup=${outA._2.nMediaDedup} != reconstructed ${mediaIds.size}")
     // decontamination (the independent 5-gram recompute above)

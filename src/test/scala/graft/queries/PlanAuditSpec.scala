@@ -37,9 +37,20 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q97 sketch profile plans NO Expand (the q75 scale trade, delivered)") {
+    // the final plan: no Expand anywhere above the checkpoint
     val plan = executedPlan(AnalyticsOps.q97SketchProfile)
     assert(!plan.contains("Expand"),
       s"KMV profile must not multiply rows via Expand:\n$plan")
+    // AND the PRE-checkpoint unpivot derivation (round-16 advice): the
+    // eager localCheckpoint hides that subtree behind a LogicalRDD, so
+    // the final-plan assert above alone could not see an Expand
+    // regression in the derivation itself. Audit the factored
+    // derivation directly. (`stack` should plan as Generate, not
+    // Expand — Expand replays every row per output branch.)
+    val pre = AnalyticsOps.q97Unpivot(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pre.contains("Expand"),
+      s"q97's unpivot derivation must not plan via Expand:\n$pre")
   }
 
   test("q34 broadcasts the query side, not the corpus") {
@@ -120,6 +131,15 @@ class PlanAuditSpec extends SparkSpec {
     // checkpointed at the fan-out point. Each entry asserts the final
     // plan's parquet-scan budget — a regression (checkpoint dropped,
     // new unshared branch) shows up as extra source scans.
+    //
+    // Scope note (round-16 advice): this budget audits only the FINAL
+    // plan. Construction-time materialization (an eager checkpoint)
+    // happens before the audited plan exists, so a checkpoint dropped
+    // BELOW another eager checkpoint in the same query is invisible
+    // here — that class of regression surfaces via the wall-clock
+    // bench, not this spec. `scans <= budget` is deliberate: exchange
+    // reuse collapsing two scans to one is an improvement, not a
+    // regression.
     val budgets = Seq(
       // q107: every frame in the final sort derives from the
       // checkpointed rank/edge state — no source scan at all
