@@ -122,6 +122,16 @@ object Bench {
     walls.get()
   }
 
+  /** 8-hex fingerprint of the run's QUERY SET (sorted names) — history
+    * lines carry it so historyBest never matches a different query set
+    * that happens to share (sf, count). Round-17 find: a q128-solo run
+    * at /tmp/sf1 retried against a 1.21 s floor that belonged to some
+    * OTHER query's solo run — n_queries=1 is not an identity. */
+  private[graft] def qsetHash(names: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(names.sorted.mkString(",").getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+
   private[graft] def renderLine(results: Seq[(String, Double)],
       errors: Map[String, String], sfDir: String, load: Array[Double],
       loadPregate: Option[Double], loadEnd: Double, gated: Int,
@@ -144,7 +154,7 @@ object Bench {
     // directive 1a) holds whenever it matters
     val retryJson = if (retried > 0)
       s""","retried":$retried,"pre_retry_total":${d2(preRetryTotal)}""" else ""
-    s"""{"metric":"total","value":${d2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(load(0))},${d2(load(1))},${d2(load(2))}]$pregate,"load_end":${d2(loadEnd)},"gated":$gated,"gc_ms":$gcMs,"spin_ms":[${spinMs.mkString(",")}],"spin_t":$spinThreads,"spin_floor":$spinFloor,"hist_best":${d2(histBest)}$retryJson,"passes":$passes}"""
+    s"""{"metric":"total","value":${d2(total)},"unit":"sec","n_queries":${results.size},"qset":"${qsetHash(results.map(_._1))}","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"load":[${d2(load(0))},${d2(load(1))},${d2(load(2))}]$pregate,"load_end":${d2(loadEnd)},"gated":$gated,"gc_ms":$gcMs,"spin_ms":[${spinMs.mkString(",")}],"spin_t":$spinThreads,"spin_floor":$spinFloor,"hist_best":${d2(histBest)}$retryJson,"passes":$passes}"""
   }
 
   /** Best (minimum) clean same-shape total in the append-only run
@@ -155,21 +165,31 @@ object Bench {
     * a JSON parser: the file is machine-written one-object-per-line by
     * renderLine above, and a malformed line must skip, not crash. */
   private[graft] def historyBest(path: java.nio.file.Path, sfDir: String,
-      nQueries: Int): Double = {
+      nQueries: Int, qset: String, fullRegistry: Boolean): Double = {
     val value = """"value":([0-9.]+)""".r
     val nq = """"n_queries":(\d+)""".r
     val nf = """"n_failed":(\d+)""".r
     val sf = """"sf":"((?:[^"\\]|\\.)*)"""".r
+    val qs = """"qset":"([0-9a-f]+)"""".r
     try {
       import scala.jdk.CollectionConverters._
       val best = java.nio.file.Files.readAllLines(path).asScala.iterator
         .flatMap { l =>
+          // lines WITH a qset must carry OUR query-set fingerprint; legacy
+          // qset-less lines (pre round 17) match on (sf, count) but only
+          // for FULL-registry runs — a legacy "n_queries":1 line is some
+          // unknowable solo query and must never become another solo
+          // run's retry floor (the observed false `retried:1`)
+          val qsetOk = qs.findFirstMatchIn(l).map(_.group(1)) match {
+            case Some(h) => h == qset
+            case None    => fullRegistry
+          }
           for {
             v <- value.findFirstMatchIn(l).map(_.group(1).toDouble)
             q <- nq.findFirstMatchIn(l).map(_.group(1).toInt)
             f <- nf.findFirstMatchIn(l).map(_.group(1).toInt)
             s <- sf.findFirstMatchIn(l).map(_.group(1))
-            if q == nQueries && f == 0 && s == sfDir && v > 0
+            if q == nQueries && f == 0 && s == sfDir && v > 0 && qsetOk
           } yield v
         }.foldLeft(Double.MaxValue)(math.min)
       if (best == Double.MaxValue) -1.0 else best
@@ -454,7 +474,8 @@ object Bench {
       if (ok.nonEmpty) ok.min else 0.0
     }.sum
     val histBest = historyBest(
-      detailPath.resolveSibling("BENCH_HISTORY.jsonl"), sfDir, names.size)
+      detailPath.resolveSibling("BENCH_HISTORY.jsonl"), sfDir, names.size,
+      qsetHash(names), names.size == SparkEntry.queries.size)
     val retryRatio =
       sys.env.getOrElse("SPARK_GRAFT_RETRY_RATIO", "1.25").toDouble
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_RUN_RETRIES", "1").toInt

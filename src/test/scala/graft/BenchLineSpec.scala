@@ -121,10 +121,54 @@ class BenchLineSpec extends AnyFunSuite {
       """{"ts":5,"metric":"total","value":11.0,"unit":"sec","n_queries":129,"queries":{},"errors":{"q01":"boom"},"n_failed":1,"sf":"/root/testdata/sf0.1","load":[0.1,0.1,0.1],"load_end":0.1,"gated":0,"gc_ms":2,"spin_ms":[],"passes":2}""",
       """not json at all""")
     java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
-    assert(Bench.historyBest(p, "/root/testdata/sf0.1", 129) === 89.7)
-    assert(Bench.historyBest(p, "/root/testdata/sf0.1", 7) === -1.0,
+    val h = Bench.qsetHash(Seq("q01_x"))
+    assert(Bench.historyBest(p, "/root/testdata/sf0.1", 129, h,
+      fullRegistry = true) === 89.7)
+    assert(Bench.historyBest(p, "/root/testdata/sf0.1", 7, h,
+      fullRegistry = true) === -1.0,
       "no same-shape record → -1 (retry gate disabled)")
     assert(Bench.historyBest(dir.resolve("missing.jsonl"),
-      "/root/testdata/sf0.1", 129) === -1.0, "missing file → -1, no throw")
+      "/root/testdata/sf0.1", 129, h, fullRegistry = true) === -1.0,
+      "missing file → -1, no throw")
+  }
+
+  test("historyBest query-set identity: qset lines must match; legacy lines only for full-registry runs") {
+    // round-17 find: a q128-solo run at /tmp/sf1 retried against a
+    // 1.21 s floor from some OTHER query's legacy solo line —
+    // (sf, n_queries=1) is not an identity. qset pins the set; legacy
+    // qset-less lines stay usable only for full-registry runs.
+    val dir = java.nio.file.Files.createTempDirectory("benchhistq")
+    val p = dir.resolve("BENCH_HISTORY.jsonl")
+    val hQ128 = Bench.qsetHash(Seq("q128_perceptual_dedup"))
+    val hQ107 = Bench.qsetHash(Seq("q107_graph_pagerank"))
+    val lines = Seq(
+      // legacy solo line (no qset) — must NOT floor any solo run
+      s"""{"ts":1,"metric":"total","value":1.21,"unit":"sec","n_queries":1,"queries":{},"errors":{},"n_failed":0,"sf":"/tmp/sf1","load":[0.1,0.1,0.1],"load_end":0.1,"gated":0,"gc_ms":2,"spin_ms":[],"passes":2}""",
+      // qset-bearing solo lines for two different queries
+      s"""{"ts":2,"metric":"total","value":2.13,"unit":"sec","n_queries":1,"qset":"$hQ128","queries":{},"errors":{},"n_failed":0,"sf":"/tmp/sf1","load":[0.1,0.1,0.1],"load_end":0.1,"gated":0,"gc_ms":2,"spin_ms":[],"passes":2}""",
+      s"""{"ts":3,"metric":"total","value":0.95,"unit":"sec","n_queries":1,"qset":"$hQ107","queries":{},"errors":{},"n_failed":0,"sf":"/tmp/sf1","load":[0.1,0.1,0.1],"load_end":0.1,"gated":0,"gc_ms":2,"spin_ms":[],"passes":2}""",
+      // legacy FULL-registry line — still honored for full runs
+      s"""{"ts":4,"metric":"total","value":59.93,"unit":"sec","n_queries":130,"queries":{},"errors":{},"n_failed":0,"sf":"/root/testdata/sf0.1","load":[0.1,0.1,0.1],"load_end":0.1,"gated":0,"gc_ms":2,"spin_ms":[],"passes":2}""")
+    java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    // a q128-solo run sees ONLY its own qset line (2.13), never the
+    // legacy 1.21 or q107's 0.95
+    assert(Bench.historyBest(p, "/tmp/sf1", 1, hQ128,
+      fullRegistry = false) === 2.13)
+    assert(Bench.historyBest(p, "/tmp/sf1", 1, hQ107,
+      fullRegistry = false) === 0.95)
+    // a full-registry run still inherits the legacy qset-less floor
+    val hFull = Bench.qsetHash((1 to 130).map(i => s"q${i}_x"))
+    assert(Bench.historyBest(p, "/root/testdata/sf0.1", 130, hFull,
+      fullRegistry = true) === 59.93)
+    // ...but a 130-query SUBSET-shaped run that is not the registry
+    // does not (fullRegistry=false rejects qset-less lines)
+    assert(Bench.historyBest(p, "/root/testdata/sf0.1", 130, hFull,
+      fullRegistry = false) === -1.0)
+  }
+
+  test("qsetHash is order-insensitive and name-sensitive") {
+    assert(Bench.qsetHash(Seq("a", "b")) === Bench.qsetHash(Seq("b", "a")))
+    assert(Bench.qsetHash(Seq("a", "b")) !== Bench.qsetHash(Seq("a", "c")))
+    assert(Bench.qsetHash(Seq("a")).matches("[0-9a-f]{8}"))
   }
 }
