@@ -16,11 +16,11 @@ import org.apache.spark.sql.functions._
   *   4. near-dup prune      — the shared near-dup pair graph (q33's
   *                            LSH generation ≡ q32's exact pairs) +
   *                            q89's lose-to-higher-score rule
-  *  4b. multimodal dedup    — q128's perceptual pair graph + q129's
-  *                            exact audio-fingerprint groups + q130's
-  *                            exact video-fingerprint groups, all via
-  *                            the factored fingerprint seams, min-doc
-  *                            survivor
+  *  4b. multimodal dedup    — the near-dup pair graphs (q128 image,
+  *                            q131 video, q132 audio) plus the exact
+  *                            fingerprint groups (q129 audio, q130
+  *                            video), all via the factored fingerprint
+  *                            seams, min-doc survivor
   *   5. decontamination     — q77's 5-gram overlap vs the eval probe set
   *  5b. semantic decontam   — q126's kernel: drop docs whose embedding
   *                            sits within `semThr` cosine of any eval
@@ -173,30 +173,40 @@ object Curate {
     val nNear = nearDeduped.count(); lap("near")
     exact.unpersist()
 
-    // 4b. MULTIMODAL dedup (round 16; video added round 17): the
-    // corpus's rendered media deduped through the same factored seams
-    // the oracle-gated queries verify — q128's perceptual pair graph
-    // (capped blocked cosine ≥ 0.95; pairs carry id_a < id_b, so
-    // dropping every id_b is the min-doc-survivor rule), q129's exact
-    // audio-fingerprint groups, and q130's exact video-fingerprint
-    // groups (each: all but the min doc_id of its band-energy group).
+    // 4b. MULTIMODAL dedup (round 16; video + the near-dup arms added
+    // round 17): the corpus's rendered media deduped through the same
+    // factored seams the oracle-gated queries verify —
+    //   NEAR: q128's perceptual image pairs, q131's video pairs,
+    //   q132's audio pairs (each a capped blocked cosine ≥ 0.95;
+    //   pairs carry id_a < id_b, so dropping every id_b is the
+    //   min-doc-survivor rule);
+    //   EXACT: q129's audio and q130's video fingerprint groups (all
+    //   but the min doc_id of each band-energy group) — kept even
+    //   though the near arms catch cosine-1.0 pairs, because the rank
+    //   cap makes the near arms' coverage of a >1024-member exact
+    //   clique heuristic while the group rule is provably total.
     // All graphs are computed CORPUS-WIDE and losers subtracted from
     // the current survivors — the stage-4 nearDupPairs convention (a
     // winner the funnel already dropped still eliminates its copies).
-    // Scale shape: one capped blocked join + two map-side-combined
-    // fingerprint exchanges, all linear in the corpus (q128/q129/
-    // q130's documented contracts); nothing corpus-sized is broadcast.
-    val pLosers = graft.queries.PipelineOps.perceptualDupPairs(spark, sfDir)
-      .select(col("id_b").as("doc_id"))
+    // Scale shape: three capped blocked joins + two map-side-combined
+    // fingerprint exchanges, all linear in the corpus (q128-q132's
+    // documented contracts); nothing corpus-sized is broadcast.
+    val P = graft.queries.PipelineOps
+    val nearLosers = Seq(
+      P.perceptualDupPairs(spark, sfDir),
+      P.videoNearDupPairs(spark, sfDir),
+      P.audioNearDupPairs(spark, sfDir))
+      .map(_.select(col("id_b").as("doc_id")))
+      .reduce(_ union _)
     def fpLosers(fp: DataFrame): DataFrame = {
       val wFp = Window.partitionBy(col("fp"))
       fp.withColumn("__keep", col("doc_id") === min(col("doc_id")).over(wFp))
         .filter(!col("__keep")).select(col("doc_id"))
     }
-    val aLosers = fpLosers(graft.queries.PipelineOps.audioFp(spark, sfDir))
-    val vLosers = fpLosers(graft.queries.PipelineOps.videoFp(spark, sfDir))
+    val aLosers = fpLosers(P.audioFp(spark, sfDir))
+    val vLosers = fpLosers(P.videoFp(spark, sfDir))
     val mediaDeduped = nearDeduped
-      .join(pLosers.union(aLosers).union(vLosers).distinct(),
+      .join(nearLosers.union(aLosers).union(vLosers).distinct(),
         Seq("doc_id"), "left_anti")
       .persist()
     val nMedia = mediaDeduped.count(); lap("media")

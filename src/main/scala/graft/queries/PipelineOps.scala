@@ -707,15 +707,19 @@ object PipelineOps {
         .localCheckpoint()
   }
 
-  /** q128's full candidate-generation + verify kernel, factored (round
-    * 16) so Curate's multimodal-dedup stage consumes the IDENTICAL
-    * pair graph the oracle-gated query verifies: (blk, id_a, id_b,
-    * cosine) with cosine ≥ 0.95 and id_a < id_b, unordered. */
-  private[graft] def perceptualDupPairs(
-      s: org.apache.spark.sql.SparkSession, dir: String)
+  /** The banded-cosine near-dup KERNEL, factored from q128 (round 17)
+    * so every band-fingerprint modality — image (q128), video (q131),
+    * audio (q132) — runs the IDENTICAL verified candidate-generation +
+    * verify plan. Input: a centered fingerprint frame (doc_id, blk,
+    * c array<double> of exact integers, nrm > 0), already
+    * checkpointed at its fan-out point (both self-join sides consume
+    * it). Output: (blk, id_a, id_b, cosine) with cosine ≥ `thr` and
+    * id_a < id_b, unordered. */
+  private[graft] def bandedCosinePairs(
+      s: org.apache.spark.sql.SparkSession,
+      fp: org.apache.spark.sql.DataFrame, knownRows: Long, thr: Double)
       : org.apache.spark.sql.DataFrame = {
       import graft.functions.GraftFunctions.dot
-      val fp = perceptualFp(s, dir)
       // rank cap (see subBlockRanks): ranks via BlockRanks'
       // range-split numbering (round 16) — bit-identical to the
       // per-block window but the sort is a p-way range exchange, so
@@ -723,11 +727,9 @@ object PipelineOps {
       // both join sides then shuffle on (blk, sub), which SPLITS a
       // hot block into pop/P-way parallelism instead of one
       // quadratic task
-      val nDocs = cachedCount(s, dir)(
-        T.documents(s, dir).filter(length(col("text")) >= 1).count())
       val rk = graft.ops.BlockRanks.withBlockRank(fp, "blk",
           Seq(col("c").getItem(0) / col("nrm"), col("doc_id")), "rn",
-          knownRows = nDocs)
+          knownRows = knownRows)
         .select(col("blk"),
           expr(s"cast((rn - 1) div $subBlockRanks as bigint)").as("sub"),
           col("doc_id"), col("c"), col("nrm"))
@@ -762,7 +764,19 @@ object PipelineOps {
           least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"),
           (dot(col("ca"), col("cb")) / (col("na") * col("nb"))).as("cosine"))
-        .filter(col("cosine") >= 0.95)
+        .filter(col("cosine") >= thr)
+  }
+
+  /** q128's full candidate-generation + verify kernel, factored (round
+    * 16) so Curate's multimodal-dedup stage consumes the IDENTICAL
+    * pair graph the oracle-gated query verifies: (blk, id_a, id_b,
+    * cosine) with cosine ≥ 0.95 and id_a < id_b, unordered. */
+  private[graft] def perceptualDupPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+      val nDocs = cachedCount(s, dir)(
+        T.documents(s, dir).filter(length(col("text")) >= 1).count())
+      bandedCosinePairs(s, perceptualFp(s, dir), nDocs, 0.95)
   }
 
   val q128PerceptualDedup = Q(
@@ -837,12 +851,13 @@ object PipelineOps {
     * container → decode → featurize → dedup path is cross-engine
     * hash-gated, not just spec-gated.
     */
-  /** q129's render → strict WAV walk → G.711 expand → band-energy
-    * fingerprint stage, factored (round 16, the perceptualFp
-    * convention) so Curate's multimodal-dedup stage consumes the
-    * IDENTICAL (doc_id, fp) frame the oracle-gated query groups. */
-  private[graft] def audioFp(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
+  /** q129's render → strict WAV walk → G.711 expand → per-band PCM
+    * ENERGY frame (doc_id, bands array<bigint>), factored (round 17)
+    * so both the exact-dedup fingerprint (audioFp → q129/Curate) and
+    * the near-dup kernel (q132) decode once through the same verified
+    * walk. */
+  private[graft] def audioBands(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       import graft.multimodal.Multimodal
       val nSamples = 768
@@ -872,9 +887,17 @@ object PipelineOps {
           col("kind"), col("payload"))
         .as[Multimodal.Media]
       Multimodal.extractWavBands(media, bands).toDF()
-        .select(col("media_id").as("doc_id"),
-          array_join(col("bands"), "|").as("fp"))
+        .select(col("media_id").as("doc_id"), col("bands"))
   }
+
+  /** q129's (doc_id, fp) frame — the exact-dedup key over the decoded
+    * band energies, factored (round 16, the perceptualFp convention)
+    * so Curate's multimodal-dedup stage consumes the IDENTICAL frame
+    * the oracle-gated query groups. */
+  private[graft] def audioFp(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    audioBands(s, dir)
+      .select(col("doc_id"), array_join(col("bands"), "|").as("fp"))
 
   val q129AudioFpDedup = Q(
     "q129_audio_fp_dedup",
@@ -936,12 +959,13 @@ object PipelineOps {
     * (stored row 15−b of frame k//48 at column k%48), so container →
     * walk → flip → featurize → dedup is cross-engine hash-gated.
     */
-  /** q130's render → strict AVI walk → bottom-up DIB decode → per-row
-    * pixel-energy fingerprint stage, factored (round 17, the audioFp
-    * convention) so Curate's multimodal-dedup stage consumes the
-    * IDENTICAL (doc_id, fp) frame the oracle-gated query groups. */
-  private[graft] def videoFp(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
+  /** q130's render → strict AVI walk → bottom-up DIB decode →
+    * per-decoded-row pixel-energy BAND frame (doc_id, bands
+    * array<bigint>), factored (round 17) so both the exact-dedup
+    * fingerprint (videoFp → q130/Curate) and the near-dup kernel
+    * (q131) decode once through the same verified walk. */
+  private[graft] def videoBands(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       import graft.multimodal.Multimodal
       val side = 16
@@ -996,9 +1020,17 @@ object PipelineOps {
           col("kind"), col("payload"))
         .as[Multimodal.Media]
       Multimodal.extractAviDibBands(media, bands).toDF()
-        .select(col("media_id").as("doc_id"),
-          array_join(col("bands"), "|").as("fp"))
+        .select(col("media_id").as("doc_id"), col("bands"))
   }
+
+  /** q130's (doc_id, fp) frame — the exact-dedup key over the decoded
+    * band energies, factored (round 17, the audioFp convention) so
+    * Curate's multimodal-dedup stage consumes the IDENTICAL frame the
+    * oracle-gated query groups. */
+  private[graft] def videoFp(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    videoBands(s, dir)
+      .select(col("doc_id"), array_join(col("bands"), "|").as("fp"))
 
   val q130VideoDibDedup = Q(
     "q130_video_dib_dedup",
@@ -1023,6 +1055,165 @@ object PipelineOps {
         COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
       FROM fv GROUP BY 1 ORDER BY fp""".stripMargin),
     "video-fingerprint dedup (multimodal video -> exact dedup): real 4-frame uncompressed-DIB AVIs through the strict RIFF walk (strf geometry enforced, avih frame count cross-checked, bottom-up row decode) into 16 exact-integer per-row pixel energies, then one hash-groupBy shuffle on the fingerprint — linear at any scale, the video container's first oracle-gated path")
+
+  // ---------------------------------------------------------------------
+  // q131/q132 — NEAR-dup video/audio (the q128 kernel on decoded energies)
+  // ---------------------------------------------------------------------
+
+  /** Scaled-then-centered fingerprint builder for the ENERGY-band
+    * modalities (q131 video, q132 audio) — q128's centering with one
+    * extra exactness step: energy bands are Σ byte² / Σ pcm² sums whose
+    * centered values would overflow double EXACTNESS (2^53) when
+    * multiplied in the cosine (video c ≤ 2·10⁸ → c² ≈ 4·10¹⁶ > 2^53;
+    * audio worse), so each band is first integer-divided by `scaleDiv`
+    * — identical floor-division on both engines — bringing every
+    * centered value, square, and 16-term dot product back under 2^53.
+    * The returned frame is (doc_id, blk, c array<double>, nrm), blk
+    * from the q128 corpus-aware width dial (block population ∝ N
+    * bounded), zero-norm rows dropped, checkpointed at the fan-out
+    * point (both self-join sides of the kernel consume it; the
+    * round-9 multi-branch rule).
+    */
+  private def scaledCenteredFp(s: org.apache.spark.sql.SparkSession,
+      bandsDf: org.apache.spark.sql.DataFrame, scaleDiv: Long,
+      nDocs: Long): org.apache.spark.sql.DataFrame = {
+      import graft.functions.GraftFunctions.dot
+      val w = math.max(64L, math.min(4096L, 20480000L / math.max(1L, nDocs)))
+      bandsDf
+        .select(col("doc_id"),
+          expr(s"transform(bands, x -> x div ${scaleDiv}L)").as("b"))
+        .select(col("doc_id"),
+          expr("aggregate(b, 0L, (s, x) -> s + x)").as("tot"), col("b"))
+        .select(col("doc_id"), expr(s"tot div ${w}L").as("blk"),
+          expr("transform(b, x -> cast(16L * x - tot as double))").as("c"))
+        .select(col("doc_id"), col("blk"), col("c"),
+          sqrt(dot(col("c"), col("c"))).as("nrm"))
+        .filter(col("nrm") > 0)
+        .localCheckpoint()
+  }
+
+  private def nearDupOracle(bandsSql: String, scaleDiv: Long,
+      thr: String): String = s"""
+      WITH fv AS ($bandsSql),
+      sb AS (
+        SELECT doc_id, list_transform(bands, x -> x // $scaleDiv) AS b
+        FROM fv),
+      wf AS (
+        SELECT GREATEST(64, LEAST(4096, 20480000 // count(*))) AS w
+        FROM documents WHERE len(text) >= 1),
+      t AS (
+        SELECT doc_id, CAST(list_sum(b) AS BIGINT) AS tot, b FROM sb),
+      cv AS (
+        SELECT doc_id, tot, list_transform(b, x -> 16 * x - tot) AS c
+        FROM t),
+      n AS (
+        SELECT doc_id, CAST(tot // wf.w AS BIGINT) AS blk, c,
+          sqrt(CAST(list_sum(list_transform(c, x -> x * x)) AS DOUBLE)) AS nrm
+        FROM cv CROSS JOIN wf
+        WHERE list_sum(list_transform(c, x -> x * x)) > 0),
+      rk AS (
+        SELECT doc_id, blk, c, nrm,
+          CAST((row_number() OVER (PARTITION BY blk
+                 ORDER BY CAST(c[1] AS DOUBLE) / nrm, doc_id) - 1)
+               // $subBlockRanks AS BIGINT) AS sub
+        FROM n),
+      pr AS (
+        SELECT a.blk AS blk,
+          LEAST(a.doc_id, b.doc_id) AS id_a,
+          GREATEST(a.doc_id, b.doc_id) AS id_b,
+          CAST(list_sum(list_transform(generate_series(1, 16),
+            i -> a.c[i] * b.c[i])) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+        FROM rk a JOIN rk b
+          ON a.blk = b.blk
+         AND ((a.sub = b.sub AND a.doc_id < b.doc_id) OR a.sub + 1 = b.sub))
+      SELECT blk, id_a, id_b, cosine FROM pr
+      WHERE cosine >= $thr
+      ORDER BY id_a, id_b""".stripMargin
+
+  /** q130's closed-form decoded-band derivation as a DuckDB CTE body
+    * (shared by q130's own oracle and q131's): stored row 15−b of
+    * frame k//48 at column k%48, squared — re-derives every decoded
+    * byte including the bottom-up flip. */
+  private val videoBandsSql = """
+        SELECT doc_id,
+          list_transform(generate_series(0, 15), b ->
+            CAST(list_sum(list_transform(generate_series(0, 191), k ->
+              ord(substr(sdata, CAST((k // 48) * 768 + (15 - b) * 48 + (k % 48) + 1 AS INTEGER), 1)) *
+              ord(substr(sdata, CAST((k // 48) * 768 + (15 - b) * 48 + (k % 48) + 1 AS INTEGER), 1))))
+            AS BIGINT)) AS bands
+        FROM (SELECT doc_id,
+          substr(repeat(text, CAST(ceil(3072.0 / len(text)) AS INT)), 1, 3072) AS sdata
+          FROM documents WHERE len(text) >= 1)"""
+
+  /** q129's closed-form decoded-PCM band-energy derivation as a DuckDB
+    * CTE body (255−ord ≈ μ-law code, then the closed-form expansion). */
+  private val audioBandsSql = """
+        SELECT doc_id,
+          list_transform(generate_series(0, 15), b ->
+            CAST(list_sum(list_transform(generate_series(1, 48), j ->
+              s16[CAST(b * 48 + j AS INTEGER)] * s16[CAST(b * 48 + j AS INTEGER)]))
+            AS BIGINT)) AS bands
+        FROM (SELECT doc_id,
+          list_transform(
+            list_transform(generate_series(1, 768),
+              j -> 255 - ord(substr(sdata, CAST(j AS INTEGER), 1))),
+            u -> CASE WHEN (u & 128) != 0
+              THEN 132 - ((((u & 15) * 8) + 132) * (1 << ((u // 16) & 7)))
+              ELSE ((((u & 15) * 8) + 132) * (1 << ((u // 16) & 7))) - 132
+            END) AS s16
+          FROM (SELECT doc_id,
+            substr(repeat(text, CAST(ceil(768.0 / len(text)) AS INT)), 1, 768) AS sdata
+            FROM documents WHERE len(text) >= 1))"""
+
+  /** NEAR-dup video — the re-encoded/trimmed-copy class exact
+    * fingerprints (q130) cannot see: q128's verified banded-cosine
+    * kernel applied to the DECODED per-row pixel energies from the
+    * strict AVI walk. Completes the modality × {exact, near} dedup
+    * matrix for video (image near = q128, video exact = q130). Scale
+    * shape is exactly q128's: one decode pass, fingerprint-sized
+    * frame, hard 1.5·N·1024 candidate cap, range-split ranks — no new
+    * caveats. Exactness: bands are pre-scaled (÷256 integer division)
+    * so every centered value, square, and dot stays under 2^53 — see
+    * scaledCenteredFp.
+    */
+  /** q131's pair graph, factored (the perceptualDupPairs convention)
+    * so Curate's multimodal-dedup stage consumes the IDENTICAL graph
+    * the oracle-gated query verifies. */
+  private[graft] def videoNearDupPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+      val nDocs = cachedCount(s, dir)(
+        T.documents(s, dir).filter(length(col("text")) >= 1).count())
+      bandedCosinePairs(s,
+        scaledCenteredFp(s, videoBands(s, dir), 256L, nDocs), nDocs, 0.95)
+  }
+
+  val q131VideoNearDup = Q(
+    "q131_video_near_dup",
+    (s, dir) => videoNearDupPairs(s, dir).orderBy(col("id_a"), col("id_b")),
+    Some(nearDupOracle(videoBandsSql, 256L, "0.95")),
+    "near-dup video (multimodal video -> blocked ANN): decoded per-row pixel energies from the strict bottom-up AVI walk, pre-scaled (div 256) for sub-2^53 exactness, centered, then q128's capped banded-cosine kernel (corpus-aware block + 1024-rank sub-blocks, candidates <= 1.5*N*1024) — the re-encoded-copy class exact video fingerprints cannot see, bit-identical cross-engine")
+
+  /** NEAR-dup audio — q128's kernel on the decoded G.711 PCM band
+    * energies (q129's exact groups miss a clip whose samples moved by
+    * one code). Same scale shape and exactness discipline as q131
+    * (÷65536 pre-scale: PCM energies reach 5·10¹⁰ per band). */
+  /** q132's pair graph, factored for Curate (the perceptualDupPairs
+    * convention). */
+  private[graft] def audioNearDupPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+      val nDocs = cachedCount(s, dir)(
+        T.documents(s, dir).filter(length(col("text")) >= 1).count())
+      bandedCosinePairs(s,
+        scaledCenteredFp(s, audioBands(s, dir), 65536L, nDocs), nDocs, 0.95)
+  }
+
+  val q132AudioNearDup = Q(
+    "q132_audio_near_dup",
+    (s, dir) => audioNearDupPairs(s, dir).orderBy(col("id_a"), col("id_b")),
+    Some(nearDupOracle(audioBandsSql, 65536L, "0.95")),
+    "near-dup audio (multimodal audio -> blocked ANN): decoded G.711 PCM band energies through the strict RIFF walk, pre-scaled (div 65536) for sub-2^53 exactness, centered, then q128's capped banded-cosine kernel — the shifted-sample class exact audio fingerprints cannot see, bit-identical cross-engine")
 
   // ---------------------------------------------------------------------
   // q60 — IVF-style cell-partitioned ANN over embeddings
@@ -1913,5 +2104,6 @@ ${(1 to 3).map(round).mkString(",\n")}
     q60AnnIvf, q63KmvDistinct, q79KmvMerge, q99HllDistinct,
     q104Winnowing, q105EmbedQuantize, q106WinnowDup, q108QuantizedAnn,
     q109TokenDiversity, q124BpeMerges, q128PerceptualDedup,
-    q129AudioFpDedup, q130VideoDibDedup)
+    q129AudioFpDedup, q130VideoDibDedup, q131VideoNearDup,
+    q132AudioNearDup)
 }

@@ -151,19 +151,24 @@ class CurateSpec extends SparkSpec {
     val nearIds = exactIds -- losers
     // stage 4b: multimodal dedup — losers from the same factored
     // fingerprint seams the pipeline consumes (each seam's SEMANTICS
-    // has its own oracle-gated query, q128/q129/q130; this test targets
+    // has its own oracle-gated query, q128-q132; this test targets
     // the funnel splice). Corpus-wide graphs, per the stage-4
-    // convention. Audio and video apply the same keep-min-doc group
-    // rule, reconstructed imperatively here.
-    val pLosers = graft.queries.PipelineOps.perceptualDupPairs(spark, sf)
-      .select(col("id_b")).collect().map(_.getLong(0)).toSet
+    // convention: three near-dup pair graphs drop every id_b, and the
+    // audio/video exact groups apply the keep-min-doc rule,
+    // reconstructed imperatively here.
+    val P = graft.queries.PipelineOps
+    def pairLosers(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      pairs.select(col("id_b")).collect().map(_.getLong(0)).toSet
+    val nearLosers = pairLosers(P.perceptualDupPairs(spark, sf)) ++
+      pairLosers(P.videoNearDupPairs(spark, sf)) ++
+      pairLosers(P.audioNearDupPairs(spark, sf))
     def groupLosers(fp: Array[(Long, String)]): Set[Long] =
       fp.map(_._1).toSet -- fp.groupBy(_._2).map { case (_, g) => g.map(_._1).min }
-    val aLosers = groupLosers(graft.queries.PipelineOps.audioFp(spark, sf)
+    val aLosers = groupLosers(P.audioFp(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1))))
-    val vLosers = groupLosers(graft.queries.PipelineOps.videoFp(spark, sf)
+    val vLosers = groupLosers(P.videoFp(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1))))
-    val mediaIds = nearIds -- pLosers -- aLosers -- vLosers
+    val mediaIds = nearIds -- nearLosers -- aLosers -- vLosers
     assert(outA._2.nMediaDedup === mediaIds.size.toLong,
       s"nMediaDedup=${outA._2.nMediaDedup} != reconstructed ${mediaIds.size}")
     // decontamination (the independent 5-gram recompute above)
