@@ -191,11 +191,20 @@ object Curate {
     // Scale shape: three capped blocked joins + two map-side-combined
     // fingerprint exchanges, all linear in the corpus (q128-q132's
     // documented contracts); nothing corpus-sized is broadcast.
+    // Each modality's render+decode pass is the stage's dominant cost
+    // and feeds TWO consumers (the exact group rule and the near-dup
+    // kernel) — Catalyst plans each occurrence independently, so
+    // without a checkpoint at this fan-out the WAV and AVI walks ran
+    // twice per pipeline run (the round-9 multi-branch rule; A/B'd at
+    // sf1 in SCALING round 17). The bands frames are 16 longs/doc.
     val P = graft.queries.PipelineOps
+    val nDocs = P.nonEmptyDocCount(spark, sfDir)
+    val aBands = P.audioBands(spark, sfDir).localCheckpoint()
+    val vBands = P.videoBands(spark, sfDir).localCheckpoint()
     val nearLosers = Seq(
       P.perceptualDupPairs(spark, sfDir),
-      P.videoNearDupPairs(spark, sfDir),
-      P.audioNearDupPairs(spark, sfDir))
+      P.videoNearDupPairsFrom(spark, vBands, nDocs),
+      P.audioNearDupPairsFrom(spark, aBands, nDocs))
       .map(_.select(col("id_b").as("doc_id")))
       .reduce(_ union _)
     def fpLosers(fp: DataFrame): DataFrame = {
@@ -203,8 +212,8 @@ object Curate {
       fp.withColumn("__keep", col("doc_id") === min(col("doc_id")).over(wFp))
         .filter(!col("__keep")).select(col("doc_id"))
     }
-    val aLosers = fpLosers(P.audioFp(spark, sfDir))
-    val vLosers = fpLosers(P.videoFp(spark, sfDir))
+    val aLosers = fpLosers(P.bandsFp(aBands))
+    val vLosers = fpLosers(P.bandsFp(vBands))
     val mediaDeduped = nearDeduped
       .join(nearLosers.union(aLosers).union(vLosers).distinct(),
         Seq("doc_id"), "left_anti")

@@ -767,17 +767,21 @@ object PipelineOps {
         .filter(col("cosine") >= thr)
   }
 
+  /** The kernel family's shared population figure (BlockRanks gating +
+    * block-width dial): non-empty documents, cached per (session, dir)
+    * so the count job runs once across every consumer in a session. */
+  private[graft] def nonEmptyDocCount(s: org.apache.spark.sql.SparkSession,
+      dir: String): Long = cachedCount(s, dir)(
+    T.documents(s, dir).filter(length(col("text")) >= 1).count())
+
   /** q128's full candidate-generation + verify kernel, factored (round
     * 16) so Curate's multimodal-dedup stage consumes the IDENTICAL
     * pair graph the oracle-gated query verifies: (blk, id_a, id_b,
     * cosine) with cosine ≥ 0.95 and id_a < id_b, unordered. */
   private[graft] def perceptualDupPairs(
       s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-      val nDocs = cachedCount(s, dir)(
-        T.documents(s, dir).filter(length(col("text")) >= 1).count())
-      bandedCosinePairs(s, perceptualFp(s, dir), nDocs, 0.95)
-  }
+      : org.apache.spark.sql.DataFrame =
+    bandedCosinePairs(s, perceptualFp(s, dir), nonEmptyDocCount(s, dir), 0.95)
 
   val q128PerceptualDedup = Q(
     "q128_perceptual_dedup",
@@ -896,8 +900,7 @@ object PipelineOps {
     * the oracle-gated query groups. */
   private[graft] def audioFp(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    audioBands(s, dir)
-      .select(col("doc_id"), array_join(col("bands"), "|").as("fp"))
+    bandsFp(audioBands(s, dir))
 
   val q129AudioFpDedup = Q(
     "q129_audio_fp_dedup",
@@ -1023,14 +1026,21 @@ object PipelineOps {
         .select(col("media_id").as("doc_id"), col("bands"))
   }
 
+  /** The exact-dedup fingerprint projection over a decoded band frame
+    * — shared by videoFp/audioFp and by Curate, which passes a
+    * CHECKPOINTED bands frame so the decode is not replayed per
+    * consumer (see Curate stage 4b). */
+  private[graft] def bandsFp(bands: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bands.select(col("doc_id"), array_join(col("bands"), "|").as("fp"))
+
   /** q130's (doc_id, fp) frame — the exact-dedup key over the decoded
     * band energies, factored (round 17, the audioFp convention) so
     * Curate's multimodal-dedup stage consumes the IDENTICAL frame the
     * oracle-gated query groups. */
   private[graft] def videoFp(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    videoBands(s, dir)
-      .select(col("doc_id"), array_join(col("bands"), "|").as("fp"))
+    bandsFp(videoBands(s, dir))
 
   val q130VideoDibDedup = Q(
     "q130_video_dib_dedup",
@@ -1176,16 +1186,22 @@ object PipelineOps {
     * so every centered value, square, and dot stays under 2^53 — see
     * scaledCenteredFp.
     */
+  /** q131's pair graph over a caller-supplied bands frame — Curate
+    * passes its checkpointed decode so the AVI walk runs once per
+    * pipeline run across the exact + near consumers. */
+  private[graft] def videoNearDupPairsFrom(
+      s: org.apache.spark.sql.SparkSession,
+      bands: org.apache.spark.sql.DataFrame, nDocs: Long)
+      : org.apache.spark.sql.DataFrame =
+    bandedCosinePairs(s, scaledCenteredFp(s, bands, 256L, nDocs), nDocs, 0.95)
+
   /** q131's pair graph, factored (the perceptualDupPairs convention)
     * so Curate's multimodal-dedup stage consumes the IDENTICAL graph
     * the oracle-gated query verifies. */
   private[graft] def videoNearDupPairs(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-      val nDocs = cachedCount(s, dir)(
-        T.documents(s, dir).filter(length(col("text")) >= 1).count())
-      bandedCosinePairs(s,
-        scaledCenteredFp(s, videoBands(s, dir), 256L, nDocs), nDocs, 0.95)
+      videoNearDupPairsFrom(s, videoBands(s, dir), nonEmptyDocCount(s, dir))
   }
 
   val q131VideoNearDup = Q(
@@ -1198,15 +1214,20 @@ object PipelineOps {
     * energies (q129's exact groups miss a clip whose samples moved by
     * one code). Same scale shape and exactness discipline as q131
     * (÷65536 pre-scale: PCM energies reach 5·10¹⁰ per band). */
+  /** q132's pair graph over a caller-supplied bands frame (the
+    * videoNearDupPairsFrom convention). */
+  private[graft] def audioNearDupPairsFrom(
+      s: org.apache.spark.sql.SparkSession,
+      bands: org.apache.spark.sql.DataFrame, nDocs: Long)
+      : org.apache.spark.sql.DataFrame =
+    bandedCosinePairs(s, scaledCenteredFp(s, bands, 65536L, nDocs), nDocs, 0.95)
+
   /** q132's pair graph, factored for Curate (the perceptualDupPairs
     * convention). */
   private[graft] def audioNearDupPairs(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-      val nDocs = cachedCount(s, dir)(
-        T.documents(s, dir).filter(length(col("text")) >= 1).count())
-      bandedCosinePairs(s,
-        scaledCenteredFp(s, audioBands(s, dir), 65536L, nDocs), nDocs, 0.95)
+      audioNearDupPairsFrom(s, audioBands(s, dir), nonEmptyDocCount(s, dir))
   }
 
   val q132AudioNearDup = Q(
