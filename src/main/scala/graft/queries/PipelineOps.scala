@@ -1084,7 +1084,7 @@ object PipelineOps {
     * point (both self-join sides of the kernel consume it; the
     * round-9 multi-branch rule).
     */
-  private def scaledCenteredFp(s: org.apache.spark.sql.SparkSession,
+  private[graft] def scaledCenteredFp(s: org.apache.spark.sql.SparkSession,
       bandsDf: org.apache.spark.sql.DataFrame, scaleDiv: Long,
       nDocs: Long): org.apache.spark.sql.DataFrame = {
       import graft.functions.GraftFunctions.dot

@@ -152,7 +152,13 @@ class PlanAuditSpec extends SparkSpec {
       // q106: candidates and verify sides read checkpoints only
       (PipelineOps.q106WinnowDup, 0),
       // q97: stats and KMV arms read the checkpointed unpivot
-      (AnalyticsOps.q97SketchProfile, 0))
+      (AnalyticsOps.q97SketchProfile, 0),
+      // q131/q132 (round 17): both self-join sides of the banded-cosine
+      // kernel read the checkpointed scaled fingerprint frame — a
+      // parquet scan in the final plan means the AVI/WAV decode
+      // re-derives per join side
+      (PipelineOps.q131VideoNearDup, 0),
+      (PipelineOps.q132AudioNearDup, 0))
     budgets.foreach { case (q, budget) =>
       val plan = executedPlan(q)
       val scans = "Scan parquet".r.findAllIn(plan).length
