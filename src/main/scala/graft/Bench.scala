@@ -126,9 +126,13 @@ object Bench {
     * lines carry it so historyBest never matches a different query set
     * that happens to share (sf, count). Round-17 find: a q128-solo run
     * at /tmp/sf1 retried against a 1.21 s floor that belonged to some
-    * OTHER query's solo run — n_queries=1 is not an identity. */
+    * OTHER query's solo run — n_queries=1 is not an identity.
+    * SHA-256, not MD5: MD5 throws NoSuchAlgorithmException on
+    * FIPS-mode JVMs, and this runs AFTER the timed passes — a crash
+    * here would lose a completed measurement. No cryptographic
+    * strength needed, only a stable 32-bit set identity. */
   private[graft] def qsetHash(names: Seq[String]): String =
-    java.security.MessageDigest.getInstance("MD5")
+    java.security.MessageDigest.getInstance("SHA-256")
       .digest(names.sorted.mkString(",").getBytes("UTF-8"))
       .take(4).map(b => f"${b & 0xff}%02x").mkString
 
@@ -335,12 +339,14 @@ object Bench {
     // edit per arm; semicolon-separated because conf VALUES may
     // contain commas. Ignored when unset, so the driver's canonical
     // run is untouched by the hook's existence.
+    var requestedCodegenCache = "10000"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').iterator
       .map(_.trim).filter(_.nonEmpty).foreach { kv =>
         // a stray ';k' or bare token used to die as an opaque
         // MatchError with no hint which entry was bad (round-15 advice)
         require(kv.contains('='), s"malformed SPARK_GRAFT_CONF entry (no '='): $kv")
         val Array(k, v) = kv.split("=", 2)
+        if (k == "spark.sql.codegen.cache.maxEntries") requestedCodegenCache = v
         builder.config(k, v)
       })
     val spark = builder.getOrCreate()
@@ -350,8 +356,10 @@ object Bench {
     // embedded/reused-JVM context the recompilation fix would silently
     // vanish and every timed pass would recompile every query (the
     // round-16 ~35% find, un-fixed). Fail loudly instead (round-16
-    // advice).
-    require(spark.conf.get("spark.sql.codegen.cache.maxEntries") == "10000",
+    // advice). Compared against the value this run REQUESTED — the
+    // builder default or a deliberate SPARK_GRAFT_CONF A/B override —
+    // so the documented conf-hook protocol can still drive this conf.
+    require(spark.conf.get("spark.sql.codegen.cache.maxEntries") == requestedCodegenCache,
       "Bench requires a fresh JVM: spark.sql.codegen.cache.maxEntries is a " +
         "static conf and an existing SparkSession ignored it — timings would " +
         "silently include per-pass codegen recompilation")

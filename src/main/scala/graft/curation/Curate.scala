@@ -197,8 +197,22 @@ object Curate {
     // without a checkpoint at this fan-out the WAV and AVI walks ran
     // twice per pipeline run (the round-9 multi-branch rule; A/B'd at
     // sf1 in SCALING round 17). The bands frames are 16 longs/doc.
+    //
+    // Checkpoint-block lifetime: this stage creates several
+    // localCheckpoint frames (the two bands frames here plus the
+    // fingerprint/rank checkpoints inside the three kernels), and
+    // checkpoint blocks are NOT released by unpersist()-style stage
+    // hygiene — they sit in BlockManager storage until the driver GC
+    // happens to run the ContextCleaner (the round-11 bench finding).
+    // So the stage (a) tracks every checkpoint RDD it creates by
+    // diffing getPersistentRDDs around the frame construction, (b)
+    // funnels all downstream lineage through ONE small checkpointed
+    // loser frame, and (c) releases the tracked blocks once the loser
+    // frame exists — safe exactly because nothing downstream can reach
+    // the released (unrecomputable) blocks through `losers` anymore.
     val P = graft.queries.PipelineOps
     val nDocs = P.nonEmptyDocCount(spark, sfDir)
+    val cpBefore = spark.sparkContext.getPersistentRDDs.keySet
     val aBands = P.audioBands(spark, sfDir).localCheckpoint()
     val vBands = P.videoBands(spark, sfDir).localCheckpoint()
     val nearLosers = Seq(
@@ -212,11 +226,20 @@ object Curate {
       fp.withColumn("__keep", col("doc_id") === min(col("doc_id")).over(wFp))
         .filter(!col("__keep")).select(col("doc_id"))
     }
-    val aLosers = fpLosers(P.bandsFp(aBands))
-    val vLosers = fpLosers(P.bandsFp(vBands))
+    // every eager checkpoint of the stage exists NOW; snapshot their ids
+    // BEFORE the losers frame adds its own persisted RDD
+    val mediaCpIds = spark.sparkContext.getPersistentRDDs.keySet -- cpBefore
+    // loser-id-sized; eager, so every upstream checkpoint is consumed
+    // (and releasable) the moment this returns
+    val mediaLosers = nearLosers.union(fpLosers(P.bandsFp(aBands)))
+      .union(fpLosers(P.bandsFp(vBands)))
+      .distinct()
+      .localCheckpoint()
+    spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => mediaCpIds.contains(id) }
+      .valuesIterator.foreach(_.unpersist(blocking = true))
     val mediaDeduped = nearDeduped
-      .join(nearLosers.union(aLosers).union(vLosers).distinct(),
-        Seq("doc_id"), "left_anti")
+      .join(mediaLosers, Seq("doc_id"), "left_anti")
       .persist()
     val nMedia = mediaDeduped.count(); lap("media")
     nearDeduped.unpersist()
