@@ -130,10 +130,16 @@ object Bench {
     * SHA-256, not MD5: MD5 throws NoSuchAlgorithmException on
     * FIPS-mode JVMs, and this runs AFTER the timed passes — a crash
     * here would lose a completed measurement. No cryptographic
-    * strength needed, only a stable 32-bit set identity. */
+    * strength needed, only a stable 32-bit set identity. Names are
+    * escaped before the comma-join so a name that ever contained a
+    * comma could not collide with a different set (["a,b"] vs
+    * ["a","b"]); for the comma-free names every registry has had, the
+    * escape is the identity map, so banked floors keep their qset. */
   private[graft] def qsetHash(names: Seq[String]): String =
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(names.sorted.mkString(",").getBytes("UTF-8"))
+      .digest(names.sorted
+        .map(_.replace("\\", "\\\\").replace(",", "\\,"))
+        .mkString(",").getBytes("UTF-8"))
       .take(4).map(b => f"${b & 0xff}%02x").mkString
 
   private[graft] def renderLine(results: Seq[(String, Double)],
@@ -483,7 +489,7 @@ object Bench {
     }.sum
     val histBest = historyBest(
       detailPath.resolveSibling("BENCH_HISTORY.jsonl"), sfDir, names.size,
-      qsetHash(names), names.size == SparkEntry.queries.size)
+      qsetHash(names), names.toSet == SparkEntry.queries.keySet)
     val retryRatio =
       sys.env.getOrElse("SPARK_GRAFT_RETRY_RATIO", "1.25").toDouble
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_RUN_RETRIES", "1").toInt

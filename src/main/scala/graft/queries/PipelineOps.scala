@@ -792,7 +792,7 @@ object PipelineOps {
           substr(repeat(text, CAST(ceil(768.0 / len(text)) AS INT)), 1, 768) AS s
         FROM documents WHERE len(text) >= 1),
       wf AS (
-        SELECT GREATEST(64, LEAST(4096, 20480000 // count(*))) AS w
+        SELECT GREATEST(64, LEAST(4096, 20480000 // GREATEST(1, count(*)))) AS w
         FROM documents WHERE len(text) >= 1),
       fv AS (
         SELECT doc_id,
@@ -1084,7 +1084,7 @@ object PipelineOps {
     * point (both self-join sides of the kernel consume it; the
     * round-9 multi-branch rule).
     */
-  private[graft] def scaledCenteredFp(s: org.apache.spark.sql.SparkSession,
+  private[graft] def scaledCenteredFp(
       bandsDf: org.apache.spark.sql.DataFrame, scaleDiv: Long,
       nDocs: Long): org.apache.spark.sql.DataFrame = {
       import graft.functions.GraftFunctions.dot
@@ -1095,7 +1095,10 @@ object PipelineOps {
         .select(col("doc_id"),
           expr("aggregate(b, 0L, (s, x) -> s + x)").as("tot"), col("b"))
         .select(col("doc_id"), expr(s"tot div ${w}L").as("blk"),
-          expr("transform(b, x -> cast(16L * x - tot as double))").as("c"))
+          // centering multiplier = the band count (size(b), not a
+          // hardcoded 16) so a modality with a different decoder width
+          // can't silently produce wrong centered values
+          expr("transform(b, x -> cast(cast(size(b) as bigint) * x - tot as double))").as("c"))
         .select(col("doc_id"), col("blk"), col("c"),
           sqrt(dot(col("c"), col("c"))).as("nrm"))
         .filter(col("nrm") > 0)
@@ -1109,7 +1112,7 @@ object PipelineOps {
         SELECT doc_id, list_transform(bands, x -> x // $scaleDiv) AS b
         FROM fv),
       wf AS (
-        SELECT GREATEST(64, LEAST(4096, 20480000 // count(*))) AS w
+        SELECT GREATEST(64, LEAST(4096, 20480000 // GREATEST(1, count(*)))) AS w
         FROM documents WHERE len(text) >= 1),
       t AS (
         SELECT doc_id, CAST(list_sum(b) AS BIGINT) AS tot, b FROM sb),
@@ -1193,7 +1196,7 @@ object PipelineOps {
       s: org.apache.spark.sql.SparkSession,
       bands: org.apache.spark.sql.DataFrame, nDocs: Long)
       : org.apache.spark.sql.DataFrame =
-    bandedCosinePairs(s, scaledCenteredFp(s, bands, 256L, nDocs), nDocs, 0.95)
+    bandedCosinePairs(s, scaledCenteredFp(bands, 256L, nDocs), nDocs, 0.95)
 
   /** q131's pair graph, factored (the perceptualDupPairs convention)
     * so Curate's multimodal-dedup stage consumes the IDENTICAL graph
@@ -1220,7 +1223,7 @@ object PipelineOps {
       s: org.apache.spark.sql.SparkSession,
       bands: org.apache.spark.sql.DataFrame, nDocs: Long)
       : org.apache.spark.sql.DataFrame =
-    bandedCosinePairs(s, scaledCenteredFp(s, bands, 65536L, nDocs), nDocs, 0.95)
+    bandedCosinePairs(s, scaledCenteredFp(bands, 65536L, nDocs), nDocs, 0.95)
 
   /** q132's pair graph, factored for Curate (the perceptualDupPairs
     * convention). */

@@ -86,7 +86,7 @@ class NearDupExactnessSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_ndx").toString
     planted.write.mode("overwrite").parquet(dir)
     val got = PipelineOps
-      .scaledCenteredFp(spark, spark.read.parquet(dir), 256L, nDocs = 4L)
+      .scaledCenteredFp(spark.read.parquet(dir), 256L, nDocs = 4L)
       .select(col("doc_id"), col("c"), col("nrm"))
       .collect().map(r => (r.getLong(0),
         r.getSeq[Double](1).toVector, r.getDouble(2))).sortBy(_._1)
