@@ -245,6 +245,13 @@ object Curate {
     nearDeduped.unpersist()
 
     // 5. decontamination: drop docs sharing any 5-gram with the eval set (q77)
+    // Scale regime: this broadcasts the probe SHINGLE SET verbatim —
+    // right while it fits the broadcast threshold. When the eval/
+    // blocklist side outgrows that (multi-TB blocklists), q133's
+    // Bloom pre-screen (constant-size bitmap, same shingling, zero
+    // false negatives) slots in front of this exact pass and this
+    // stage runs only on the flagged sliver — one registration per
+    // scale regime, the q72/q111 convention.
     val grams = (df: DataFrame) => df
       .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
       .filter(size(col("ts")) >= 5)

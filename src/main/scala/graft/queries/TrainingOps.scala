@@ -180,29 +180,9 @@ object TrainingOps {
         .select(col("id_a"), col("id_b")).localCheckpoint()
       val labels = minLabelClusters(pairs)
         .select(col("v").as("doc_id"), col("lbl"))
-      // ~64 bytes/row is a deliberately fat estimate (two longs + row
-      // overhead) so the hint stays on the safe side of the threshold.
-      // plain-long first: JavaUtils rejects "-1", the disabled sentinel
-      val thrStr =
-        s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
-      val thresholdBytes = scala.util.Try(thrStr.toLong).getOrElse(
-        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thrStr))
-      // The pair count is a pure function of (session, dir) — memoize it
-      // so the driver-blocking count() job runs once (bench warmup) and
-      // the timed passes reuse the bound instead of paying a hidden
-      // action per invocation (round-9 advice). Cheap either way against
-      // the checkpointed frame, but a timed query body should not hide
-      // ANY avoidable job.
-      val labelBytesUpperBound = pairCountBound.synchronized {
-        pairCountBound.computeIfAbsent(s,
-          _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
-      }.computeIfAbsent(dir, _ => pairs.count() * 2 * 64): Long
-      val labelSide =
-        if (thresholdBytes > 0 && labelBytesUpperBound <= thresholdBytes)
-          broadcast(labels)
-        else labels
       T.documentsSpread(s, dir)
-        .join(labelSide, Seq("doc_id"), "left")
+        .join(broadcastIfBounded(s, dir, labels, pairs, bytesPerRow = 64L),
+          Seq("doc_id"), "left")
         .withColumn("rep", coalesce(col("lbl"), col("doc_id")))
         .withColumn("bucket",
           expr("cast(conv(substring(md5(cast(rep as string)), 1, 4), 16, 10) as int) % 10"))
@@ -1686,11 +1666,252 @@ object TrainingOps {
       FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "corpus-wide block-level dedup with keep-first REWRITE (C4/Dolma line-dedup analogue on 16-token blocks): canonical instance = min(doc,idx) per block hash via map-side-combinable partial agg + hash-keyed join back (never a window over the hash), doc reassembled and fingerprinted md5 so the oracle hash-compares the whole rewritten corpus")
 
+  // ---------------------------------------------------------------------
+  // q133 — Bloom-filter decontamination (constant-size probe structure)
+  // ---------------------------------------------------------------------
+
+  /** Bloom geometry shared by the Spark plan and the DuckDB oracle:
+    * m = 2^17 bits stored as 32-bit words (so the mask arithmetic never
+    * touches a sign bit in either engine), k = 4 hash functions taken
+    * as the four disjoint 32-bit slices of one md5 — the repo's
+    * cross-engine hash idiom (`conv(substring(md5 ...))` ≡ DuckDB
+    * `('0x' || substr(md5 ...))::BIGINT`), so both engines compute
+    * bit-identical positions, set the same bits, and flag the same
+    * false positives.
+    */
+  private val bloomBits = 131072L
+
+  /** Position of hash i (0-3) for the gram in string column `g`. */
+  private def bloomPosSql(i: Int): String =
+    s"cast(conv(substring(md5(g), ${1 + 8 * i}, 8), 16, 10) as bigint) % $bloomBits"
+
+  /** The Bloom bitmap as a FRAME: one row per non-zero 32-bit word,
+    * (widx, word). Built with one map-side-combinable `bit_or` hash
+    * agg over the probe set's 4k positions — ≤ m/32 = 4096 rows no
+    * matter how many grams went in, which is the whole point: the
+    * probe structure the corpus side consumes is CONSTANT-SIZE.
+    */
+  private[graft] def bloomWords(evalGrams: DataFrame): DataFrame =
+    evalGrams
+      .select(explode(array(
+        (0 until 4).map(i => expr(bloomPosSql(i))): _*)).as("p"))
+      .groupBy(expr("p div 32").as("widx"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("word"))
+
+  /** Benchmark decontamination at the scale where q77's broadcast of
+    * the probe SHINGLE SET itself stops fitting: a Bloom filter over
+    * the eval shingles replaces the shingle set with a fixed 16 KiB
+    * bitmap (m = 2^17 bits, k = 4), traded for a deterministic
+    * false-positive rate — the standard quarantine-then-verify shape
+    * (flagged docs are a tiny fraction; q77's exact probe runs on just
+    * those). With a 1 GiB bitmap the same plan screens a 100 TB corpus
+    * against a multi-TB eval/blocklist side that could never be
+    * broadcast verbatim.
+    *
+    * Spark-first shape: the bitmap is not a driver-side object but a
+    * ≤4096-row (widx, word) FRAME — built by one map-side-combined
+    * `bit_or` agg, consumed via four broadcast-hash left joins (one
+    * per hash function, each on a 32-bit word index). The corpus side
+    * is scan → native-codegen shingling → 4 BHJs → AND filter →
+    * per-doc count: zero corpus-keyed shuffles except the final
+    * doc_id agg, everything whole-stage codegen (no HOF lambdas on
+    * the hot path). The eval branch's doc_id < 10 filter pushes to the
+    * scan, so the shingle subtree's fan-out costs 10 docs, not a
+    * corpus re-shingle (why there is no checkpoint here, unlike q106).
+    *
+    * Cross-engine exactness: positions are md5 slices (see
+    * [[bloomPosSql]]), words are 32-bit so `1L << (p % 32)` and the
+    * `&` test stay sign-free in both engines; the oracle re-derives
+    * every set bit and every false positive exactly.
+    */
+  val q133BloomDecontam = Q(
+    "q133_bloom_decontam",
+    (s, dir) => {
+      val g = T.documentsSpread(s, dir)
+        .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 5)
+        .select(col("doc_id"),
+          array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 5))
+            .as("grams"))
+      // the words frame fans into FOUR broadcast builds; Catalyst does
+      // not share identical subplans, so without this the eval scan →
+      // shingle → distinct → bit_or subtree runs 4× (the q107/q120
+      // lesson). ≤4096 rows — the checkpoint is one tiny job.
+      val words = bloomWords(
+        g.filter(col("doc_id") < 10)
+          .select(explode(col("grams")).as("g")).distinct())
+        .localCheckpoint()
+      val probe = g.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), size(col("grams")).as("n_grams"),
+          explode(col("grams")).as("g"))
+        .select(col("doc_id") +: col("n_grams") +:
+          (0 until 4).map(i => expr(bloomPosSql(i)).as(s"p$i")): _*)
+      val joined = (0 until 4).foldLeft(probe) { (df, i) =>
+        df.join(
+          broadcast(words.select(
+            col("widx").as(s"widx$i"), col("word").as(s"word$i"))),
+          expr(s"p$i div 32") === col(s"widx$i"), "left")
+      }
+      joined
+        .filter((0 until 4).map(i => expr(
+          s"(coalesce(word$i, 0L) & shiftleft(1L, cast(p$i % 32 as int))) != 0"))
+          .reduce(_ && _))
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_flagged"))
+        .select(col("doc_id"), col("n_flagged"), col("n_grams"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(ts) - 4),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                 ts[i+3] || ' ' || ts[i+4])) AS grams
+        FROM d WHERE len(ts) >= 5),
+      ev AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id < 10),
+      pos AS (
+        SELECT ('0x' || substr(md5(gr), 1, 8))::BIGINT % $bloomBits AS p FROM ev
+        UNION ALL
+        SELECT ('0x' || substr(md5(gr), 9, 8))::BIGINT % $bloomBits FROM ev
+        UNION ALL
+        SELECT ('0x' || substr(md5(gr), 17, 8))::BIGINT % $bloomBits FROM ev
+        UNION ALL
+        SELECT ('0x' || substr(md5(gr), 25, 8))::BIGINT % $bloomBits FROM ev),
+      w AS (
+        SELECT p // 32 AS widx,
+          bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+        FROM pos GROUP BY 1),
+      tr AS (
+        SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gr
+        FROM g WHERE doc_id >= 10),
+      tp AS (
+        SELECT doc_id, n_grams,
+          ('0x' || substr(md5(gr), 1, 8))::BIGINT % $bloomBits AS p0,
+          ('0x' || substr(md5(gr), 9, 8))::BIGINT % $bloomBits AS p1,
+          ('0x' || substr(md5(gr), 17, 8))::BIGINT % $bloomBits AS p2,
+          ('0x' || substr(md5(gr), 25, 8))::BIGINT % $bloomBits AS p3
+        FROM tr),
+      f AS (
+        SELECT tp.doc_id, tp.n_grams FROM tp
+        JOIN w w0 ON w0.widx = tp.p0 // 32
+          AND (w0.word & (CAST(1 AS BIGINT) << CAST(tp.p0 % 32 AS INTEGER))) <> 0
+        JOIN w w1 ON w1.widx = tp.p1 // 32
+          AND (w1.word & (CAST(1 AS BIGINT) << CAST(tp.p1 % 32 AS INTEGER))) <> 0
+        JOIN w w2 ON w2.widx = tp.p2 // 32
+          AND (w2.word & (CAST(1 AS BIGINT) << CAST(tp.p2 % 32 AS INTEGER))) <> 0
+        JOIN w w3 ON w3.widx = tp.p3 // 32
+          AND (w3.word & (CAST(1 AS BIGINT) << CAST(tp.p3 % 32 AS INTEGER))) <> 0)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged,
+        CAST(n_grams AS INTEGER) AS n_grams
+      FROM f GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin),
+    "Bloom-filter decontamination: eval 5-gram shingles folded into a constant-size bitmap (m=2^17, k=4 md5-slice hashes) held as a <=4096-row (widx, word) frame built by one map-side bit_or agg; corpus probes via four broadcast word-index joins + AND filter + doc_id count — the probe structure a 100 TB corpus screens against when the blocklist itself is too big to broadcast, false positives deterministic and oracle-reproduced bit-for-bit")
+
+  // ---------------------------------------------------------------------
+  // q134 — soft dedup: 1/cluster-size training weights
+  // ---------------------------------------------------------------------
+
+  /** Conditional broadcast of a pair-graph-derived frame, q112's
+    * discipline factored: vertices are bounded by 2× the materialized
+    * pair count, so one memoized count on the checkpointed pair frame
+    * decides; over the threshold the degradation path is a plain
+    * shuffled join (AQE may still upgrade from runtime stats).
+    * `bytesPerRow` is a deliberately fat per-row estimate so the hint
+    * stays on the safe side.
+    */
+  private def broadcastIfBounded(s: org.apache.spark.sql.SparkSession,
+      dir: String, frame: DataFrame, pairs: DataFrame,
+      bytesPerRow: Long): DataFrame = {
+    val thrStr =
+      s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+    val thresholdBytes = scala.util.Try(thrStr.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thrStr))
+    val bytesUpperBound = pairCountBound.synchronized {
+      pairCountBound.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+    }.computeIfAbsent(dir, _ => pairs.count() * 2 * 64): Long
+    // the memoized value uses q112's 64-byte basis; rescale for wider rows
+    if (thresholdBytes > 0 &&
+        bytesUpperBound * bytesPerRow / 64 <= thresholdBytes)
+      broadcast(frame)
+    else frame
+  }
+
+  /** Soft dedup — the modern alternative to DROPPING near-duplicates:
+    * keep every document and emit a training weight 1/|cluster| so a
+    * cluster of n near-copies contributes one document's worth of
+    * gradient in expectation (the loss-reweighting form of dedup used
+    * when provenance or coverage forbids deletion). Composes q72's
+    * machinery unchanged: q33's LSH pair graph → min-label CC →
+    * cluster sizes → weight; docs in no cluster weight 1.0.
+    *
+    * Scale shape: the pair graph and its label frame are near-dup-
+    * sized, not corpus-sized; sizes is one tiny agg over labels; the
+    * only corpus-scale work is ONE left join (conditionally broadcast
+    * via the q112 bound — a real crawl's 20-30% dup membership would
+    * blow a forced broadcast) plus the projection. Weight is a single
+    * IEEE division of exact integers — identical in both engines.
+    */
+  val q134SoftDedupWeights = Q(
+    "q134_softdedup_weights",
+    (s, dir) => {
+      val pairs = LlmOps.nearDupPairs(s, dir)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val labels = minLabelClusters(pairs)
+      val sized = labels.join(
+        labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members")),
+        "lbl")
+        .select(col("v").as("doc_id"), col("lbl"), col("n_members"))
+      T.documentsSpread(s, dir).select(col("doc_id"))
+        .join(broadcastIfBounded(s, dir, sized, pairs, bytesPerRow = 96L),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+          coalesce(col("n_members"), lit(1L)).as("n_members"),
+          (lit(1.0) / coalesce(col("n_members"), lit(1L))).as("weight"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(toks)-2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents)
+        WHERE len(toks) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      e AS (
+        SELECT id_a AS v, id_b AS u FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(v, u) AS (
+        SELECT v, u FROM e
+        UNION
+        SELECT r.v, e.u FROM reach r JOIN e ON e.v = r.u),
+      lbl AS (
+        SELECT v, LEAST(v, MIN(u)) AS lbl FROM reach GROUP BY v),
+      cs AS (SELECT lbl, COUNT(*) AS n FROM lbl GROUP BY lbl)
+      SELECT d.doc_id,
+        COALESCE(l.lbl, d.doc_id) AS cluster_id,
+        CAST(COALESCE(cs.n, 1) AS BIGINT) AS n_members,
+        CAST(1 AS DOUBLE) / COALESCE(cs.n, 1) AS weight
+      FROM documents d
+      LEFT JOIN lbl l ON l.v = d.doc_id
+      LEFT JOIN cs ON cs.lbl = l.lbl
+      ORDER BY d.doc_id""".stripMargin),
+    "soft dedup: per-document training weight 1/|near-dup cluster| (1.0 unclustered) — loss reweighting instead of deletion, composing the q33 LSH pair graph + min-label CC + one conditionally-broadcast corpus left join; a cluster of n near-copies contributes one document's expected gradient")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
     q77Decontaminate, q78TokenPacking, q80EvalCarveout, q100ChunkWindows,
     q101ChunkPacking, q102ShuffledPacking, q110SnapshotMerge,
     q111StarClusters, q112ClusterSafeSplit, q115SubstringDup,
-    q116DupSpanLocalize, q123BlockDedupRewrite, q127SpanCutRewrite)
+    q116DupSpanLocalize, q123BlockDedupRewrite, q127SpanCutRewrite,
+    q133BloomDecontam, q134SoftDedupWeights)
 }

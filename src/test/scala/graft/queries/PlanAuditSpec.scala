@@ -190,6 +190,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q133 probes via four broadcast word joins over ONE corpus scan") {
+    val plan = executedPlan(TrainingOps.q133BloomDecontam)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj === 4, s"one broadcast probe per hash function, saw $bhj:\n$plan")
+    // the eval/bitmap subtree is checkpointed at its 4-way fan-out, so
+    // the final plan must read the corpus exactly once (train side);
+    // a second scan means the bloom build leaked back into the plan
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"bloom probe must scan the corpus once, saw $scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"word-index joins must never shuffle the corpus:\n$plan")
+  }
+
+  test("q134 broadcasts the label side and prunes the corpus scan to doc_id") {
+    val plan = executedPlan(TrainingOps.q134SoftDedupWeights)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"weight join needs only doc_id from the corpus scan:\n$plan")
+  }
+
   test("a hive-partitioned layout gets PARTITION pruning: filtered dirs never reach the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
