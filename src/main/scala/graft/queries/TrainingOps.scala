@@ -1681,9 +1681,16 @@ object TrainingOps {
     */
   private val bloomBits = 131072L
 
-  /** Position of hash i (0-3) for the gram in string column `g`. */
+  /** Position of hash i (0-3) from the md5-HEX column `h`. The hex is
+    * materialized as its own projection first (md5 once per gram) —
+    * inlining `md5(g)` here would evaluate it 4× in the position
+    * Project and 4 MORE times in the isnotnull Filter Catalyst infers
+    * from the bit-test predicate and pushes below the probe joins
+    * (8 md5/gram, measured on the sf1 probe side); CollapseProject
+    * keeps the split because a non-cheap expression referenced 4×
+    * is not re-inlined. */
   private def bloomPosSql(i: Int): String =
-    s"cast(conv(substring(md5(g), ${1 + 8 * i}, 8), 16, 10) as bigint) % $bloomBits"
+    s"cast(conv(substring(h, ${1 + 8 * i}, 8), 16, 10) as bigint) % $bloomBits"
 
   /** The Bloom bitmap as a FRAME: one row per non-zero 32-bit word,
     * (widx, word). Built with one map-side-combinable `bit_or` hash
@@ -1693,6 +1700,7 @@ object TrainingOps {
     */
   private[graft] def bloomWords(evalGrams: DataFrame): DataFrame =
     evalGrams
+      .select(md5(col("g")).as("h"))
       .select(explode(array(
         (0 until 4).map(i => expr(bloomPosSql(i))): _*)).as("p"))
       .groupBy(expr("p div 32").as("widx"))
@@ -1744,6 +1752,7 @@ object TrainingOps {
       val probe = g.filter(col("doc_id") >= 10)
         .select(col("doc_id"), size(col("grams")).as("n_grams"),
           explode(col("grams")).as("g"))
+        .select(col("doc_id"), col("n_grams"), md5(col("g")).as("h"))
         .select(col("doc_id") +: col("n_grams") +:
           (0 until 4).map(i => expr(bloomPosSql(i)).as(s"p$i")): _*)
       val joined = (0 until 4).foldLeft(probe) { (df, i) =>
@@ -1753,8 +1762,14 @@ object TrainingOps {
           expr(s"p$i div 32") === col(s"widx$i"), "left")
       }
       joined
+        // the outer coalesce makes the bit test null-TOLERANT: without
+        // it Catalyst infers isnotnull(p_i) from the null-intolerant
+        // predicate and pushes it below the probe joins, re-expanding
+        // each p_i through the h alias back to md5(g) — 4 vacuous md5
+        // evaluations per gram in a Filter guarding nothing (md5 of a
+        // non-null string is never null). Values identical.
         .filter((0 until 4).map(i => expr(
-          s"(coalesce(word$i, 0L) & shiftleft(1L, cast(p$i % 32 as int))) != 0"))
+          s"coalesce((coalesce(word$i, 0L) & shiftleft(1L, cast(p$i % 32 as int))) != 0, false)"))
           .reduce(_ && _))
         .groupBy(col("doc_id"), col("n_grams"))
         .agg(count(lit(1)).as("n_flagged"))
