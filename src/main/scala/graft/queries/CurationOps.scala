@@ -1362,11 +1362,245 @@ object CurationOps {
       FROM best WHERE cos >= 0.30 ORDER BY vec_id""".stripMargin),
     "semantic decontamination: nearest eval-probe cosine per corpus vector, flagged at the threshold — the embedding-space complement to q77's 5-gram pass (paraphrased leakage has no shared n-gram); broadcast probe set, map-side pinned dot folds, one vec-keyed argmax exchange")
 
+  // ---------------------------------------------------------------------
+  // q135 — importance-contrast filter (the DSIR axis, transcendental-free)
+  // ---------------------------------------------------------------------
+
+  /** Data selection by importance contrast (the DSIR shape — Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling": select raw docs whose n-gram statistics look like a
+    * TARGET domain rather than like the raw pool). q125 scores
+    * typicality under ONE LM; this trains the same fixed-point bigram
+    * LM twice — on the target slice (here `lang = 'en'`; the filter is
+    * the seam where a curated reference corpus plugs in) and on the
+    * full corpus — and scores every doc by the exact contrast
+    * Σ(q_target − q_general) / n_bigrams. Positive contrast = the
+    * doc's token transitions are MORE probable under the target LM
+    * than under the pool's own LM — DSIR's log-ratio importance
+    * weight, rendered transcendental-free: each conditional
+    * probability is the q125 fixed-point rational (c_bigram·2^20) div
+    * c_prefix, the per-doc sums stay exact int64, and the only IEEE
+    * operation is the final division (identical on both engines). A
+    * bigram whose prefix never occurs in the target slice contributes
+    * q_target = 0 — the honest unsmoothed semantics (DuckDB re-derives
+    * the same rule; no Laplace constant to disagree on).
+    *
+    * Overflow: per-doc Σq ≤ n_bigrams·2^20 < 2^60 at 10^12 corpus
+    * tokens (q125's bound); the contrast difference of two such sums
+    * stays in int64 trivially.
+    *
+    * Scale shape: the target slice is a FILTER of the corpus, so both
+    * LMs train in the SAME single pass — one token agg and one pair
+    * agg, each keyed on the 8-byte hash and map-side combinable,
+    * carrying (count_general, count_target) side by side (the
+    * round-16 duplicate-subplan lesson applied at design time: two
+    * corpus scans fold into one conditional aggregation). Scoring =
+    * the checkpointed pair frame joined to both count tables on
+    * 8-byte keys (the oracle joins token STRINGS — q125's
+    * hash-vs-string collision-audit dual), then one doc-keyed agg.
+    * Every shuffle is keyed and linear; nothing is broadcast that
+    * grows with the corpus, so a web-scale bigram table streams
+    * through an ordinary shuffled join exactly as in q125.
+    */
+  /** q135's pair frame: q125's [[lmPairs]] carrying an is-target flag
+    * per occurrence, so ONE aggregation yields both LMs' bigram
+    * counts. Hashes before the checkpoint (8-byte keys, never text).
+    */
+  private[graft] def lmPairsTagged(docs: org.apache.spark.sql.DataFrame,
+      isTarget: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), isTarget.as("tgt"),
+        expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("tgt"),
+        explode(expr(
+          "arrays_zip(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1))"))
+          .as("pr"))
+      .select(col("doc_id"), col("tgt"),
+        xxhash64(col("pr").getField("0"), col("pr").getField("1")).as("bh"),
+        xxhash64(col("pr").getField("0")).as("uh"))
+      .localCheckpoint()
+
+  /** The q135 kernel over an arbitrary target predicate — factored so
+    * the spec can pin the identity target ⇒ contrast ≡ 0 property and
+    * the general side's equivalence with q125, and so a composed
+    * pipeline can plug a real curated-reference membership column in.
+    */
+  private[graft] def dsirContrast(docs: org.apache.spark.sql.DataFrame,
+      isTarget: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = lmPairsTagged(docs, isTarget)
+    // both LMs' prefix counts in ONE conditional agg (every token
+    // occurrence, incl. doc-final — the q125 prefix convention)
+    val uni = docs
+      .select(isTarget.as("tgt"),
+        explode(expr(s"filter($toksSql, t -> t <> '')")).as("w"))
+      .groupBy(xxhash64(col("w")).as("uh"))
+      .agg(count(lit(1)).as("cu_g"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("cu_t"))
+    val bi = pairs
+      .groupBy(col("bh"))
+      .agg(count(lit(1)).as("cb_g"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("cb_t"))
+    pairs
+      .join(bi, "bh")
+      .join(uni, "uh")
+      .select(col("doc_id"),
+        expr("(cb_g * 1048576) div cu_g").as("qg"),
+        expr("case when cu_t > 0 then (cb_t * 1048576) div cu_t else 0 end")
+          .as("qt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("qt")).as("sum_qt"), sum(col("qg")).as("sum_qg"))
+      .withColumn("contrast",
+        (col("sum_qt") - col("sum_qg")).cast("double") /
+          col("n_bigrams").cast("double"))
+      .withColumn("kept",
+        when(col("sum_qt") > col("sum_qg"), 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  val q135DsirContrast = Q(
+    "q135_dsir_contrast",
+    (s, dir) => dsirContrast(T.documentsSpread(s, dir), col("lang") === "en"),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      p AS (
+        SELECT doc_id, (lang = 'en') AS tgt, ts[i] AS a, ts[i + 1] AS b
+        FROM d, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 2),
+      uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cu_g,
+          CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cu_t
+        FROM (SELECT (lang = 'en') AS tgt, unnest(ts) AS w FROM d)
+        GROUP BY w),
+      bi AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cb_g,
+          CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cb_t
+        FROM p GROUP BY a, b),
+      s AS (
+        SELECT p.doc_id,
+          (bi.cb_g * 1048576) // uni.cu_g AS qg,
+          CASE WHEN uni.cu_t > 0 THEN (bi.cb_t * 1048576) // uni.cu_t
+               ELSE 0 END AS qt
+        FROM p
+        JOIN bi ON bi.a = p.a AND bi.b = p.b
+        JOIN uni ON uni.w = p.a)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(qt) AS BIGINT) AS sum_qt,
+        CAST(SUM(qg) AS BIGINT) AS sum_qg,
+        CAST(SUM(qt) - SUM(qg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS contrast,
+        CAST(CASE WHEN SUM(qt) > SUM(qg) THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "importance-contrast data selection (the DSIR axis, transcendental-free): q125's fixed-point bigram LM trained on a target slice AND the full pool in ONE conditional aggregation pass, per-doc contrast = exact-int (sum_q_target - sum_q_general) / n_bigrams with unsmoothed q_target=0 for target-unseen prefixes; scoring joins stream on 8-byte hashed keys (oracle joins strings - the collision-audit dual)")
+
+  // ---------------------------------------------------------------------
+  // q136 — temperature-scaled source mixture (α = 1/2, exact isqrt)
+  // ---------------------------------------------------------------------
+
+  /** Temperature-smoothed mixture weights: sampling share ∝
+    * n_tokens^α with α = 1/2 — the multilingual-LM standard for
+    * keeping low-resource sources from vanishing while capping
+    * high-resource dominance (exponent-smoothed sampling as in XLM /
+    * multilingual BERT; α=1 is natural sharing, α→0 uniform; q84's
+    * equalizing rates are the opposite extreme of the same family).
+    * n^(1/2) is the one temperature in the family that is EXACT in
+    * integers: w_s = isqrt(n_tokens_s), computed as floor(√n) from
+    * the IEEE double sqrt and then corrected against the two integer
+    * neighbours — (w+1)² ≤ n → w+1, w² > n → w−1 — so the result is
+    * the true integer square root on BOTH engines regardless of
+    * float rounding (exactly the q86 exact-int-rule discipline; n <
+    * 2^52 keeps the double within ±1 of truth, and 100 TB of text is
+    * ~2^44 tokens). Shares and the boost-over-natural ratio are IEEE
+    * divisions of exact ints — identical cross-engine.
+    *
+    * Scale shape: rides [[sourceTokenStats]] (ONE map-side-combinable
+    * source-keyed agg — the corpus is touched once); everything after
+    * operates on the sources-sized frame, with the global totals
+    * joined back by q84's broadcast idiom (no unpartitioned window —
+    * the registry plan sweep bans single-task global frames). The
+    * weight table then drives q93's reproducible hash filter
+    * unchanged.
+    */
+  /** Exact integer square root of a non-negative BIGINT column: the
+    * IEEE double sqrt's floor, corrected against both integer
+    * neighbours — exact for n < 2^52 on any engine whose sqrt is
+    * within 1 ulp (IEEE-754 requires correctly-rounded sqrt, so the
+    * correction is belt-and-braces against the double CAST of n, which
+    * is itself exact below 2^53). Factored for the q136 spec's
+    * brute-force sweep.
+    */
+  private[graft] def isqrt(n: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val v0 = floor(sqrt(n.cast("double"))).cast("bigint")
+    when((v0 + 1) * (v0 + 1) <= n, v0 + 1)
+      .when(v0 * v0 > n, v0 - 1)
+      .otherwise(v0)
+  }
+
+  val q136TemperatureMix = Q(
+    "q136_temperature_mix",
+    (s, dir) => {
+      // q84's broadcast-totals idiom, not a global window: the per
+      // frame is sources-sized, but the registry-wide plan sweep
+      // (PlanAuditSpec) bans unpartitioned windows without a
+      // structural bound — the broadcast join states the bound in the
+      // plan itself.
+      val per = sourceTokenStats(s, dir)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          isqrt(col("n_tokens")).as("w_sqrt"))
+      val tot = per.agg(sum(col("w_sqrt")).as("tot_w"),
+        sum(col("n_tokens")).as("tot_n"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("share_alpha",
+          col("w_sqrt").cast("double") / col("tot_w").cast("double"))
+        .withColumn("share_natural",
+          col("n_tokens").cast("double") / col("tot_n").cast("double"))
+        .withColumn("boost", col("share_alpha") / col("share_natural"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
+          col("share_alpha"), col("share_natural"), col("boost"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source,
+          len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n
+        FROM documents),
+      p AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM d GROUP BY source),
+      v AS (
+        SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS v0
+        FROM p),
+      w AS (
+        SELECT source, n_docs, n_tokens,
+          CASE WHEN (v0 + 1) * (v0 + 1) <= n_tokens THEN v0 + 1
+               WHEN v0 * v0 > n_tokens THEN v0 - 1
+               ELSE v0 END AS w_sqrt
+        FROM v),
+      t AS (
+        SELECT *, SUM(w_sqrt) OVER () AS tot_w, SUM(n_tokens) OVER () AS tot_n
+        FROM w)
+      SELECT source, n_docs, n_tokens, w_sqrt,
+        CAST(w_sqrt AS DOUBLE) / CAST(tot_w AS DOUBLE) AS share_alpha,
+        CAST(n_tokens AS DOUBLE) / CAST(tot_n AS DOUBLE) AS share_natural,
+        (CAST(w_sqrt AS DOUBLE) / CAST(tot_w AS DOUBLE)) /
+          (CAST(n_tokens AS DOUBLE) / CAST(tot_n AS DOUBLE)) AS boost
+      FROM t ORDER BY source""".stripMargin),
+    "temperature-scaled source mixture (alpha=1/2, the XLM exponent-smoothing standard): sampling weight = exact integer sqrt of per-source token count (IEEE-sqrt floor corrected against both integer neighbours - true isqrt on both engines), shares and boost-over-natural are IEEE divisions of exact ints; one corpus scan via the shared sourceTokenStats agg, all downstream work sources-sized")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
     q89NeardupPrune, q90SourceLeakage, q93MixtureApply, q95SaltedJoin,
     q96NoveltyCurve, q98IncrementalNovelty, q103EpochUpsample,
     q114QualityThresholdCurve, q118PpsSample, q125BigramLmScore,
-    q126SemanticDecontam)
+    q126SemanticDecontam, q135DsirContrast, q136TemperatureMix)
 }

@@ -406,6 +406,82 @@ class CurationOpsSpec extends SparkSpec {
       (2L, 1L, 349525L, 349525.0)))
   }
 
+  test("q135 contrast matches the hand computation on a planted two-LM corpus") {
+    // target slice = lang 'en' = doc 1 only.
+    // general counts — uni: a=3, b=3, c=3; bi: (a,b)=3, (b,a)=1, (b,c)=1, (c,c)=1.
+    // target counts  — uni: a=2, b=2, c=0; bi: (a,b)=2, (b,a)=1.
+    // doc1 (a,b)(b,a)(a,b): qg = 2^20, 349525, 2^20 -> 2446677
+    //                       qt = 2^20, 524288, 2^20 -> 2621440  (kept)
+    // doc2 (a,b)(b,c):      qg = 2^20 + 349525 = 1398101
+    //                       qt = 2^20 + 0 (cb_t=0) = 1048576
+    // doc3 (c,c):           qg = 349525; qt = 0 (cu_t(c)=0)
+    val dir = fixtureCorpus(Seq(
+      (1L, "a b a b", "en", "s1"),
+      (2L, "a b c", "fr", "s1"),
+      (3L, "c c", "fr", "s2")))
+    val got = CurationOps.q135DsirContrast.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      (1L, 3L, 2621440L, 2446677L, (2621440.0 - 2446677.0) / 3.0, 1L),
+      (2L, 2L, 1048576L, 1398101L, (1048576.0 - 1398101.0) / 2.0, 0L),
+      (3L, 1L, 0L, 349525L, -349525.0, 0L)))
+  }
+
+  test("q135 identity target: contrast is exactly 0 for every doc, none kept") {
+    val docs = graft.Tables.documentsSpread(spark, sf)
+    val rs = CurationOps.dsirContrast(docs, lit(true))
+      .select("sum_qt", "sum_qg", "contrast", "kept").collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), "sum_qt == sum_qg")
+      assert(r.getDouble(2) === 0.0, "contrast 0")
+      assert(r.getLong(3) === 0L, "strict > keeps nothing")
+    }
+  }
+
+  test("q135 general side is exactly q125's LM score") {
+    val q125 = CurationOps.q125BigramLmScore.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val q135 = CurationOps.q135DsirContrast.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(q135 === q125)
+  }
+
+  test("q136 isqrt is the true integer square root across a sweep and at 2^45") {
+    import spark.implicits._
+    val big = (1L << 22) - 3 to (1L << 22) + 3
+    val ns = spark.range(0, 200000).select(col("id").as("n"))
+      .union(big.flatMap(v => Seq(v * v - 1, v * v, v * v + 1)).toDF("n"))
+    val bad = ns.select(col("n"), CurationOps.isqrt(col("n")).as("w"))
+      .filter(!(col("w") * col("w") <= col("n") &&
+        (col("w") + 1) * (col("w") + 1) > col("n")))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("q136 weights match hand-computed isqrt on square-straddling sources") {
+    import spark.implicits._
+    // sources with exactly 15 / 16 / 17 tokens: isqrt = 3 / 4 / 4.
+    def words(k: Int): String = Seq.fill(k)("w").mkString(" ")
+    val dir = fixtureCorpus(Seq(
+      (1L, words(15), "en", "s15"),
+      (2L, words(16), "en", "s16"),
+      (3L, words(17), "en", "s17")))
+    val got = CurationOps.q136TemperatureMix.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(6))).toSeq
+    val totW = 11.0
+    assert(got.map(t => (t._1, t._2, t._3)) ===
+      Seq(("s15", 15L, 3L), ("s16", 16L, 4L), ("s17", 17L, 4L)))
+    // shares and boost are single IEEE divisions of exact ints
+    assert(got.map(_._4) === Seq(3.0 / totW, 4.0 / totW, 4.0 / totW))
+    assert(got.head._5 === (3.0 / totW) / (15.0 / 48.0), "s15 boost")
+    val shares = CurationOps.q136TemperatureMix.fn(spark, sf)
+      .select("share_alpha").collect().map(_.getDouble(0))
+    assert(math.abs(shares.sum - 1.0) < 1e-12, "shares partition unity")
+  }
+
   test("q126 plan: probe set broadcasts, corpus side streams map-side") {
     val df = CurationOps.q126SemanticDecontam.fn(spark, "/root/testdata/sf0.001")
     df.collect()
