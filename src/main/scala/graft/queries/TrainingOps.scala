@@ -1732,15 +1732,59 @@ object TrainingOps {
     * `&` test stay sign-free in both engines; the oracle re-derives
     * every set bit and every false positive exactly.
     */
+  /** q133's shingle frame: (doc_id, grams) with distinct 5-gram
+    * shingles per doc — factored so the streaming twin shingles its
+    * stream with the IDENTICAL expression. */
+  private[graft] def bloomGrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 5))
+          .as("grams"))
+
+  /** q133's probe side over a prepared (doc_id, grams) frame: positions
+    * from md5 slices (hex materialized ONCE per gram), four broadcast
+    * word-index joins, null-tolerant AND bit test, per-doc flagged
+    * count. Factored so the STREAMING twin (Streams.bloomScreen) runs
+    * the identical plan on a streaming grams frame — the probe is
+    * STATELESS (stream-static broadcast joins) until the final per-doc
+    * agg, which is exactly why the Bloom shape screens an unbounded
+    * stream where q77's exact probe-set join could not.
+    */
+  private[graft] def bloomProbeFlagged(g: DataFrame, words: DataFrame)
+      : DataFrame = {
+    val probe = g
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("g"))
+      .select(col("doc_id"), col("n_grams"), md5(col("g")).as("h"))
+      .select(col("doc_id") +: col("n_grams") +:
+        (0 until 4).map(i => expr(bloomPosSql(i)).as(s"p$i")): _*)
+    val joined = (0 until 4).foldLeft(probe) { (df, i) =>
+      df.join(
+        broadcast(words.select(
+          col("widx").as(s"widx$i"), col("word").as(s"word$i"))),
+        expr(s"p$i div 32") === col(s"widx$i"), "left")
+    }
+    joined
+      // the outer coalesce makes the bit test null-TOLERANT: without
+      // it Catalyst infers isnotnull(p_i) from the null-intolerant
+      // predicate and pushes it below the probe joins, re-expanding
+      // each p_i through the h alias back to md5(g) — 4 vacuous md5
+      // evaluations per gram in a Filter guarding nothing (md5 of a
+      // non-null string is never null). Values identical.
+      .filter((0 until 4).map(i => expr(
+        s"coalesce((coalesce(word$i, 0L) & shiftleft(1L, cast(p$i % 32 as int))) != 0, false)"))
+        .reduce(_ && _))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .select(col("doc_id"), col("n_flagged"), col("n_grams"))
+  }
+
   val q133BloomDecontam = Q(
     "q133_bloom_decontam",
     (s, dir) => {
-      val g = T.documentsSpread(s, dir)
-        .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
-        .filter(size(col("ts")) >= 5)
-        .select(col("doc_id"),
-          array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 5))
-            .as("grams"))
+      val g = bloomGrams(T.documentsSpread(s, dir))
       // the words frame fans into FOUR broadcast builds; Catalyst does
       // not share identical subplans, so without this the eval scan →
       // shingle → distinct → bit_or subtree runs 4× (the q107/q120
@@ -1749,31 +1793,7 @@ object TrainingOps {
         g.filter(col("doc_id") < 10)
           .select(explode(col("grams")).as("g")).distinct())
         .localCheckpoint()
-      val probe = g.filter(col("doc_id") >= 10)
-        .select(col("doc_id"), size(col("grams")).as("n_grams"),
-          explode(col("grams")).as("g"))
-        .select(col("doc_id"), col("n_grams"), md5(col("g")).as("h"))
-        .select(col("doc_id") +: col("n_grams") +:
-          (0 until 4).map(i => expr(bloomPosSql(i)).as(s"p$i")): _*)
-      val joined = (0 until 4).foldLeft(probe) { (df, i) =>
-        df.join(
-          broadcast(words.select(
-            col("widx").as(s"widx$i"), col("word").as(s"word$i"))),
-          expr(s"p$i div 32") === col(s"widx$i"), "left")
-      }
-      joined
-        // the outer coalesce makes the bit test null-TOLERANT: without
-        // it Catalyst infers isnotnull(p_i) from the null-intolerant
-        // predicate and pushes it below the probe joins, re-expanding
-        // each p_i through the h alias back to md5(g) — 4 vacuous md5
-        // evaluations per gram in a Filter guarding nothing (md5 of a
-        // non-null string is never null). Values identical.
-        .filter((0 until 4).map(i => expr(
-          s"coalesce((coalesce(word$i, 0L) & shiftleft(1L, cast(p$i % 32 as int))) != 0, false)"))
-          .reduce(_ && _))
-        .groupBy(col("doc_id"), col("n_grams"))
-        .agg(count(lit(1)).as("n_flagged"))
-        .select(col("doc_id"), col("n_flagged"), col("n_grams"))
+      bloomProbeFlagged(g.filter(col("doc_id") >= 10), words)
         .orderBy(col("doc_id"))
     },
     Some(s"""

@@ -475,6 +475,24 @@ object Streams {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Streaming twin of q133's Bloom-filter decontamination — the
+    * screen a training-data INGEST pipeline runs on every arriving
+    * document: the constant-size (widx, word) bitmap frame is the
+    * static side, and each micro-batch's docs are shingled, position-
+    * hashed, and probed through the IDENTICAL factored plan the batch
+    * query uses (TrainingOps.bloomProbeFlagged — four stream-static
+    * broadcast joins + AND bit test). Everything up to the final
+    * per-doc count is STATELESS — which is exactly why the Bloom shape
+    * screens an unbounded stream where q77's exact probe-shingle-set
+    * join could not: the state store holds one row per (doc, n_grams)
+    * being counted, never a growing gram set. Output in update mode;
+    * a doc's verdict row is complete once its batch commits (a doc's
+    * grams arrive together — one event per doc).
+    */
+  def bloomScreen(docs: DataFrame, words: DataFrame): DataFrame =
+    graft.queries.TrainingOps.bloomProbeFlagged(
+      graft.queries.TrainingOps.bloomGrams(docs), words)
+
   /** Stream-STREAM join — attribute each purchase to a same-user click
     * at most `within` before it (the streaming twin of q55's as-of
     * semantics, restricted to a bounded lookback as streaming

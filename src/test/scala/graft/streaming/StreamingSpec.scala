@@ -189,6 +189,44 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("bloomScreen: streaming Bloom decontamination == batch q133, forward and reversed") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // the bitmap frame, built exactly as q133 builds it (eval = doc_id
+    // < 10), checkpointed so the static side is not re-derived per
+    // micro-batch
+    val g = graft.queries.TrainingOps.bloomGrams(
+      graft.Tables.documents(spark, sf))
+    val words = graft.queries.TrainingOps.bloomWords(
+      g.filter(col("doc_id") < 10)
+        .select(explode(col("grams")).as("g")).distinct())
+      .localCheckpoint()
+    val want = graft.queries.TrainingOps.q133BloomDecontam.fn(spark, sf)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(want.nonEmpty, "fixture must flag at least one doc")
+
+    def run(events: Seq[(Long, String)], name: String): Set[(Long, Long, Int)] = {
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.bloomScreen(in.toDF().toDF("doc_id", "text"), words)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        val (a, b) = events.splitAt(events.size / 2)
+        in.addData(a: _*); q.processAllAvailable()
+        in.addData(b: _*); q.processAllAvailable()
+        s.table(name).as[(Long, Long, Int)].collect().toSet
+      } finally q.stop()
+    }
+
+    val probeDocs = docs.filter(_._1 >= 10)
+    assert(run(probeDocs, "bloom_fwd") === want)
+    assert(run(probeDocs.reverse, "bloom_rev") === want)
+  }
+
   test("hourlyCounts (complete mode) equals the batch twin on the same rows") {
     val s = spark
     import s.implicits._
