@@ -244,22 +244,39 @@ object Curate {
     val nMedia = mediaDeduped.count(); lap("media")
     nearDeduped.unpersist()
 
-    // 5. decontamination: drop docs sharing any 5-gram with the eval set (q77)
-    // Scale regime: this broadcasts the probe SHINGLE SET verbatim —
-    // right while it fits the broadcast threshold. When the eval/
-    // blocklist side outgrows that (multi-TB blocklists), q133's
-    // Bloom pre-screen (constant-size bitmap, same shingling, zero
-    // false negatives) slots in front of this exact pass and this
-    // stage runs only on the flagged sliver — one registration per
-    // scale regime, the q72/q111 convention.
+    // 5. decontamination: drop docs sharing any 5-gram with the eval
+    // set — q133's Bloom pre-screen in front of q77's exact join
+    // (round 18; the stage previously shingle-joined EVERY survivor
+    // against the broadcast probe set). The constant-size bitmap frame
+    // (≤4096 rows regardless of blocklist size) screens the whole
+    // corpus through four broadcast word-index joins; the Bloom test
+    // has ZERO false negatives, so the exact q77 pass — the only part
+    // that must see the probe shingles themselves — runs on just the
+    // flagged sliver and the final verdict is BIT-IDENTICAL to the
+    // unscreened stage (CurateSpec pins this equivalence). At 100 TB
+    // with a multi-TB blocklist the probe set stops broadcasting but
+    // the bitmap does not grow; the exact join then shuffles
+    // sliver-sized, not corpus-sized — the scale regime q133's
+    // scaladoc documents, now composed rather than promised.
     val grams = (df: DataFrame) => df
       .select(col("doc_id"), expr(s"filter($toksSql, t -> t <> '')").as("ts"))
       .filter(size(col("ts")) >= 5)
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.GraftFunctions.ngrams(col("ts"), 5))).as("g"))
+    val TO = graft.queries.TrainingOps
+    // tiny (distinct grams of the eval docs) but it fans into the
+    // bitmap build AND the exact join — checkpoint the fan-out
     val probe = grams(T.documents(spark, sfDir).filter(col("doc_id") < evalIdBelow))
       .select(col("g")).distinct()
-    val contaminated = grams(mediaDeduped).join(broadcast(probe), "g")
+      .localCheckpoint()
+    // the bitmap frame fans into FOUR broadcast builds (the q133
+    // convention — Catalyst does not share identical subplans)
+    val words = TO.bloomWords(probe).localCheckpoint()
+    val flagged = TO.bloomProbeFlagged(TO.bloomGrams(mediaDeduped), words)
+      .select(col("doc_id"))
+    val contaminated = grams(
+        mediaDeduped.join(flagged, Seq("doc_id"), "left_semi"))
+      .join(broadcast(probe), "g")
       .select(col("doc_id")).distinct()
     val clean = mediaDeduped.join(contaminated, Seq("doc_id"), "left_anti")
       .persist()
