@@ -775,7 +775,137 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")},
       WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "IVF-PQ composed retrieval, trained coarse quantizer + refine: q117's k-means routes, residual product-quantization (TPAMI'11 SS-V, one shared codebook) cuts scan residency 32x, ADC shortlists max(50, N div cells)/query (corpus-aware dial: recall@5 holds 0.84/0.80 across a measured 4x corpus step where the fixed dial fell to 0.60), exact re-rank picks 5 — scan joins coded lists to a broadcast distance-table frame ON cell_id, refine fetches a bounded shortlist/query by id")
 
+  // -------------------------------------------------------------------
+  // q137 — BM25 top-k (saturated, length-normalized lexical ranking)
+  // -------------------------------------------------------------------
+
+  /** BM25 — the production lexical ranking function (Robertson &
+    * Spärck Jones' Okapi BM25) q120's linear tf·idf accumulator is the
+    * teaching form of: per shared term,
+    * idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) — tf SATURATES
+    * (the 100th occurrence adds almost nothing, unlike q120's linear
+    * tf) and long documents are PENALIZED toward the corpus's average
+    * length. Standard constants k1 = 1.2, b = 0.75 taken as the exact
+    * rationals 6/5 and 3/4, which closes the whole saturation term
+    * over a common denominator: with S = Σ dl (total gram positions)
+    * and M = |docs with grams|,
+    *   tf·(k1+1) / (tf + k1(1−b+b·dl·M/S))
+    *     = 22·S·tf / (10·S·tf + 3·S + 9·dl·M)
+    * — a ratio of EXACT int64s (at 10^14 corpus positions and tf
+    * ≤ 10^3 the denominator sits under 10^18; int64-safe with the
+    * corpus two decades past 100 TB). idf stays q120's rational wt =
+    * (N·256) div df with its stop-phrase df·4 > N cutoff.
+    *
+    * Cross-engine float discipline: each term contribution is ONE
+    * pinned IEEE sequence over exact ints —
+    * ((tfq·wt)ᴰ · (22·tf)ᴰ · Sᴰ) / (10·S·tf + 3·S + 9·dl·M)ᴰ —
+    * identical on both engines; the per-pair SUM of contributions is
+    * a float fold, so it runs over the list SORTED by the exact-int
+    * triple (tf, tfq, wt) (q109's sorted-fold move): the sorted
+    * multiset sequence is engine-identical — ties are bitwise-equal
+    * contributions, indifferent to their internal order — and Spark's
+    * `aggregate(…, 0.0D, +)` ≡ DuckDB's `list_reduce` because
+    * 0 + x = x.
+    *
+    * Scale shape: rides q120's shared gramPostings build (same two
+    * checkpointed hash-aggs); adds one corpus-narrow (doc_id, dl)
+    * frame joined candidate-sized, a 2-long broadcast stats row, and
+    * the same broadcast-query match join — no new corpus-sized
+    * exchange beyond q120's.
+    */
+  val q137Bm25TopK = Q(
+    "q137_bm25_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val postings = gramPostings(s, dir)
+      val dl = T.documents(s, dir)
+        .select(col("doc_id"),
+          expr(s"size(filter($toksSql, t -> t <> ''))").as("nts"))
+        .filter(col("nts") >= 3)
+        .select(col("doc_id"), (col("nts") - 2).cast("long").as("dl"))
+      val st = dl.agg(sum(col("dl")).as("s"), count(lit(1)).as("m"))
+      val qside = postings.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("h"), col("tf").as("tfq"))
+      val contrib = postings.join(broadcast(qside), "h")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .select(col("query_id"), col("doc_id"),
+          col("tf"), col("tfq"), col("wt"),
+          expr("""(cast(tfq * wt as double) * cast(22 * tf as double)
+                 | * cast(s as double))
+                 | / cast(10*s*tf + 3*s + 9*dl*m as double)""".stripMargin)
+            .as("c"))
+      val scored = contrib
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(collect_list(struct(col("tf"), col("tfq"), col("wt"), col("c")))
+            .as("cs"),
+          count(lit(1)).as("n_shared"))
+        .select(col("query_id"), col("doc_id"),
+          expr("aggregate(sort_array(cs), cast(0 as double), (a, x) -> a + x.c)")
+            .as("score"),
+          col("n_shared"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"),
+          col("doc_id").as("neighbor_id"), col("score"), col("n_shared"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      dlen AS (
+        SELECT doc_id, CAST(len(ts) - 2 AS BIGINT) AS dl
+        FROM d WHERE len(ts) >= 3),
+      st AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS m
+        FROM dlen),
+      g AS (
+        SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS gram
+        FROM d, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 3),
+      tf AS (
+        SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM g GROUP BY doc_id, gram),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      w AS (
+        SELECT gram, (n * 256) // df AS wt
+        FROM (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY gram)
+        CROSS JOIN nd WHERE df * 4 <= n),
+      p AS (
+        SELECT tf.doc_id, tf.gram, tf.tf, w.wt FROM tf JOIN w USING (gram)),
+      q AS (
+        SELECT doc_id AS query_id, gram, tf AS tfq FROM p WHERE doc_id < 10),
+      c AS (
+        SELECT q.query_id, p.doc_id, p.tf, q.tfq, p.wt,
+          (CAST(q.tfq * p.wt AS DOUBLE) * CAST(22 * p.tf AS DOUBLE)
+           * CAST(st.s AS DOUBLE))
+           / CAST(10*st.s*p.tf + 3*st.s + 9*dlen.dl*st.m AS DOUBLE) AS c
+        FROM p
+        JOIN q ON p.gram = q.gram
+        JOIN dlen ON dlen.doc_id = p.doc_id
+        CROSS JOIN st
+        WHERE p.doc_id <> q.query_id),
+      sc AS (
+        SELECT query_id, doc_id,
+          list_reduce(list(c ORDER BY tf, tfq, wt), (x, y) -> x + y) AS score,
+          CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM c GROUP BY query_id, doc_id),
+      r AS (
+        SELECT query_id, doc_id AS neighbor_id, score, n_shared,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM sc)
+      SELECT query_id, rank, neighbor_id, score, n_shared FROM r
+      WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "BM25 top-k (Okapi, k1=1.2 b=0.75 as exact rationals): saturation + length normalization closed over a common denominator - per-term 22*S*tf / (10*S*tf + 3*S + 9*dl*M) with every factor exact int64, idf = q120's rational wt; contribution = one pinned IEEE sequence, per-pair sum = q109's sorted-fold (engine-identical); rides q120's checkpointed posting build, adds no new corpus-sized exchange")
+
   val all: Seq[Q] =
     Seq(q117KmeansLloyd, q119PqAdc, q120SparseRetrieval, q121HybridRrf,
-      q122IvfPq)
+      q122IvfPq, q137Bm25TopK)
 }

@@ -140,4 +140,75 @@ class SparseRetrievalSpec extends SparkSpec {
     assert(maxScore < Long.MaxValue / 1024,
       s"score $maxScore within 2^10 of int64 overflow — revisit the wt scale")
   }
+
+  test("q137 equals an independent driver-side BM25 at sf0.001, scores bit-for-bit") {
+    val small = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, small)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1)
+        .filter(_.nonEmpty)).toMap
+    val n = docs.size.toLong
+    val grams = docs.collect { case (d, ts) if ts.length >= 3 =>
+      d -> ts.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val tf = grams.map { case (d, gs) =>
+      d -> gs.groupBy(identity).map { case (g, o) => g -> o.length.toLong }
+    }
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (g, o) => g -> o.size.toLong }
+    val wt = df.collect { case (g, f) if f * 4 <= n => g -> (n * 256) / f }
+    val dl = grams.map { case (d, gs) => d -> gs.length.toLong } // = |ts|-2
+    val s = dl.values.sum
+    val m = dl.size.toLong
+    val expected = (0L until 10L).flatMap { q =>
+      val qtf = tf.getOrElse(q, Map.empty).filter { case (g, _) => wt.contains(g) }
+      val scored = tf.toSeq.collect { case (d, dtf) if d != q =>
+        val shared = qtf.keySet.intersect(dtf.keySet.filter(wt.contains))
+        // the engine's pinned sequence: ((tfq·wt)ᴰ · (22·tf)ᴰ · Sᴰ) / denᴰ,
+        // folded over the (tf, tfq, wt)-sorted contribution list with seed 0
+        val cs = shared.toSeq.map { g =>
+          val t = dtf(g); val tq = qtf(g); val w = wt(g)
+          (t, tq, w,
+            (tq * w).toDouble * (22 * t).toDouble * s.toDouble /
+              (10 * s * t + 3 * s + 9 * dl(d) * m).toDouble)
+        }.sortBy(x => (x._1, x._2, x._3))
+        (d, cs.foldLeft(0.0)((a, x) => a + x._4), shared.size.toLong)
+      }.filter(_._3 >= 1)
+      scored.sortBy { case (d, sc, _) => (-sc, d) }.take(5).zipWithIndex.map {
+        case ((d, sc, ns), r) => (q, r + 1, d, sc, ns)
+      }
+    }
+    val got = ClusterOps.q137Bm25TopK.fn(spark, small).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got == expected) // == on the doubles: bit-identical, not approx
+  }
+
+  test("q137 saturation and length normalization on a planted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    // 16 docs so the shared query gram (df=4) survives the df*4 <= n
+    // stop-phrase cutoff. doc 0 queries; 11 has the gram once in a
+    // short doc, 12 twice in the SAME length, 13 once in a long doc.
+    val fillers = (20L until 32L).map(i =>
+      (i, s"junk$i filler$i word$i more$i", "en", "s1"))
+    val docs = Seq(
+      (0L, "x y z", "en", "s0"),
+      (11L, "x y z p q r", "en", "s1"),
+      (12L, "x y z x y z", "en", "s1"),
+      (13L, "x y z p q r s t u v w a", "en", "s1")) ++ fillers
+    docs.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rs = ClusterOps.q137Bm25TopK.fn(spark, dir)
+      .filter(col("query_id") === 0L)
+      .select(col("neighbor_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rs.keySet === Set(11L, 12L, 13L))
+    // length normalization: same tf, longer doc scores strictly lower
+    assert(rs(11L) > rs(13L), s"longer doc not penalized: $rs")
+    // saturation: doubling tf at equal length gains, but less than 2x
+    assert(rs(12L) > rs(11L) && rs(12L) < 2.0 * rs(11L),
+      s"tf saturation violated: $rs")
+  }
 }
