@@ -2001,9 +2001,14 @@ object PipelineOps {
     * last column makes a wrong merge APPLICATION (not just a wrong
     * argmax) fail the oracle.
     */
-  val q124BpeMerges = Q(
-    "q124_bpe_merges",
-    (s, dir) => {
+  /** q124's merge-learning loop, factored so q138 can consume the
+    * FINAL segmented symbol frame (the trained tokenizer applied to
+    * the vocabulary) without re-implementing the positional algebra.
+    * Returns (per-round summaries, final (w, c, pos, sym) frame).
+    */
+  private[graft] def bpeTrainRounds(s: org.apache.spark.sql.SparkSession,
+      dir: String, rounds: Int = 3)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
       import org.apache.spark.sql.expressions.Window
       val hist = T.documentsSpread(s, dir)
         .select(explode(expr(s"filter($toksSql, t -> t <> '')")).as("w"))
@@ -2018,7 +2023,7 @@ object PipelineOps {
       val runA = wWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val runB = wWin.rowsBetween(Window.unboundedPreceding, -1)
       var summaries = Seq.empty[org.apache.spark.sql.DataFrame]
-      for (r <- 1 to 3) {
+      for (r <- 1 to rounds) {
         val best = toks
           .withColumn("nxt", lead(col("sym"), 1).over(wWin))
           .filter(col("nxt").isNotNull)
@@ -2063,9 +2068,13 @@ object PipelineOps {
             col("b").as("sym_b"), col("f").as("pair_freq"),
             col("corpus_tokens_after"))
       }
-      summaries.reduce(_.unionAll(_)).orderBy(col("merge_round"))
-    },
-    Some {
+      (summaries, toks)
+  }
+
+  /** The q124 oracle's training CTE chain (hist → t0 → p/sel/t/s per
+    * round), factored for q138's oracle: callers append either the
+    * summary SELECT (q124) or further CTEs after a comma (q138). */
+  private def bpeOracleCtes(rounds: Int): String = {
       def round(r: Int): String = {
         val prev = s"t${r - 1}"
         s"""      p$r AS (
@@ -2116,11 +2125,75 @@ object PipelineOps {
           CASE WHEN i <= length(w) THEN substr(w, CAST(i AS INTEGER), 1)
                ELSE '</w>' END AS sym
         FROM hist, UNNEST(generate_series(1, length(w) + 1)) AS u(i)),
-${(1 to 3).map(round).mkString(",\n")}
-      SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
-      ORDER BY merge_round""".stripMargin
+${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val q124BpeMerges = Q(
+    "q124_bpe_merges",
+    (s, dir) => {
+      val (summaries, _) = bpeTrainRounds(s, dir)
+      summaries.reduce(_.unionAll(_)).orderBy(col("merge_round"))
     },
+    Some(bpeOracleCtes(3) + """
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+      ORDER BY merge_round""".stripMargin),
     "distributed BPE merge training (Sennrich ACL'16): corpus-scale work = ONE word-histogram hash agg; three merge rounds over the vocabulary-sized symbol frame via positional algebra (gaps-and-islands overlap rule, word-keyed windows only), per-round corpus-token-count column makes wrong merge APPLICATION fail the oracle")
+
+  // ---------------------------------------------------------------------
+  // q138 — trained-BPE application: corpus fertility under the learned vocab
+  // ---------------------------------------------------------------------
+
+  /** The APPLY half of the tokenizer lifecycle q124 trains (and the
+    * trained counterpart of q46's regex stand-in): segment the corpus
+    * with the LEARNED merge table and report per-source subword
+    * fertility — the number every tokenizer-budget and
+    * context-length plan is denominated in. BPE segmentation is a
+    * word-level function, so the corpus is never re-segmented
+    * per-occurrence: q124's final symbol frame (already the trained
+    * tokenizer applied to the VOCABULARY) aggregates to a word →
+    * subword-count table, and the corpus pass is one exploded word
+    * stream joined against that broadcast table + a source-keyed agg.
+    * Fertility = one IEEE division of exact int64 sums.
+    *
+    * Scale shape: training is q124's documented shape (one
+    * word-histogram hash agg + vocabulary-sized rounds); application
+    * adds ONE broadcast join (the subword-count table is
+    * vocabulary-sized — ≤ a few hundred thousand rows at any corpus,
+    * by Heaps' law) over the exploded token stream and a map-side-
+    * combinable source agg. No new corpus-sized exchange.
+    */
+  val q138BpeApply = Q(
+    "q138_bpe_apply",
+    (s, dir) => {
+      val (_, fin) = bpeTrainRounds(s, dir)
+      val nsub = fin.groupBy(col("w"))
+        .agg(count(lit(1)).as("n_sub"))
+      val words = T.documentsSpread(s, dir)
+        .select(col("source"),
+          explode(expr(s"filter($toksSql, t -> t <> '')")).as("w"))
+      words.join(broadcast(nsub), "w")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sub")).cast("long").as("n_subwords"))
+        .withColumn("fertility",
+          col("n_subwords").cast("double") / col("n_words").cast("double"))
+        .orderBy(col("source"))
+    },
+    Some(bpeOracleCtes(3) + """,
+      ns AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub FROM t3 GROUP BY w),
+      dw AS (
+        SELECT source, t AS w
+        FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+              FROM documents)
+        WHERE t <> '')
+      SELECT dw.source,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(ns.n_sub) AS BIGINT) AS n_subwords,
+        CAST(SUM(ns.n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+      FROM dw JOIN ns ON ns.w = dw.w
+      GROUP BY dw.source ORDER BY dw.source""".stripMargin),
+    "trained-BPE application (the apply half of q124's tokenizer lifecycle): the learned merge table's final segmentation aggregates to a vocabulary-sized word->subword-count table, corpus fertility per source = one broadcast join over the exploded token stream + map-side source agg; fertility is an IEEE division of exact int64 sums — q46's regex stand-in replaced by the LEARNED vocab")
 
   val all: Seq[Q] = Seq(
     q42SimhashHammingDup, q43AnnHyperplaneLsh, q44BlockedNearDup,
@@ -2129,5 +2202,5 @@ ${(1 to 3).map(round).mkString(",\n")}
     q104Winnowing, q105EmbedQuantize, q106WinnowDup, q108QuantizedAnn,
     q109TokenDiversity, q124BpeMerges, q128PerceptualDedup,
     q129AudioFpDedup, q130VideoDibDedup, q131VideoNearDup,
-    q132AudioNearDup)
+    q132AudioNearDup, q138BpeApply)
 }

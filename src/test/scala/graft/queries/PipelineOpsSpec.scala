@@ -155,11 +155,11 @@ class PipelineOpsSpec extends SparkSpec {
 
   /** Driver-side reference BPE: sequential left-to-right merge — the
     * semantics q124's positional algebra must reproduce. */
-  private def refBpe(words: Map[String, Long], rounds: Int)
-      : Seq[(Int, String, String, Long, Long)] = {
+  private def refBpeFull(words: Map[String, Long], rounds: Int)
+      : (Seq[(Int, String, String, Long, Long)], Map[String, Vector[String]]) = {
     var syms: Map[String, Vector[String]] =
       words.map { case (w, _) => w -> (w.map(_.toString).toVector :+ "</w>") }
-    (1 to rounds).map { r =>
+    val summaries = (1 to rounds).map { r =>
       val pc = scala.collection.mutable.Map.empty[(String, String), Long]
       for ((w, s) <- syms; i <- 0 until s.length - 1)
         pc((s(i), s(i + 1))) = pc.getOrElse((s(i), s(i + 1)), 0L) + words(w)
@@ -177,7 +177,11 @@ class PipelineOpsSpec extends SparkSpec {
       val after = syms.map { case (w, s) => words(w) * s.length }.sum
       (r, a, b, f, after)
     }
+    (summaries, syms)
   }
+
+  private def refBpe(words: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Long, Long)] = refBpeFull(words, rounds)._1
 
   test("q124 equals a sequential driver-side BPE trainer on the real corpus") {
     val sf = "/root/testdata/sf0.001"
@@ -190,6 +194,29 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(got === expected)
+  }
+
+  test("q138 fertility equals the sequential trainer's segmentation applied per source") {
+    val sf = "/root/testdata/sf0.001"
+    val words = graft.Tables.documents(spark, sf)
+      .select(explode(expr("filter(split(lower(text), ' '), t -> t <> '')")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (_, syms) = refBpeFull(words, 3)
+    val perSource = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        expr("filter(split(lower(text), ' '), t -> t <> '')").as("ts"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+      .groupBy(_._1).map { case (src, rows) =>
+        val ws = rows.flatMap(_._2)
+        val nw = ws.size.toLong
+        val ns = ws.map(w => syms(w).length.toLong).sum
+        (src, nw, ns, ns.toDouble / nw.toDouble)
+      }.toSeq.sortBy(_._1)
+    val got = PipelineOps.q138BpeApply.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === perSource) // fertility ==: one IEEE division of equal ints
   }
 
   test("q124 overlap rule: a run of identical symbols merges alternately, left-to-right") {
