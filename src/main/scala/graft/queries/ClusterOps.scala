@@ -818,7 +818,10 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")},
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val postings = gramPostings(s, dir)
-      val dl = T.documents(s, dir)
+      // documentsSpread, not documents: the per-row tokenize otherwise
+      // runs in ONE task on the single-row-group harness parquet (the
+      // standing Tables.documentsSpread account)
+      val dl = T.documentsSpread(s, dir)
         .select(col("doc_id"),
           expr(s"size(filter($toksSql, t -> t <> ''))").as("nts"))
         .filter(col("nts") >= 3)

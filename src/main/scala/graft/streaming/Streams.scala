@@ -484,10 +484,14 @@ object Streams {
     * broadcast joins + AND bit test). Everything up to the final
     * per-doc count is STATELESS — which is exactly why the Bloom shape
     * screens an unbounded stream where q77's exact probe-shingle-set
-    * join could not: the state store holds one row per (doc, n_grams)
-    * being counted, never a growing gram set. Output in update mode;
-    * a doc's verdict row is complete once its batch commits (a doc's
-    * grams arrive together — one event per doc).
+    * join could not: no per-GRAM state ever accumulates. The final
+    * count's agg state does keep one small row per doc seen (update
+    * mode, no watermark — each doc arrives once, so the row is final
+    * after its batch); a production deployment bounds that with an
+    * event-time column + watermark, which changes nothing upstream of
+    * the agg. Output in update mode; a doc's verdict row is complete
+    * once its batch commits (a doc's grams arrive together — one
+    * event per doc).
     */
   def bloomScreen(docs: DataFrame, words: DataFrame): DataFrame =
     graft.queries.TrainingOps.bloomProbeFlagged(
