@@ -514,25 +514,36 @@ object CurationOps {
     * sub-clustered — the join stays keyed either way. Cross-cell
     * near-dups are the recall trade documented by the paper.
     */
+  /** q87's cell-membership frame (vec_id, cent_id, v, nrm): broadcast
+    * K=16 codebook argmax assignment joined back to the normalized
+    * vectors — factored so q139's mutual-kNN graph runs on the SAME
+    * cells (one implementation, one oracle-checked assignment rule).
+    */
+  private[graft] def cellMembers(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    val n = T.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
+      .persist()
+    val cents = n.filter(col("vec_id").between(100, 115))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cent_id"))
+    val assign = n.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cos"))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    assign.join(n, "vec_id")
+  }
+
   val q87EmbedCellDedup = Q(
     "q87_embed_cell_dedup",
     (s, dir) => {
       import graft.functions.GraftFunctions.dot
-      val n = T.embeddings(s, dir)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
-        .persist()
-      val cents = n.filter(col("vec_id").between(100, 115))
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val wA = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("cent_id"))
-      val assign = n.join(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"),
-          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cos"))
-        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cent_id"))
-      val m = assign.join(n, "vec_id")
+      val m = cellMembers(s, dir)
       m.as("a").join(m.as("b"),
           col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.cent_id").as("cent_id"),
@@ -1596,11 +1607,141 @@ object CurationOps {
       FROM t ORDER BY source""".stripMargin),
     "temperature-scaled source mixture (alpha=1/2, the XLM exponent-smoothing standard): sampling weight = exact integer sqrt of per-source token count (IEEE-sqrt floor corrected against both integer neighbours - true isqrt on both engines), shares and boost-over-natural are IEEE divisions of exact ints; one corpus scan via the shared sourceTokenStats agg, all downstream work sources-sized")
 
+  // ---------------------------------------------------------------------
+  // q139 — mutual-kNN graph clustering (embedding communities)
+  // ---------------------------------------------------------------------
+
+  /** Mutual-kNN graph clustering — the community structure a curation
+    * pipeline builds when THRESHOLD dedup (q87's cosine ≥ t) is the
+    * wrong tool: mutual filtering keeps an edge only when each vector
+    * is in the OTHER's k-nearest list, which deletes hub edges (a
+    * generic vector near everything) without any threshold to tune —
+    * the standard robustification of kNN graphs before community
+    * detection. Edges feed q72's min-label CC; output is every
+    * vector's cluster and size (singleton = own id), q134's shape.
+    *
+    * Scale shape: candidate generation is q87's within-cell pair join
+    * through the factored [[cellMembers]] seam (O(Σ cell²), never
+    * O(n²); K scales ~√n); the kNN cut is one within-source rank
+    * window over the cell-bounded candidate frame; the knn list is
+    * ≤ k·N rows (checkpointed at its self-join fan-out), mutual edges
+    * ≤ k·N/2, and the CC label frame is edge-graph-sized. The final
+    * membership join is corpus-keyed and linear; the label side is
+    * left un-hinted — it is PROVABLY ≤ N rows but can approach it on
+    * a pathological corpus, so AQE's runtime stats decide broadcast
+    * (the q134 conditional-broadcast rationale, structural form).
+    *
+    * Cross-engine exactness: cosines are the sequenced-fold doubles
+    * (bit-identical), ranks break ties on (cos DESC, neighbor id),
+    * and the mutual/CC algebra is pure integer — the oracle re-derives
+    * assignment, kNN, mutuality, and transitive closure independently.
+    */
+  val q139MutualKnnClusters = Q(
+    "q139_mutual_knn_clusters",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dot
+      // cell members fan into both sides of the pair join
+      val m = cellMembers(s, dir).localCheckpoint()
+      val wK = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("nb"))
+      // knn fans into both sides of the mutuality join
+      val knn = m.as("a").join(m.as("b"),
+          col("a.cent_id") === col("b.cent_id") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("nb"),
+          (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+            .as("cos"))
+        .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 3)
+        .select(col("src"), col("nb"))
+        .localCheckpoint()
+      val mutual = knn.as("k1").join(knn.as("k2"),
+          col("k2.src") === col("k1.nb") && col("k2.nb") === col("k1.src") &&
+            col("k1.src") < col("k1.nb"))
+        .select(col("k1.src").as("id_a"), col("k1.nb").as("id_b"))
+      // star-contraction, NOT minLabelClusters: a mutual-kNN graph on
+      // a real corpus is CHAIN-shaped (each vector keeps ≤k partners,
+      // so components are long paths, not dense cliques), and
+      // min-label propagation pays O(diameter) rounds — measured
+      // 8.35 s solo at sf0.1 vs 2.6 s with the O(log n) star rounds,
+      // identical labels (SCALING round 18). q72 keeps min-label
+      // because near-dup cliques are dense/shallow; this graph is the
+      // geometry the q111 scale twin exists for.
+      val labels = graft.ops.ConnectedComponents.largeStarSmallStar(mutual)
+      val sized = labels.join(
+          labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members")), "lbl")
+        .select(col("v").as("vec_id"), col("lbl"), col("n_members"))
+      T.embeddings(s, dir).select(col("vec_id"))
+        .join(sized, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("lbl"), col("vec_id")).as("cluster_id"),
+          coalesce(col("n_members"), lit(1L)).as("n_members"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH RECURSIVE e0 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+          sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) nrm
+        FROM e0),
+      c AS (
+        SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+        FROM n WHERE vec_id BETWEEN 100 AND 115),
+      sim AS (
+        SELECT n.vec_id, c.cent_id,
+          list_reduce(list_transform(generate_series(1, len(n.v)),
+            i -> n.v[i]*c.cv[i]), (x,y) -> x+y) / (n.nrm*c.cn) AS cos
+        FROM n, c),
+      assign AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT vec_id, cent_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cent_id) rn
+          FROM sim) WHERE rn = 1),
+      m AS (
+        SELECT a.vec_id, a.cent_id, n.v, n.nrm
+        FROM assign a JOIN n USING (vec_id)),
+      knn AS (
+        SELECT src, nb FROM (
+          SELECT a.vec_id AS src, b.vec_id AS nb,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              list_reduce(list_transform(generate_series(1, len(a.v)),
+                i -> a.v[i]*b.v[i]), (x,y) -> x+y) / (a.nrm*b.nrm) DESC,
+              b.vec_id) AS rk
+          FROM m a JOIN m b
+            ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id) r
+        WHERE rk <= 3),
+      mutual AS (
+        SELECT k1.src AS id_a, k1.nb AS id_b
+        FROM knn k1 JOIN knn k2
+          ON k2.src = k1.nb AND k2.nb = k1.src
+        WHERE k1.src < k1.nb),
+      ed AS (
+        SELECT id_a AS v, id_b AS u FROM mutual
+        UNION ALL SELECT id_b, id_a FROM mutual),
+      reach(v, u) AS (
+        SELECT v, u FROM ed
+        UNION
+        SELECT r.v, ed.u FROM reach r JOIN ed ON ed.v = r.u),
+      lbl AS (
+        SELECT v, LEAST(v, MIN(u)) AS lbl FROM reach GROUP BY v),
+      cs AS (SELECT lbl, COUNT(*) AS n FROM lbl GROUP BY lbl)
+      SELECT emb.vec_id,
+        COALESCE(l.lbl, emb.vec_id) AS cluster_id,
+        CAST(COALESCE(cs.n, 1) AS BIGINT) AS n_members
+      FROM embeddings emb
+      LEFT JOIN lbl l ON l.v = emb.vec_id
+      LEFT JOIN cs ON cs.lbl = l.lbl
+      ORDER BY emb.vec_id""".stripMargin),
+    "mutual-kNN graph clustering: q87's cell-bounded candidate join (factored cellMembers seam) -> per-vector top-3 by sequenced-fold cosine -> keep edges IN BOTH kNN lists (hub edges die without a threshold dial) -> q72's min-label CC -> every vector's cluster + size; knn list <= k*N checkpointed at its self-join fan-out, label join linear and AQE-decided")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
     q89NeardupPrune, q90SourceLeakage, q93MixtureApply, q95SaltedJoin,
     q96NoveltyCurve, q98IncrementalNovelty, q103EpochUpsample,
     q114QualityThresholdCurve, q118PpsSample, q125BigramLmScore,
-    q126SemanticDecontam, q135DsirContrast, q136TemperatureMix)
+    q126SemanticDecontam, q135DsirContrast, q136TemperatureMix,
+    q139MutualKnnClusters)
 }

@@ -482,6 +482,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(shares.sum - 1.0) < 1e-12, "shares partition unity")
   }
 
+  test("q139 equals a driver-side mutual-kNN + union-find at sf0.001") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = emb.keys.filter(id => id >= 100 && id <= 115).toSeq.sorted
+    val cell = emb.keys.map { id =>
+      id -> cents.map(c => (-cos(emb(id), emb(c)), c)).min._2
+    }.toMap
+    val knn: Map[Long, Seq[Long]] = emb.keys.map { id =>
+      id -> emb.keys.toSeq
+        .filter(o => o != id && cell(o) == cell(id))
+        .map(o => (-cos(emb(id), emb(o)), o)).sorted.take(3).map(_._2)
+    }.toMap
+    val mutual = knn.toSeq.flatMap { case (a, ns) =>
+      ns.collect { case b if a < b && knn(b).contains(a) => (a, b) }
+    }
+    // union-find -> min-label components
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = mutual.flatMap(p => Seq(p._1, p._2)).distinct
+    val lbl = members.map(v => v -> find(v)).toMap
+    val sizes = lbl.groupBy(_._2).map { case (l, g) => l -> g.size.toLong }
+    val expected = emb.keys.toSeq.sorted.map { id =>
+      val l = lbl.getOrElse(id, id)
+      (id, l, if (lbl.contains(id)) sizes(l) else 1L)
+    }
+    val got = CurationOps.q139MutualKnnClusters.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(mutual.nonEmpty, "fixture should produce at least one mutual edge")
+  }
+
   test("q126 plan: probe set broadcasts, corpus side streams map-side") {
     val df = CurationOps.q126SemanticDecontam.fn(spark, "/root/testdata/sf0.001")
     df.collect()
