@@ -210,6 +210,16 @@ class PlanAuditSpec extends SparkSpec {
       s"weight join needs only doc_id from the corpus scan:\n$plan")
   }
 
+  test("q137 never sort-merge-joins and cuts the rank window group-limited") {
+    val plan = executedPlan(ClusterOps.q137Bm25TopK)
+    assert(!plan.contains("SortMergeJoin"),
+      s"BM25's joins are broadcast (query side, stats row) or AQE-sized (dl):\n$plan")
+    // rank <= 5 must push into the window as a group limit so no
+    // partition ever fully sorts its candidate list for a top-5 cut
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank cut must plan as WindowGroupLimit:\n$plan")
+  }
+
   test("a hive-partitioned layout gets PARTITION pruning: filtered dirs never reach the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
