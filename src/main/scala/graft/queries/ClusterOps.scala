@@ -821,11 +821,16 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")},
       // documentsSpread, not documents: the per-row tokenize otherwise
       // runs in ONE task on the single-row-group harness parquet (the
       // standing Tables.documentsSpread account)
+      // dl fans into BOTH the stats agg and the candidate-sized join:
+      // without the checkpoint the corpus tokenize scan runs twice
+      // (the standing fan-out-checkpoint convention; frame is the
+      // corpus-narrow (doc_id, dl) pair, cheap to pin)
       val dl = T.documentsSpread(s, dir)
         .select(col("doc_id"),
           expr(s"size(filter($toksSql, t -> t <> ''))").as("nts"))
         .filter(col("nts") >= 3)
         .select(col("doc_id"), (col("nts") - 2).cast("long").as("dl"))
+        .localCheckpoint()
       val st = dl.agg(sum(col("dl")).as("s"), count(lit(1)).as("m"))
       val qside = postings.filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"), col("h"), col("tf").as("tfq"))

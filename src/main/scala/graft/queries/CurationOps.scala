@@ -518,15 +518,19 @@ object CurationOps {
     * K=16 codebook argmax assignment joined back to the normalized
     * vectors — factored so q139's mutual-kNN graph runs on the SAME
     * cells (one implementation, one oracle-checked assignment rule).
+    * The normalized frame fans into the centroid slice, the
+    * assignment scan, and the join-back, so it is persisted for the
+    * build and unpersisted once the RESULT is checkpointed — the
+    * cache is managed entirely inside this seam, so multi-query runs
+    * (q87 + q139 both call it) accumulate nothing.
     */
-  private[graft] def cellMembers(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+  /** The LAZY membership plan over a given normalized-vectors frame
+    * — split from [[cellMembers]] so the plan-pin specs can assert
+    * the broadcast-codebook assignment shape that the checkpointed
+    * production path materializes away. */
+  private[graft] def cellMembersPlan(n: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import graft.functions.GraftFunctions.dot
-    val n = T.embeddings(s, dir)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
-      .persist()
     val cents = n.filter(col("vec_id").between(100, 115))
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     val wA = Window.partitionBy(col("vec_id"))
@@ -537,6 +541,26 @@ object CurationOps {
       .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id"))
     assign.join(n, "vec_id")
+  }
+
+  /** Normalized embedding vectors (vec_id, v, nrm). */
+  private[graft] def normalizedVectors(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    T.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
+  }
+
+  private[graft] def cellMembers(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val n = normalizedVectors(s, dir).persist()
+    // eager localCheckpoint materializes the membership frame (every
+    // caller fans it into a self-join), then the build cache is freed
+    val out = cellMembersPlan(n).localCheckpoint()
+    n.unpersist()
+    out
   }
 
   val q87EmbedCellDedup = Q(
@@ -1563,9 +1587,15 @@ object CurationOps {
       // (PlanAuditSpec) bans unpartitioned windows without a
       // structural bound — the broadcast join states the bound in the
       // plan itself.
+      // per fans into BOTH the totals agg and the crossJoin: the
+      // checkpoint (a sources-sized frame — trivially cheap) is what
+      // makes the "corpus touched once" claim structural rather than
+      // a bet on Catalyst exchange reuse (the standing duplicate-
+      // subplan account)
       val per = sourceTokenStats(s, dir)
         .select(col("source"), col("n_docs"), col("n_tokens"),
           isqrt(col("n_tokens")).as("w_sqrt"))
+        .localCheckpoint()
       val tot = per.agg(sum(col("w_sqrt")).as("tot_w"),
         sum(col("n_tokens")).as("tot_n"))
       per.crossJoin(broadcast(tot))
@@ -1617,8 +1647,10 @@ object CurationOps {
     * is in the OTHER's k-nearest list, which deletes hub edges (a
     * generic vector near everything) without any threshold to tune —
     * the standard robustification of kNN graphs before community
-    * detection. Edges feed q72's min-label CC; output is every
-    * vector's cluster and size (singleton = own id), q134's shape.
+    * detection. Edges feed star-contraction connected components
+    * (ops.ConnectedComponents.largeStarSmallStar — NOT q72's
+    * min-label; see the inline A/B note); output is every vector's
+    * cluster and size (singleton = own id), q134's shape.
     *
     * Scale shape: candidate generation is q87's within-cell pair join
     * through the factored [[cellMembers]] seam (O(Σ cell²), never
@@ -1640,8 +1672,9 @@ object CurationOps {
     "q139_mutual_knn_clusters",
     (s, dir) => {
       import graft.functions.GraftFunctions.dot
-      // cell members fan into both sides of the pair join
-      val m = cellMembers(s, dir).localCheckpoint()
+      // cellMembers checkpoints internally — the frame arrives
+      // materialized for the pair-join fan-out, no second pin needed
+      val m = cellMembers(s, dir)
       val wK = Window.partitionBy(col("src"))
         .orderBy(col("cos").desc, col("nb"))
       // knn fans into both sides of the mutuality join
@@ -1734,7 +1767,7 @@ object CurationOps {
       LEFT JOIN lbl l ON l.v = emb.vec_id
       LEFT JOIN cs ON cs.lbl = l.lbl
       ORDER BY emb.vec_id""".stripMargin),
-    "mutual-kNN graph clustering: q87's cell-bounded candidate join (factored cellMembers seam) -> per-vector top-3 by sequenced-fold cosine -> keep edges IN BOTH kNN lists (hub edges die without a threshold dial) -> q72's min-label CC -> every vector's cluster + size; knn list <= k*N checkpointed at its self-join fan-out, label join linear and AQE-decided")
+    "mutual-kNN graph clustering: q87's cell-bounded candidate join (factored cellMembers seam) -> per-vector top-3 by sequenced-fold cosine -> keep edges IN BOTH kNN lists (hub edges die without a threshold dial) -> star-contraction CC (largeStarSmallStar; min-label rejected by a measured A/B - mutual-kNN components are chain-shaped) -> every vector's cluster + size; knn list <= k*N checkpointed at its self-join fan-out, label join linear and AQE-decided")
 
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,

@@ -2153,7 +2153,11 @@ ${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
     * tokenizer applied to the VOCABULARY) aggregates to a word →
     * subword-count table, and the corpus pass is one exploded word
     * stream joined against that broadcast table + a source-keyed agg.
-    * Fertility = one IEEE division of exact int64 sums.
+    * Fertility = one IEEE division of exact int64 sums. The
+    * standalone '</w>' terminal row is EXCLUDED from the count (it
+    * is a boundary artifact, not a subword), so fertility is the
+    * conventional subwords-per-word a tokenizer budget is denominated
+    * in; a terminal merged into its neighbour counts as that subword.
     *
     * Scale shape: training is q124's documented shape (one
     * word-histogram hash agg + vocabulary-sized rounds); application
@@ -2166,7 +2170,12 @@ ${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
     "q138_bpe_apply",
     (s, dir) => {
       val (_, fin) = bpeTrainRounds(s, dir)
-      val nsub = fin.groupBy(col("w"))
+      // the STANDALONE '</w>' terminal is a word-boundary artifact,
+      // not a subword — excluded so fertility is the conventional
+      // subwords-per-word; a terminal MERGED into its neighbour
+      // (e.g. 'x</w>') is that word's final subword and counts
+      val nsub = fin.filter(col("sym") =!= "</w>")
+        .groupBy(col("w"))
         .agg(count(lit(1)).as("n_sub"))
       val words = T.documentsSpread(s, dir)
         .select(col("source"),
@@ -2181,7 +2190,8 @@ ${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
     },
     Some(bpeOracleCtes(3) + """,
       ns AS (
-        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub FROM t3 GROUP BY w),
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub FROM t3
+        WHERE sym <> '</w>' GROUP BY w),
       dw AS (
         SELECT source, t AS w
         FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
@@ -2193,7 +2203,7 @@ ${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
         CAST(SUM(ns.n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
       FROM dw JOIN ns ON ns.w = dw.w
       GROUP BY dw.source ORDER BY dw.source""".stripMargin),
-    "trained-BPE application (the apply half of q124's tokenizer lifecycle): the learned merge table's final segmentation aggregates to a vocabulary-sized word->subword-count table, corpus fertility per source = one broadcast join over the exploded token stream + map-side source agg; fertility is an IEEE division of exact int64 sums — q46's regex stand-in replaced by the LEARNED vocab")
+    "trained-BPE application (the apply half of q124's tokenizer lifecycle): the learned merge table's final segmentation aggregates to a vocabulary-sized word->subword-count table (standalone '</w>' terminal excluded - fertility is the conventional subwords-per-word), corpus fertility per source = one broadcast join over the exploded token stream + map-side source agg; fertility is an IEEE division of exact int64 sums — q46's regex stand-in replaced by the LEARNED vocab")
 
   val all: Seq[Q] = Seq(
     q42SimhashHammingDup, q43AnnHyperplaneLsh, q44BlockedNearDup,

@@ -208,9 +208,19 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("q87 broadcasts the codebook and never plans a cartesian product") {
+    // the production path checkpoints cellMembers (cache managed at
+    // the seam), so the assignment plan is pinned on the LAZY builder
+    val assignPlan = CurationOps.cellMembersPlan(
+        CurationOps.normalizedVectors(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(assignPlan.contains("BroadcastNestedLoopJoin")
+      || assignPlan.contains("BroadcastHashJoin"), assignPlan)
+    assert(!assignPlan.contains("CartesianProduct"), assignPlan)
+    // and the caller's within-cell pair join stays KEYED on cent_id
     val plan = executedPlan(CurationOps.q87EmbedCellDedup)
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("[cent_id"), plan)
   }
 
   test("q93 keeps exactly the docs an independent application of the rate rule keeps") {

@@ -210,7 +210,8 @@ class PipelineOpsSpec extends SparkSpec {
       .groupBy(_._1).map { case (src, rows) =>
         val ws = rows.flatMap(_._2)
         val nw = ws.size.toLong
-        val ns = ws.map(w => syms(w).length.toLong).sum
+        // standalone '</w>' is a boundary artifact, not a subword
+        val ns = ws.map(w => syms(w).count(_ != "</w>").toLong).sum
         (src, nw, ns, ns.toDouble / nw.toDouble)
       }.toSeq.sortBy(_._1)
     val got = PipelineOps.q138BpeApply.fn(spark, sf).collect()
