@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   *                            lexical 5-gram pass cannot see
   *   6. block rewrite       — q123's corpus-wide keep-first block dedup;
   *                            downstream stages see the REWRITTEN text
-  *   7. mixture rebalance   — q84 rates applied via q93's hash filter
+  *   7. mixture rebalance   — a POLICY-parameterized rate rule applied
+  *                            via q93's hash filter: q84's equalizing
+  *                            rates (default) or q136's temperature
+  *                            mixture (see [[MixturePolicy]])
   *   8. chunking            — q100's fixed-context stride grid
   *   9. shard packing       — q101's chunk→shard composition over
   *                            ops.ShardPacking's two-pass prefix sum
@@ -60,11 +63,74 @@ object Curate {
 
   private val toksSql = "split(lower(text), ' ')"
 
+  /** Stage 7's rate rule — the mixture-policy family the registry
+    * already proves query-by-query, exposed as a pipeline parameter
+    * the way stage 5 composes q133 and stage 4 composes q33. Every
+    * policy resolves to a per-source hash-bucket cut in [0, 65536]
+    * consumed by q93's reproducible filter, so the stage's plan shape
+    * (one sources-sized rate frame broadcast into one corpus filter)
+    * is policy-invariant.
+    *
+    * q103's epoch UPSAMPLING is deliberately not in this family: a
+    * rate rule can only keep or drop (cut ≤ 65536), while epochs
+    * REPLICATE docs — replication would break stage 8's ord-key
+    * uniqueness contract (ord = doc_id·2^20 + chunk_start assumes one
+    * instance per doc); a deployment wanting epochs widens the ord
+    * encoding with an epoch field instead of bending the rate seam.
+    */
+  sealed trait MixturePolicy
+  object MixturePolicy {
+    /** q84's equalizing rates (the default, unchanged behavior):
+      * every source subsampled to the smallest source's clean token
+      * count — cut_s = floor(min_tok/n_s · 65536). */
+    case object Equalize extends MixturePolicy
+    /** q136's temperature mixture at α = 1/2: expected kept tokens
+      * ∝ isqrt(n_s), the one temperature exact in integers; the
+      * smallest source keeps rate 1 (cut = 65536) and every other
+      * source keeps cut_s = (65536·w_s·n_min) div (n_s·w_min) with
+      * w = isqrt(n) — a pure integer rational evaluated in
+      * decimal(38,0) (numerator ≤ 2^94 at a 2^52-token source, far
+      * past 100 TB; int64 would overflow at ~2^31 min-source
+      * tokens). Kept-token expectation is then ∝ √n_s exactly — the
+      * q136 share realized by subsampling alone. */
+    case object Temperature extends MixturePolicy
+  }
+
   final case class Report(
       nInput: Long, nQuality: Long, nLmPass: Long, nExactDedup: Long,
       nNearDedup: Long, nMediaDedup: Long, nDecontaminated: Long, nSemClean: Long,
       nRewritten: Long, nSampled: Long, nChunks: Long, nShards: Long,
       nTokens: Long)
+
+  /** The policy → per-source hash-bucket cut rule, factored so the
+    * spec can pin exact cut values on a hand-built token frame.
+    * `per` is (source, n_tokens); returns (source, cut) with
+    * cut ∈ [0, 65536] consumed by q93's `bucket < cut` filter.
+    */
+  private[graft] def mixtureCuts(per: DataFrame,
+      mixture: MixturePolicy): DataFrame = {
+    val mn = per.agg(min(col("n_tokens")).as("min_tok"))
+    mixture match {
+      case MixturePolicy.Equalize =>
+        per.crossJoin(broadcast(mn))
+          .select(col("source"),
+            floor((col("min_tok").cast("double") / col("n_tokens")) * 65536)
+              .cast("long").as("cut"))
+      case MixturePolicy.Temperature =>
+        // cut_s = (65536·w_s·n_min) div (n_s·w_min), w = isqrt(n):
+        // exact integer rational in decimal(38,0); isqrt is monotone,
+        // so isqrt(min n) IS the minimizing source's weight
+        per.crossJoin(broadcast(mn))
+          .withColumn("__num",
+            lit(65536L).cast("decimal(38,0)")
+              * graft.queries.CurationOps.isqrt(col("n_tokens")).cast("decimal(38,0)")
+              * col("min_tok").cast("decimal(38,0)"))
+          .withColumn("__den",
+            col("n_tokens").cast("decimal(38,0)")
+              * graft.queries.CurationOps.isqrt(col("min_tok")).cast("decimal(38,0)"))
+          .select(col("source"), expr("__num div __den").as("cut"))
+    }
+  }
 
   /** Run the full pipeline; write shards under `outDir`; return the
     * per-stage funnel. `evalIds` marks the held-out eval docs used as
@@ -81,6 +147,7 @@ object Curate {
       tokenBudget: Long = 4096L, evalIdBelow: Long = 10L,
       chunkWindow: Int = 64, chunkStride: Int = 48,
       lmTailFrac: Double = 0.02, semThr: Double = 0.30,
+      mixture: MixturePolicy = MixturePolicy.Equalize,
       verbose: Boolean = false): Report = {
     require(chunkWindow > 0 && chunkStride > 0 && chunkStride <= chunkWindow,
       "need 0 < chunkStride <= chunkWindow (stride > window would skip tokens)")
@@ -329,16 +396,16 @@ object Curate {
     val nRewritten = rewritten.count(); lap("rewrite")
     semClean.unpersist()
 
-    // 7. mixture rebalance on the CLEAN, REWRITTEN corpus (q84 rates,
-    // q93 filter)
+    // 7. mixture rebalance on the CLEAN, REWRITTEN corpus: the
+    // policy-selected rate rule (q84 equalize / q136 temperature),
+    // applied via q93's reproducible hash filter. Both policies share
+    // the same plan shape — one sources-sized token agg, one
+    // broadcast totals row, one broadcast rate join — so swapping
+    // policy never adds a corpus scan.
     val withTok = rewritten.withColumn("n_tok",
       expr(s"size(filter($toksSql, t -> t <> ''))"))
     val per = withTok.groupBy(col("source")).agg(sum(col("n_tok")).cast("bigint").as("n_tokens"))
-    val mn = per.agg(min(col("n_tokens")).as("min_tok"))
-    val rates = per.crossJoin(broadcast(mn))
-      .select(col("source"),
-        floor((col("min_tok").cast("double") / col("n_tokens")) * 65536)
-          .cast("long").as("cut"))
+    val rates = mixtureCuts(per, mixture)
     val sampled = withTok
       .withColumn("__bucket",
         expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int)"))

@@ -262,6 +262,69 @@ class CurateSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("stage-7 policy cuts: equalize and temperature are the exact integer rules") {
+    import spark.implicits._
+    // n = 100/400/10000 → isqrt weights 10/20/100; min source a keeps
+    // rate 1 under BOTH policies, and every cut is hand-computable
+    val per = Seq(("a", 100L), ("b", 400L), ("c", 10000L))
+      .toDF("source", "n_tokens")
+    def cuts(p: Curate.MixturePolicy) = Curate.mixtureCuts(per, p)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // equalize: floor(min/n · 65536)
+    assert(cuts(Curate.MixturePolicy.Equalize) ===
+      Map("a" -> 65536L, "b" -> 16384L, "c" -> 655L))
+    // temperature: (65536·w·n_min) div (n·w_min) = 65536·sqrt(min/n)
+    // exactly on these perfect squares
+    assert(cuts(Curate.MixturePolicy.Temperature) ===
+      Map("a" -> 65536L, "b" -> 32768L, "c" -> 6553L))
+    // non-square sweep: temperature cut is floor(65536·w·n_min/(n·w_min))
+    // and always >= the equalize cut (sqrt of a ratio <= 1 dominates it)
+    val per2 = Seq(("a", 7L), ("b", 123L), ("c", 99991L))
+      .toDF("source", "n_tokens")
+    def isq(n: Long) = math.sqrt(n.toDouble).toLong // exact at this scale
+    val eq2 = Curate.mixtureCuts(per2, Curate.MixturePolicy.Equalize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t2 = Curate.mixtureCuts(per2, Curate.MixturePolicy.Temperature)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((s, n) <- Seq(("a", 7L), ("b", 123L), ("c", 99991L))) {
+      assert(t2(s) === 65536L * isq(n) * 7L / (n * isq(7L)), s)
+      assert(t2(s) >= eq2(s), s"temperature cut below equalize for $s")
+    }
+  }
+
+  test("temperature policy: stages 1-6 invariant, equalize kept set is a subset, shard laws hold") {
+    val (dirA, rA) = outA
+    val dirT = java.nio.file.Files.createTempDirectory("graft_curate_t").toString
+    val rT = Curate.run(spark, sf, dirT,
+      mixture = Curate.MixturePolicy.Temperature)
+    // the policy only exists at stage 7: every upstream funnel count
+    // is bit-equal to the default run's
+    assert(Seq(rT.nInput, rT.nQuality, rT.nLmPass, rT.nExactDedup,
+        rT.nNearDedup, rT.nMediaDedup, rT.nDecontaminated, rT.nSemClean,
+        rT.nRewritten) ===
+      Seq(rA.nInput, rA.nQuality, rA.nLmPass, rA.nExactDedup,
+        rA.nNearDedup, rA.nMediaDedup, rA.nDecontaminated, rA.nSemClean,
+        rA.nRewritten))
+    // sqrt(min/n) >= min/n pointwise ⇒ every equalize-kept doc is
+    // temperature-kept and the sampled stage can only grow
+    def kept(d: String): Set[(String, Long)] = spark.read.parquet(s"$d/shards")
+      .select(col("source"), col("doc_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val keptA = kept(dirA); val keptT = kept(dirT)
+    assert(keptA.subsetOf(keptT),
+      s"equalize kept ${(keptA -- keptT).take(5)} that temperature dropped")
+    assert(rT.nSampled >= rA.nSampled, s"${rT.nSampled} < ${rA.nSampled}")
+    // and the policy-independent shard laws hold on the T artifacts
+    val shards = spark.read.parquet(s"$dirT/shards")
+      .groupBy(col("source"), col("shard_id").cast("long").as("shard_id"))
+      .agg(sum(col("nc")).cast("long").as("tok"))
+      .collect()
+    shards.foreach { r =>
+      assert(r.getLong(2) < budget + window,
+        s"T-run shard ${r.get(0)}/${r.get(1)} exceeds budget beyond a straddler")
+    }
+  }
+
   test("chunk parameters are validated up front") {
     val dir = java.nio.file.Files.createTempDirectory("graft_curate_bad").toString
     intercept[IllegalArgumentException] {
