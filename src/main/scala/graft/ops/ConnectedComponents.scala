@@ -80,12 +80,24 @@ object ConnectedComponents {
         .union(edges.select(col("dst").as("u"), col("src").as("v")))
       val mins = nbrs.groupBy(col("u"))
         .agg(min(least(col("v"), col("u"))).as("m"))
+      // LAZY checkpoint (round 19): the round's ONE action — the
+      // small-star checksum below — materializes this too, halving
+      // the per-round job count (the q98/q107 scheduling-floor class;
+      // measured 3.46 → 3.15 s q139 solo at sf0.1, labels identical,
+      // still 6 rounds). The repo's eager-at-fan-out rule exists for
+      // frames whose COMPUTATION races when branches of one job reach
+      // an unmaterialized cache (q98's measured 7× inflation); here
+      // the race is bounded by construction: `large` is one RDD
+      // object, so its shuffle map stages are deduplicated by
+      // shuffleId in the DAG scheduler — concurrent branches can at
+      // worst re-run the reduce-side projection over already-written
+      // shuffle files, never the corpus-side work.
       val large = nbrs.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // ---- small-star ---- (same partial-agg shape; the (u, m) branch
       // reads the one-row-per-node min frame directly instead of the
       // per-neighbor-duplicated join output)
@@ -94,14 +106,10 @@ object ConnectedComponents {
       val mins2 = nbrs2.groupBy(col("u"))
         .agg(min(least(col("v"), col("u"))).as("m"))
       // LAZY checkpoint: the checksum action below is the round's one
-      // materialization pass — it computes small, writes the
-      // checkpoint blocks, and aggregates the convergence scalar in
-      // the same job (the round-11 lazy-checkpoint-plus-action
-      // pattern, one action instead of two per round). Safe here
-      // because the checksum is the frame's ONLY consumer until the
-      // blocks exist — unlike `large`, which two branches of nbrs2
-      // read and must therefore be materialized eagerly before use
-      // (concurrent first-computation of a lazy checkpoint races).
+      // materialization pass — it computes `large`, then small,
+      // writes both frames' checkpoint blocks, and aggregates the
+      // convergence scalar in a single job (the round-11
+      // lazy-checkpoint-plus-action pattern).
       val small = nbrs2.join(mins2, "u")
         .filter(col("v") <= col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
