@@ -1668,9 +1668,12 @@ object CurationOps {
     * and the mutual/CC algebra is pure integer — the oracle re-derives
     * assignment, kNN, mutuality, and transitive closure independently.
     */
-  val q139MutualKnnClusters = Q(
-    "q139_mutual_knn_clusters",
-    (s, dir) => {
+  /** q139's full membership frame (vec_id, cluster_id, n_members),
+    * unordered — factored so q140's cluster-quota sampler consumes
+    * the SAME communities the q139 oracle checks (one implementation,
+    * one verified clustering). */
+  private[graft] def mutualKnnMembers(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       import graft.functions.GraftFunctions.dot
       // cellMembers checkpoints internally — the frame arrives
       // materialized for the pair-join fan-out, no second pin needed
@@ -1708,9 +1711,12 @@ object CurationOps {
         .select(col("vec_id"),
           coalesce(col("lbl"), col("vec_id")).as("cluster_id"),
           coalesce(col("n_members"), lit(1L)).as("n_members"))
-        .orderBy(col("vec_id"))
-    },
-    Some("""
+  }
+
+  /** The q139 oracle's CTE chain up to per-cluster labels `lbl` and
+    * sizes `cs` — shared verbatim by q140's oracle so both engines
+    * re-derive the SAME communities. */
+  private val mutualKnnOracleCtes = """
       WITH RECURSIVE e0 AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         FROM embeddings),
@@ -1759,7 +1765,12 @@ object CurationOps {
         SELECT r.v, ed.u FROM reach r JOIN ed ON ed.v = r.u),
       lbl AS (
         SELECT v, LEAST(v, MIN(u)) AS lbl FROM reach GROUP BY v),
-      cs AS (SELECT lbl, COUNT(*) AS n FROM lbl GROUP BY lbl)
+      cs AS (SELECT lbl, COUNT(*) AS n FROM lbl GROUP BY lbl)""".stripMargin
+
+  val q139MutualKnnClusters = Q(
+    "q139_mutual_knn_clusters",
+    (s, dir) => mutualKnnMembers(s, dir).orderBy(col("vec_id")),
+    Some(mutualKnnOracleCtes + """
       SELECT emb.vec_id,
         COALESCE(l.lbl, emb.vec_id) AS cluster_id,
         CAST(COALESCE(cs.n, 1) AS BIGINT) AS n_members
@@ -1769,6 +1780,90 @@ object CurationOps {
       ORDER BY emb.vec_id""".stripMargin),
     "mutual-kNN graph clustering: q87's cell-bounded candidate join (factored cellMembers seam) -> per-vector top-3 by sequenced-fold cosine -> keep edges IN BOTH kNN lists (hub edges die without a threshold dial) -> star-contraction CC (largeStarSmallStar; min-label rejected by a measured A/B - mutual-kNN components are chain-shaped) -> every vector's cluster + size; knn list <= k*N checkpointed at its self-join fan-out, label join linear and AQE-decided")
 
+  // ---------------------------------------------------------------------
+  // q140 — cluster-aware diversity sampling (per-cluster √-quotas)
+  // ---------------------------------------------------------------------
+
+  /** Cluster-aware sampling — the SemDeDup/cluster-balancing shape:
+    * instead of deduplicating inside embedding communities (q87) or
+    * deleting whole near-dup clusters, keep a per-cluster QUOTA
+    * ∝ |cluster|^α so dense regions of embedding space are flattened
+    * while singletons always survive — diversity-preserving selection
+    * at corpus scale. α = 1/2 is the one exponent exact in integers
+    * (q136's isqrt — kept rows per cluster = isqrt(n_members), so a
+    * 100-member community keeps 10 and a singleton keeps 1), and the
+    * WHICH-members choice is q93's reproducible-hash discipline:
+    * rank members by (md5-slice(vec_id), vec_id) and keep the first
+    * quota — deterministic, seedless, engine-exact.
+    *
+    * Composes the two round-18 seams: [[mutualKnnMembers]] (q139's
+    * verified communities) supplies the clusters; [[isqrt]] (q136's
+    * exact integer square root) supplies the quota. This is the
+    * sampling twin of q112's cluster-safe split: q112 keeps whole
+    * clusters on one side of a leakage boundary, q140 thins each
+    * cluster to its √-quota.
+    *
+    * Scale shape: everything after q139's documented pipeline is
+    * membership-frame-sized (one row per vector). The in-cluster rank
+    * runs through ops.BlockRanks — row_number semantics with p-way
+    * parallelism even on a pathological giant community (the q44/q128
+    * hot-block valve; the plain-window fast path engages below 32k
+    * rows, selected by a cheap parquet count). No corpus-sized frame
+    * is broadcast or single-task-sorted.
+    *
+    * Cross-engine exactness: quota is the exact isqrt; the rank key
+    * is the md5-hex-slice integer (the q93 conv idiom ≡ DuckDB's
+    * ('0x' || substr)::BIGINT); ties break on vec_id. All integer
+    * algebra downstream of q139's already-exact membership frame.
+    */
+  val q140ClusterQuotaSample = Q(
+    "q140_cluster_quota_sample",
+    (s, dir) => {
+      val members = mutualKnnMembers(s, dir)
+        .withColumn("hv",
+          expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
+      // vector count is cheap from parquet metadata and lets the
+      // sub-32k case skip BlockRanks' three extra stages
+      val nVecs = T.embeddings(s, dir).count()
+      val ranked = graft.ops.BlockRanks.withBlockRank(
+        members, "cluster_id", Seq(col("hv"), col("vec_id")), "rk",
+        knownRows = nVecs)
+      ranked
+        .withColumn("quota", isqrt(col("n_members")))
+        .filter(col("rk") <= col("quota"))
+        .select(col("vec_id"), col("cluster_id"), col("n_members"),
+          col("quota"), col("rk"))
+        .orderBy(col("vec_id"))
+    },
+    Some(mutualKnnOracleCtes + """,
+      mem AS (
+        SELECT emb.vec_id,
+          COALESCE(l.lbl, emb.vec_id) AS cluster_id,
+          CAST(COALESCE(cs.n, 1) AS BIGINT) AS n_members
+        FROM embeddings emb
+        LEFT JOIN lbl l ON l.v = emb.vec_id
+        LEFT JOIN cs ON cs.lbl = l.lbl),
+      hashed AS (
+        SELECT *,
+          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        FROM mem),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                          ORDER BY hv, vec_id) AS BIGINT) AS rk
+        FROM hashed),
+      quotas AS (
+        SELECT *,
+          CASE WHEN (v0 + 1) * (v0 + 1) <= n_members THEN v0 + 1
+               WHEN v0 * v0 > n_members THEN v0 - 1
+               ELSE v0 END AS quota
+        FROM (SELECT *,
+                CAST(FLOOR(SQRT(CAST(n_members AS DOUBLE))) AS BIGINT) AS v0
+              FROM ranked))
+      SELECT vec_id, cluster_id, n_members, quota, rk
+      FROM quotas WHERE rk <= quota
+      ORDER BY vec_id""".stripMargin),
+    "cluster-aware diversity sampling (SemDeDup/cluster-balancing shape): q139's verified mutual-kNN communities thinned to a per-cluster quota = isqrt(n_members) (alpha=1/2, the exact-integer temperature - q136's isqrt at cluster granularity; singletons always survive), members chosen by q93's reproducible md5-slice rank through ops.BlockRanks (p-way rank even on a pathological giant community); the sampling twin of q112's cluster-safe split, everything past q139 membership-frame-sized")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
@@ -1776,5 +1871,5 @@ object CurationOps {
     q96NoveltyCurve, q98IncrementalNovelty, q103EpochUpsample,
     q114QualityThresholdCurve, q118PpsSample, q125BigramLmScore,
     q126SemanticDecontam, q135DsirContrast, q136TemperatureMix,
-    q139MutualKnnClusters)
+    q139MutualKnnClusters, q140ClusterQuotaSample)
 }

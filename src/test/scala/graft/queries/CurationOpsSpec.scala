@@ -536,6 +536,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(mutual.nonEmpty, "fixture should produce at least one mutual edge")
   }
 
+  test("q140 equals a driver-side quota sampler over the verified q139 membership") {
+    // membership comes from the ENGINE (its own spec above pins it
+    // against union-find); the sampling layer — md5-slice rank, exact
+    // isqrt quota, keep-first-quota — is recomputed independently here
+    val members = CurationOps.q139MutualKnnClusters.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def md5Slice(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def isqrt(n: Long): Long = {
+      var v = math.sqrt(n.toDouble).toLong
+      while ((v + 1) * (v + 1) <= n) v += 1
+      while (v * v > n) v -= 1
+      v
+    }
+    val expected = members.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val quota = isqrt(g.head._3)
+      g.sortBy(t => (md5Slice(t._1), t._1)).zipWithIndex
+        .take(quota.toInt)
+        .map { case ((id, cl, n), i) => (id, cl, n, quota, i + 1L) }
+    }.sortBy(_._1)
+    val got = CurationOps.q140ClusterQuotaSample.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // structural law: every cluster keeps EXACTLY its isqrt quota
+    // (singletons keep 1 — diversity preserved, never emptied)
+    val keptPerCluster = got.groupBy(_._2).map { case (c, g) => c -> g.size.toLong }
+    val quotaPerCluster = members.groupBy(_._2).map { case (c, g) => c -> isqrt(g.head._3) }
+    assert(keptPerCluster === quotaPerCluster.filter(_._2 > 0))
+    assert(got.size < members.size, "sampling must thin a corpus with non-trivial clusters")
+  }
+
   test("q126 plan: probe set broadcasts, corpus side streams map-side") {
     val df = CurationOps.q126SemanticDecontam.fn(spark, "/root/testdata/sf0.001")
     df.collect()
