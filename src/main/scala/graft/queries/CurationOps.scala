@@ -194,7 +194,12 @@ object CurationOps {
     * survivorship ranking and the [[graft.curation.Curate]] pipeline so
     * all three run the identical arithmetic.
     */
-  private[graft] def qualityScored(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** q83's INTEGER feature frame (doc_id, n_chars, n_toks, n_stop,
+    * n_punct, n_upper), docs with ≥1 token — factored so q141's
+    * fixed-point calibration consumes the exact counts rather than
+    * reconstructing them from the float ratios. */
+  private[graft] def qualityFeatures(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val stop = "array('the','a','of','and','to','in','is','was')"
     T.documentsSpread(s, dir)
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
@@ -207,6 +212,10 @@ object CurationOps {
         (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", "")))
           .as("n_upper"))
       .filter(col("n_toks") >= 1)
+  }
+
+  private[graft] def qualityScored(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    qualityFeatures(s, dir)
       .select(col("doc_id"), col("n_toks"), col("n_stop"),
         (col("n_stop").cast("double") / col("n_toks")).as("stop_ratio"),
         (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
@@ -1864,6 +1873,221 @@ object CurationOps {
       ORDER BY vec_id""".stripMargin),
     "cluster-aware diversity sampling (SemDeDup/cluster-balancing shape): q139's verified mutual-kNN communities thinned to a per-cluster quota = isqrt(n_members) (alpha=1/2, the exact-integer temperature - q136's isqrt at cluster granularity; singletons always survive), members chosen by q93's reproducible md5-slice rank through ops.BlockRanks (p-way rank even on a pathological giant community); the sampling twin of q112's cluster-safe split, everything past q139 membership-frame-sized")
 
+  // ---------------------------------------------------------------------
+  // q141 — per-source quality calibration (CCNet quantile buckets)
+  // ---------------------------------------------------------------------
+
+  /** Per-source quality CALIBRATION — the CCNet head/middle/tail move
+    * generalized to deciles: a single global threshold on a quality
+    * score silently empties sources whose scores run systematically
+    * low (exactly the failure Curate's LM gate hit on the sf1 replica
+    * — its quantile cut exists for the same reason), so each doc is
+    * bucketed by its quality QUANTILE WITHIN ITS SOURCE, and any
+    * downstream policy thresholds on the bucket, uniformly fair
+    * across heterogeneous domains.
+    *
+    * Cross-engine exactness: q83's float score is replaced by its
+    * exact fixed-point twin (the q125 discipline) — the linear scorer
+    * 1.2·stop − 3·punct − 2·upper over the integer features has
+    * common denominator 10·n_toks·n_chars, so
+    * s_fp = (num + 5·den)·2^20 div den with num =
+    * 12·n_stop·n_chars − 30·n_punct·n_toks − 20·n_upper·n_toks:
+    * the +5 offset keeps the numerator non-negative (score > −5 by
+    * construction since ratios ≤ 1), so truncating and flooring
+    * division agree and the quotient is engine-exact. Evaluated in
+    * decimal(38,0) (num·2^20 can reach ~2^75 on a 10^8-char doc —
+    * past int64, nowhere near decimal38); DuckDB runs the same
+    * algebra in HUGEINT. Ranks break ties on doc_id; the decile is
+    * ((rk−1)·10) div n_docs — all int64.
+    *
+    * Scale shape: one feature scan (q83's), one narrow (doc_id,
+    * source) join, the per-source rank through ops.BlockRanks (p-way
+    * even on one giant source — 'en' at 44% is the standing hot key),
+    * and a broadcast sources-sized count join. Nothing corpus-sized
+    * is windowed in one task or broadcast.
+    */
+  val q141QualityCalibrate = Q(
+    "q141_quality_calibrate",
+    (s, dir) => {
+      val sfp = qualityFixedPoint(s, dir)
+      val j = sfp.join(
+        T.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      val perSrc = j.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val ranked = graft.ops.BlockRanks.withBlockRank(
+        j, "source", Seq(col("s_fp").desc, col("doc_id")), "rk",
+        knownRows = graft.queries.PipelineOps.nonEmptyDocCount(s, dir))
+      ranked.join(broadcast(perSrc), "source")
+        .select(col("doc_id"), col("source"), col("s_fp"), col("rk"),
+          expr("(rk - 1) * 10 div n_docs").as("decile"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS BIGINT) AS n_toks,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> list_contains(['the','a','of','and','to','in','is','was'], t)))
+               AS BIGINT) AS n_stop,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+               AS BIGINT) AS n_punct,
+          CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+               AS BIGINT) AS n_upper
+        FROM documents),
+      fp AS (
+        SELECT doc_id, source,
+          CAST(
+            ((CAST(12 AS HUGEINT) * n_stop * n_chars
+              - CAST(30 AS HUGEINT) * n_punct * n_toks
+              - CAST(20 AS HUGEINT) * n_upper * n_toks)
+             + CAST(5 AS HUGEINT) * (CAST(10 AS HUGEINT) * n_toks * n_chars))
+            * 1048576
+            // (CAST(10 AS HUGEINT) * n_toks * n_chars)
+          AS BIGINT) AS s_fp
+        FROM f WHERE n_toks >= 1),
+      r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY s_fp DESC, doc_id)
+                       AS BIGINT) AS rk
+        FROM fp),
+      n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM fp GROUP BY source)
+      SELECT r.doc_id, r.source, r.s_fp, r.rk,
+        (r.rk - 1) * 10 // n.n_docs AS decile
+      FROM r JOIN n USING (source)
+      ORDER BY r.doc_id""".stripMargin),
+    "per-source quality calibration (CCNet head/middle/tail generalized to deciles): q83's linear scorer as its EXACT fixed-point twin - common denominator 10*n_toks*n_chars, +5 offset keeps the numerator non-negative so trunc==floor cross-engine, decimal(38,0) vs HUGEINT far past int64 docs - ranked within source via ops.BlockRanks (p-way on the 44% 'en' hot key), decile = (rk-1)*10 div n_docs; a global threshold empties low-scoring sources, the within-source quantile is domain-fair")
+
+  /** q141's per-doc fixed-point quality score (doc_id, s_fp) — the
+    * exact-integer twin of q83's float scorer, shared by q141's
+    * calibration and q143's ensemble fusion. */
+  private[graft] def qualityFixedPoint(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    qualityFeatures(s, dir)
+      .select(col("doc_id"),
+        expr("""cast(
+            ((cast(12 as decimal(38,0)) * n_stop * n_chars
+              - cast(30 as decimal(38,0)) * n_punct * n_toks
+              - cast(20 as decimal(38,0)) * n_upper * n_toks)
+             + cast(5 as decimal(38,0)) * (cast(10 as decimal(38,0)) * n_toks * n_chars))
+            * cast(1048576 as decimal(38,0))
+            div (cast(10 as decimal(38,0)) * n_toks * n_chars)
+          as bigint)""").as("s_fp"))
+
+  // ---------------------------------------------------------------------
+  // q143 — ensemble quality rank fusion (RRF over independent signals)
+  // ---------------------------------------------------------------------
+
+  /** Ensemble quality selection — production filters rarely trust ONE
+    * signal: a heuristic scorer and an LM-typicality scorer disagree
+    * on exactly the documents worth a second look, and their SCORE
+    * scALES are incompatible (fixed-point linear units vs mean bigram
+    * log-mass), so the principled combination is rank fusion — q121's
+    * reciprocal-rank machinery (Cormack SIGIR'09, K=60) lifted from
+    * retrieval lists to corpus-wide quality signals. Each doc gets
+    * fused = 1/(60+r_quality) + 1/(60+r_lm) over its GLOBAL rank
+    * under each signal; docs a bigram LM cannot score (< 2 tokens)
+    * carry r_lm = 0 and only the quality term — partially-overlapping
+    * universes, the q121 convention.
+    *
+    * Cross-engine exactness: both underlying signals are already
+    * engine-exact (q141's fixed-point integers; q125's IEEE division
+    * of exact ints), ranks break ties on doc_id, and the fused score
+    * is two IEEE divisions plus one addition in pinned order.
+    *
+    * Scale shape: the global ranks run through ops.BlockRanks on a
+    * constant block — the range-split path unconditionally, so the
+    * rank is p-way with no single-task global window (the q74/DenseIds
+    * discipline); the rank frames are two narrow longs per doc and
+    * the fusion is one doc-keyed left join.
+    */
+  val q143QualityRankFusion = Q(
+    "q143_quality_rank_fusion",
+    (s, dir) => {
+      val q = qualityFixedPoint(s, dir).withColumn("__blk", lit(0L))
+      val lm = lmScored(T.documentsSpread(s, dir))
+        .select(col("doc_id"), col("lm_score")).withColumn("__blk", lit(0L))
+      val rq = graft.ops.BlockRanks.withBlockRank(
+          q, "__blk", Seq(col("s_fp").desc, col("doc_id")), "r_quality")
+        .select(col("doc_id"), col("s_fp"), col("r_quality"))
+      val rl = graft.ops.BlockRanks.withBlockRank(
+          lm, "__blk", Seq(col("lm_score").desc, col("doc_id")), "r_lm")
+        .select(col("doc_id"), col("r_lm"))
+      rq.join(rl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("s_fp"), col("r_quality"),
+          coalesce(col("r_lm"), lit(0L)).as("r_lm"),
+          (lit(1.0) / (lit(60.0) + col("r_quality").cast("double"))
+            + when(col("r_lm").isNull, lit(0.0))
+              .otherwise(lit(1.0) / (lit(60.0) + col("r_lm").cast("double"))))
+            .as("fused"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS BIGINT) AS n_toks,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> list_contains(['the','a','of','and','to','in','is','was'], t)))
+               AS BIGINT) AS n_stop,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+               AS BIGINT) AS n_punct,
+          CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+               AS BIGINT) AS n_upper
+        FROM documents),
+      fp AS (
+        SELECT doc_id,
+          CAST(
+            ((CAST(12 AS HUGEINT) * n_stop * n_chars
+              - CAST(30 AS HUGEINT) * n_punct * n_toks
+              - CAST(20 AS HUGEINT) * n_upper * n_toks)
+             + CAST(5 AS HUGEINT) * (CAST(10 AS HUGEINT) * n_toks * n_chars))
+            * 1048576
+            // (CAST(10 AS HUGEINT) * n_toks * n_chars)
+          AS BIGINT) AS s_fp
+        FROM f WHERE n_toks >= 1),
+      d AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      p AS (
+        SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+        FROM d, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 2),
+      uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM (SELECT unnest(ts) AS w FROM d) GROUP BY w),
+      bi AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM p GROUP BY a, b),
+      sq AS (
+        SELECT p.doc_id, (bi.cb * 1048576) // uni.cu AS q
+        FROM p
+        JOIN bi ON bi.a = p.a AND bi.b = p.b
+        JOIN uni ON uni.w = p.a),
+      lm AS (
+        SELECT doc_id,
+          CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+        FROM sq GROUP BY doc_id),
+      rq AS (
+        SELECT doc_id, s_fp,
+          CAST(ROW_NUMBER() OVER (ORDER BY s_fp DESC, doc_id) AS BIGINT)
+            AS r_quality
+        FROM fp),
+      rl AS (
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY lm_score DESC, doc_id) AS BIGINT)
+            AS r_lm
+        FROM lm)
+      SELECT rq.doc_id, rq.s_fp, rq.r_quality,
+        COALESCE(rl.r_lm, 0) AS r_lm,
+        1.0 / (60.0 + rq.r_quality)
+          + CASE WHEN rl.r_lm IS NULL THEN 0.0
+                 ELSE 1.0 / (60.0 + rl.r_lm) END AS fused
+      FROM rq LEFT JOIN rl USING (doc_id)
+      ORDER BY rq.doc_id""".stripMargin),
+    "ensemble quality selection via reciprocal-rank fusion (q121's RRF lifted from retrieval to corpus-wide signals, K=60): global ranks of q141's exact fixed-point heuristic score and q125's LM typicality score - incompatible score scales never mix, ranks through ops.BlockRanks' range-split path (no single-task global window) - fused = two IEEE divisions + one pinned-order addition; docs a bigram LM cannot score carry rank 0 and the quality term only (partially-overlapping universes, the q121 convention)")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
@@ -1871,5 +2095,6 @@ object CurationOps {
     q96NoveltyCurve, q98IncrementalNovelty, q103EpochUpsample,
     q114QualityThresholdCurve, q118PpsSample, q125BigramLmScore,
     q126SemanticDecontam, q135DsirContrast, q136TemperatureMix,
-    q139MutualKnnClusters, q140ClusterQuotaSample)
+    q139MutualKnnClusters, q140ClusterQuotaSample, q141QualityCalibrate,
+    q143QualityRankFusion)
 }

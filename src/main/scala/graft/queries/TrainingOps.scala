@@ -1941,6 +1941,77 @@ object TrainingOps {
       ORDER BY d.doc_id""".stripMargin),
     "soft dedup: per-document training weight 1/|near-dup cluster| (1.0 unclustered) — loss reweighting instead of deletion, composing the q33 LSH pair graph + min-label CC + one conditionally-broadcast corpus left join; a cluster of n near-copies contributes one document's expected gradient")
 
+  // ---------------------------------------------------------------------
+  // q142 — length-bucketed batch assembly (dynamic batching manifest)
+  // ---------------------------------------------------------------------
+
+  /** Length-bucketed batch assembly — the padding-efficiency pass a
+    * sequence-training loader runs when examples are NOT packed into
+    * fixed shards (SFT / contrastive / reranker training, where
+    * examples must stay whole): batching ragged docs uniformly pads
+    * every sequence to the batch max, so group docs into power-of-two
+    * length BANDS first (band = bit length of n_tok — an exact
+    * integer both engines compute as length(bin(n))), order within a
+    * band by (n_tok, doc_id), and cut fixed batches of 16. Within a
+    * band max_tok < 2·min_tok by construction, so padding waste is
+    * < 50% on ANY corpus before the within-band sort tightens it
+    * further — the bucketed-batching guarantee, stated and
+    * spec-pinned. Output is the per-batch manifest (the thing a
+    * loader consumes): doc count, min/max/sum tokens, and pad_tokens
+    * = n_docs·max − sum, all exact int64.
+    *
+    * Scale shape: one tokenize-count scan (two pruned int columns),
+    * the in-band rank through ops.BlockRanks (p-way even though
+    * short-doc bands hold most of the corpus — the hot-band analogue
+    * of q141's hot source), one (band, batch) hash agg. Nothing is
+    * single-task-windowed; the manifest is output-sized.
+    */
+  val q142LengthBatches = Q(
+    "q142_length_batches",
+    (s, dir) => {
+      val nz = T.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          expr(s"size(filter($toksSql, t -> t <> ''))").cast("long").as("n_tok"))
+        .filter(col("n_tok") >= 1)
+        .withColumn("band", length(bin(col("n_tok"))).cast("long"))
+      val ranked = graft.ops.BlockRanks.withBlockRank(
+        nz, "band", Seq(col("n_tok"), col("doc_id")), "rk",
+        knownRows = graft.queries.PipelineOps.nonEmptyDocCount(s, dir))
+      ranked
+        .withColumn("batch_id", expr("(rk - 1) div 16"))
+        .groupBy(col("band"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok"),
+          sum(col("n_tok")).cast("long").as("sum_tok"))
+        .withColumn("pad_tokens",
+          col("n_docs") * col("max_tok") - col("sum_tok"))
+        .orderBy(col("band"), col("batch_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS BIGINT) AS n_tok
+        FROM documents),
+      nz AS (
+        SELECT doc_id, n_tok, CAST(length(bin(n_tok)) AS BIGINT) AS band
+        FROM d WHERE n_tok >= 1),
+      r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY band
+                                          ORDER BY n_tok, doc_id)
+                       AS BIGINT) AS rk
+        FROM nz)
+      SELECT band, (rk - 1) // 16 AS batch_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+        CAST(COUNT(*) AS BIGINT) * MAX(n_tok) - CAST(SUM(n_tok) AS BIGINT)
+          AS pad_tokens
+      FROM r GROUP BY 1, 2
+      ORDER BY 1, 2""".stripMargin),
+    "length-bucketed batch assembly (dynamic batching for whole-example training): band = bit length of n_tok (exact via length(bin(n)) on both engines), within-band (n_tok, doc_id) rank through ops.BlockRanks cut into batches of 16, per-batch manifest with pad_tokens = n_docs*max - sum; max < 2*min inside any band so padding waste < 50% on ANY corpus before the sort tightens it - all int64")
+
   val all: Seq[Q] = Seq(
     q66Tfidf, q67HashSplit, q68IncrementalDedup, q69BigramLift, q70PiiRedact,
     q71CmsHeavyHitters, q72DupClusters, q73RepetitionFilter, q74Zorder,
@@ -1948,5 +2019,5 @@ object TrainingOps {
     q101ChunkPacking, q102ShuffledPacking, q110SnapshotMerge,
     q111StarClusters, q112ClusterSafeSplit, q115SubstringDup,
     q116DupSpanLocalize, q123BlockDedupRewrite, q127SpanCutRewrite,
-    q133BloomDecontam, q134SoftDedupWeights)
+    q133BloomDecontam, q134SoftDedupWeights, q142LengthBatches)
 }

@@ -571,6 +571,93 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.size < members.size, "sampling must thin a corpus with non-trivial clusters")
   }
 
+  test("q141 equals a driver-side BigInt fixed-point calibration") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "was")
+    val rows = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val sfp = rows.flatMap { case (id, src, text, nChars) =>
+      val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      if (toks.isEmpty) None else {
+        val nStop = toks.count(stop.contains).toLong
+        val nPunct = text.count(".,;:!?".contains(_)).toLong
+        val nUpper = text.count(c => c >= 'A' && c <= 'Z').toLong
+        val nToks = toks.length.toLong
+        val num = BigInt(12) * nStop * nChars - BigInt(30) * nPunct * nToks -
+          BigInt(20) * nUpper * nToks + BigInt(50) * nToks * nChars
+        val den = BigInt(10) * nToks * nChars
+        Some((id, src, (num * 1048576 / den).toLong))
+      }
+    }
+    val expected = sfp.groupBy(_._2).toSeq.flatMap { case (src, g) =>
+      val n = g.size.toLong
+      g.sortBy(t => (-t._3, t._1)).zipWithIndex.map { case ((id, _, s), i) =>
+        (id, src, s, i + 1L, i.toLong * 10 / n)
+      }
+    }.sortBy(_._1)
+    val got = CurationOps.q141QualityCalibrate.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.map(_._5).forall(d => d >= 0 && d <= 9), "deciles in [0,9]")
+    // the +5·den offset keeps every numerator non-negative (the
+    // trunc-vs-floor guarantee): score > -5 by construction
+    assert(sfp.forall(_._3 >= 0L), "fixed-point score went negative")
+  }
+
+  test("q143 equals a driver-side RRF over the two verified signal frames") {
+    // both signals come from their own oracle-gated queries; the
+    // fusion layer — global ranks + reciprocal-rank sum — is
+    // recomputed independently here, doubles compared with ==
+    val sfp = CurationOps.q141QualityCalibrate.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val lm = CurationOps.q125BigramLmScore.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val rq = sfp.toSeq.sortBy(t => (-t._2, t._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val rl = lm.toSeq.sortBy(t => (-t._2, t._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expected = sfp.keys.toSeq.sorted.map { id =>
+      val rlid = rl.getOrElse(id, 0L)
+      val fused = 1.0 / (60.0 + rq(id)) +
+        (if (rlid == 0L) 0.0 else 1.0 / (60.0 + rlid))
+      (id, sfp(id), rq(id), rlid, fused)
+    }
+    val got = CurationOps.q143QualityRankFusion.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    assert(got.forall(_._4 >= 1L),
+      "every real-corpus doc here has >= 2 tokens, so all carry an LM rank")
+  }
+
+  test("q143 rank-0 convention: an LM-unscorable doc keeps the quality term only") {
+    import spark.implicits._
+    // the sf0.001 corpus has no single-token docs, so the partially-
+    // overlapping-universe path needs a planted fixture: doc 3 has one
+    // token — quality-scored, bigram-unscorable
+    val dir = java.nio.file.Files.createTempDirectory("graft_q143").toString
+    Seq(
+      (1L, "the cat sat on the mat.", "en", "s1"),
+      (2L, "a dog and a dog and a dog", "en", "s1"),
+      (3L, "solo", "en", "s2"))
+      .map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rs = CurationOps.q143QualityRankFusion.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rs.length === 3)
+    val solo = rs.find(_._1 == 3L).get
+    assert(solo._3 === 0L, s"unscorable doc must carry r_lm = 0: $solo")
+    assert(solo._4 === 1.0 / (60.0 + solo._2), s"fused must be quality-only: $solo")
+    val scored = rs.filter(_._1 != 3L)
+    assert(scored.forall(_._3 >= 1L))
+    scored.foreach { t =>
+      assert(t._4 === 1.0 / (60.0 + t._2) + 1.0 / (60.0 + t._3), t.toString)
+    }
+  }
+
   test("q126 plan: probe set broadcasts, corpus side streams map-side") {
     val df = CurationOps.q126SemanticDecontam.fn(spark, "/root/testdata/sf0.001")
     df.collect()

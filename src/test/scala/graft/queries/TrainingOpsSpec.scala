@@ -527,4 +527,35 @@ class TrainingOpsSpec extends SparkSpec {
       (3L, 2L, 2L, m("")),
       (4L, 2L, 1L, m(tail5))))
   }
+
+  test("q142 equals a driver-side bucketed batcher; band law bounds padding") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split(" ", -1).count(_.nonEmpty).toLong))
+      .filter(_._2 >= 1)
+    val expected = docs
+      .map { case (id, n) => (id, n, java.lang.Long.toBinaryString(n).length.toLong) }
+      .groupBy(_._3).toSeq.flatMap { case (band, g) =>
+        g.sortBy(t => (t._2, t._1)).zipWithIndex
+          .map { case ((_, n, _), i) => (band, i / 16L, n) }
+      }
+      .groupBy(t => (t._1, t._2)).toSeq.map { case ((band, batch), g) =>
+        val ns = g.map(_._3)
+        (band, batch, ns.size.toLong, ns.min, ns.max, ns.sum,
+          ns.size * ns.max - ns.sum)
+      }.sortBy(t => (t._1, t._2))
+    val got = TrainingOps.q142LengthBatches.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // bucketed-batching guarantee: same bit length => max < 2*min, so
+    // per-batch padding waste is under 50% on any corpus
+    got.foreach { b =>
+      assert(b._5 < 2 * b._4, s"band law violated in batch $b")
+      assert(b._7 < b._6, s"padding exceeded payload in batch $b")
+    }
+    // coverage: every non-empty doc lands in exactly one batch slot
+    assert(got.map(_._3).sum === docs.length.toLong)
+  }
 }
