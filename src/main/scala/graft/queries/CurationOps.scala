@@ -1912,10 +1912,16 @@ object CurationOps {
       val sfp = qualityFixedPoint(s, dir)
       val j = sfp.join(
         T.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
-      val perSrc = j.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      // the ranked frame fans into the count agg AND the final join —
+      // checkpoint the fan-out (the corpus-narrow 4-column frame) so
+      // the feature scan runs once on EITHER BlockRanks path (caught
+      // in the round-19 PLANS sweep: the scan subtree appeared twice
+      // when the count branch re-derived from the pre-rank frame)
       val ranked = graft.ops.BlockRanks.withBlockRank(
         j, "source", Seq(col("s_fp").desc, col("doc_id")), "rk",
         knownRows = graft.queries.PipelineOps.nonEmptyDocCount(s, dir))
+        .localCheckpoint()
+      val perSrc = ranked.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       ranked.join(broadcast(perSrc), "source")
         .select(col("doc_id"), col("source"), col("s_fp"), col("rk"),
           expr("(rk - 1) * 10 div n_docs").as("decile"))
