@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   * runs, in the canonical order (each stage's rationale lives on the
   * corresponding oracle query):
   *
-  *   1. quality gate        — q83's linear scorer, keep score >= 0.05
+  *   1. quality gate        — a POLICY-parameterized rule over q83's
+  *                            scorer: absolute floor 0.05 (default)
+  *                            or q141's per-source decile cut (see
+  *                            [[QualityPolicy]])
   *   2. LM typicality gate  — q125's bigram-LM kernel, keep score >= lmFloor
   *   3. exact dedup         — q29's md5(text) groups, min-doc_id survivor
   *   4. near-dup prune      — the shared near-dup pair graph (q33's
@@ -78,6 +81,26 @@ object Curate {
     * instance per doc); a deployment wanting epochs widens the ord
     * encoding with an epoch field instead of bending the rate seam.
     */
+  /** Stage 1's quality gate rule — like [[MixturePolicy]], a family
+    * the registry proves query-by-query, exposed as a parameter.
+    * Either member consumes the SAME q83 score frame the near-dup
+    * survivor rule reads (one scoring pass per run).
+    */
+  sealed trait QualityPolicy
+  object QualityPolicy {
+    /** The default, unchanged behavior: keep score ≥ 0.05 — an
+      * absolute floor in q83's linear-score units. */
+    case object AbsoluteFloor extends QualityPolicy
+    /** q141's per-source calibration: keep each source's top `keep`
+      * deciles (0-9 scale; keep=8 drops every source's worst 20%).
+      * The cut is domain-fair by construction — an absolute floor
+      * silently empties sources that score systematically low (the
+      * sf1-replica failure Curate's LM gate already works around);
+      * deciles are computed on the post-eval-carveout corpus so held
+      * -out docs never shift the quantile. */
+    final case class SourceDeciles(keep: Int = 8) extends QualityPolicy
+  }
+
   sealed trait MixturePolicy
   object MixturePolicy {
     /** q84's equalizing rates (the default, unchanged behavior):
@@ -148,7 +171,13 @@ object Curate {
       chunkWindow: Int = 64, chunkStride: Int = 48,
       lmTailFrac: Double = 0.02, semThr: Double = 0.30,
       mixture: MixturePolicy = MixturePolicy.Equalize,
+      qualityPolicy: QualityPolicy = QualityPolicy.AbsoluteFloor,
       verbose: Boolean = false): Report = {
+    qualityPolicy match {
+      case QualityPolicy.SourceDeciles(k) =>
+        require(k >= 1 && k <= 10, s"SourceDeciles.keep must be 1..10, got $k")
+      case QualityPolicy.AbsoluteFloor => ()
+    }
     require(chunkWindow > 0 && chunkStride > 0 && chunkStride <= chunkWindow,
       "need 0 < chunkStride <= chunkWindow (stride > window would skip tokens)")
     require(chunkWindow <= tokenBudget,
@@ -165,12 +194,24 @@ object Curate {
       .persist()
     val nInput = docs.count(); lap("input")
 
-    // 1. quality gate (q83 arithmetic, shared helper)
+    // 1. quality gate — the policy-selected rule over ONE q83 score
+    // frame (the same frame stage 4's survivor rule reads)
     val scored = graft.queries.CurationOps.qualityScored(spark, sfDir)
       .filter(col("doc_id") >= evalIdBelow)
       .select(col("doc_id"), col("score"))
-    val quality = docs.join(scored.filter(col("score") >= 0.05), "doc_id")
-      .persist()
+    val quality = qualityPolicy match {
+      case QualityPolicy.AbsoluteFloor =>
+        docs.join(scored.filter(col("score") >= 0.05), "doc_id")
+      case QualityPolicy.SourceDeciles(k) =>
+        // q141's kernel on the post-carveout corpus: the decile frame
+        // is corpus-narrow and left-semi keeps the frame shape
+        // identical to the floor path (score column included — stage
+        // 4 reads the separate `scored` frame either way)
+        val dec = graft.queries.CurationOps
+          .sourceDeciles(spark, sfDir, evalIdBelow)
+          .filter(col("decile") < k).select(col("doc_id"))
+        docs.join(scored, "doc_id").join(dec, Seq("doc_id"), "left_semi")
+    }
     val nQuality = quality.count(); lap("quality")
     docs.unpersist()
 

@@ -1906,10 +1906,15 @@ object CurationOps {
     * and a broadcast sources-sized count join. Nothing corpus-sized
     * is windowed in one task or broadcast.
     */
-  val q141QualityCalibrate = Q(
-    "q141_quality_calibrate",
-    (s, dir) => {
-      val sfp = qualityFixedPoint(s, dir)
+  /** q141's full calibration frame (doc_id, source, s_fp, rk, decile),
+    * unordered, over docs with doc_id ≥ `minDocId` — factored so
+    * Curate's stage-1 SourceDeciles policy computes quantiles on
+    * exactly the corpus that enters the pipeline (eval docs excluded —
+    * they must not shift the cut). */
+  private[graft] def sourceDeciles(s: org.apache.spark.sql.SparkSession,
+      dir: String, minDocId: Long = Long.MinValue)
+      : org.apache.spark.sql.DataFrame = {
+      val sfp = qualityFixedPoint(s, dir).filter(col("doc_id") >= minDocId)
       val j = sfp.join(
         T.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
       // the ranked frame fans into the count agg AND the final join —
@@ -1925,8 +1930,11 @@ object CurationOps {
       ranked.join(broadcast(perSrc), "source")
         .select(col("doc_id"), col("source"), col("s_fp"), col("rk"),
           expr("(rk - 1) * 10 div n_docs").as("decile"))
-        .orderBy(col("doc_id"))
-    },
+  }
+
+  val q141QualityCalibrate = Q(
+    "q141_quality_calibrate",
+    (s, dir) => sourceDeciles(s, dir).orderBy(col("doc_id")),
     Some("""
       WITH f AS (
         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
@@ -2094,6 +2102,135 @@ object CurationOps {
       ORDER BY rq.doc_id""".stripMargin),
     "ensemble quality selection via reciprocal-rank fusion (q121's RRF lifted from retrieval to corpus-wide signals, K=60): global ranks of q141's exact fixed-point heuristic score and q125's LM typicality score - incompatible score scales never mix, ranks through ops.BlockRanks' range-split path (no single-task global window) - fused = two IEEE divisions + one pinned-order addition; docs a bigram LM cannot score carry rank 0 and the quality term only (partially-overlapping universes, the q121 convention)")
 
+  // ---------------------------------------------------------------------
+  // q144 — per-source data card (the dataset-datasheet panel)
+  // ---------------------------------------------------------------------
+
+  /** The per-source DATA CARD — the datasheet panel a training-data
+    * release ships per domain (Datasheets for Datasets, Gebru et al.
+    * 2021, reduced to the measures this corpus model supports): doc
+    * and token volume, vocabulary size, exact-duplicate burden, the
+    * short-doc tail, and mean heuristic quality — one row per source,
+    * every cell either an exact int64 or ONE IEEE division of exact
+    * ints (q136's share discipline), so the whole card hash-compares
+    * cross-engine.
+    *
+    * Duplicate burden counts LOSERS corpus-wide (a doc beaten by a
+    * smaller doc_id with identical text — q29's min-survivor rule),
+    * attributed to the loser's OWN source: a source that plagiarizes
+    * another still owns its duplicate burden.
+    *
+    * Scale shape: three linear corpus passes, each map-side
+    * combinable — (1) the tokenize scan feeding per-source volume
+    * aggs AND the (source, token)-keyed distinct-vocabulary agg
+    * (the q30 shuffle shape — never a per-source set in one task);
+    * (2) the md5-keyed dup-group agg (8-byte keys); (3) the
+    * fixed-point feature scan. The three per-source panels join
+    * sources-sized at the end — broadcast by construction.
+    */
+  val q144SourceDatacard = Q(
+    "q144_source_datacard",
+    (s, dir) => {
+      val base = T.documentsSpread(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          expr(s"size(filter($toksSql, t -> t <> ''))").cast("long").as("n_tok"),
+          md5(col("text")).as("h"))
+        .localCheckpoint() // fans into volume, dup, and vocab branches
+      val vol = base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(when(col("n_tok") < 16, 1L).otherwise(0L)).as("n_short"))
+      val losers = base.select(col("source"), col("doc_id"), col("h"))
+        .join(base.groupBy(col("h")).agg(min(col("doc_id")).as("keep")), "h")
+        .filter(col("doc_id") =!= col("keep"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_dup_losers"))
+      val vocab = T.documentsSpread(s, dir)
+        .select(col("source"),
+          explode(expr(s"filter($toksSql, t -> t <> '')")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("source")).agg(count(lit(1)).as("vocab"))
+      val qual = qualityFixedPoint(s, dir)
+        .join(T.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_scored"),
+          sum(col("s_fp")).cast("long").as("sum_s_fp"))
+      vol.join(vocab, "source")
+        .join(losers, Seq("source"), "left")
+        .join(qual, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("vocab"),
+          coalesce(col("n_dup_losers"), lit(0L)).as("n_dup_losers"),
+          col("n_short"),
+          coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+          (coalesce(col("sum_s_fp"), lit(0L)).cast("double")
+            / greatest(col("n_scored"), lit(1L)).cast("double"))
+            .as("mean_quality_fp"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS BIGINT) AS n_tok,
+          md5(text) AS h
+        FROM documents),
+      vol AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+          CAST(SUM(CASE WHEN n_tok < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        FROM b GROUP BY source),
+      losers AS (
+        SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_dup_losers
+        FROM b JOIN (SELECT h, MIN(doc_id) AS keep FROM b GROUP BY h) k
+          ON k.h = b.h
+        WHERE b.doc_id <> k.keep
+        GROUP BY b.source),
+      vocab AS (
+        SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab
+        FROM (SELECT source,
+                unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                  AS w
+              FROM documents)
+        GROUP BY source),
+      f AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS BIGINT) AS n_toks,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> list_contains(['the','a','of','and','to','in','is','was'], t)))
+               AS BIGINT) AS n_stop,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+               AS BIGINT) AS n_punct,
+          CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+               AS BIGINT) AS n_upper
+        FROM documents),
+      qual AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_scored,
+          CAST(SUM(CAST(
+            ((CAST(12 AS HUGEINT) * n_stop * n_chars
+              - CAST(30 AS HUGEINT) * n_punct * n_toks
+              - CAST(20 AS HUGEINT) * n_upper * n_toks)
+             + CAST(5 AS HUGEINT) * (CAST(10 AS HUGEINT) * n_toks * n_chars))
+            * 1048576
+            // (CAST(10 AS HUGEINT) * n_toks * n_chars)
+          AS BIGINT)) AS BIGINT) AS sum_s_fp
+        FROM f WHERE n_toks >= 1 GROUP BY source)
+      SELECT vol.source, vol.n_docs, vol.n_tokens, vol.n_chars,
+        vocab.vocab,
+        COALESCE(losers.n_dup_losers, 0) AS n_dup_losers,
+        vol.n_short,
+        COALESCE(qual.n_scored, 0) AS n_scored,
+        CAST(COALESCE(qual.sum_s_fp, 0) AS DOUBLE)
+          / CAST(GREATEST(qual.n_scored, 1) AS DOUBLE) AS mean_quality_fp
+      FROM vol
+      JOIN vocab USING (source)
+      LEFT JOIN losers USING (source)
+      LEFT JOIN qual USING (source)
+      ORDER BY vol.source""".stripMargin),
+    "per-source data card (the Datasheets-for-Datasets panel a release ships per domain): doc/token/char volume, vocabulary size via the (source, token)-keyed agg (never a per-source set in one task), corpus-wide exact-dup LOSER burden attributed to the loser's own source (q29's min-survivor rule), short-doc tail, and mean fixed-point quality - every cell an exact int64 or one IEEE division of exact ints; three linear map-side-combinable corpus passes joined sources-sized")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
@@ -2102,5 +2239,5 @@ object CurationOps {
     q114QualityThresholdCurve, q118PpsSample, q125BigramLmScore,
     q126SemanticDecontam, q135DsirContrast, q136TemperatureMix,
     q139MutualKnnClusters, q140ClusterQuotaSample, q141QualityCalibrate,
-    q143QualityRankFusion)
+    q143QualityRankFusion, q144SourceDatacard)
 }

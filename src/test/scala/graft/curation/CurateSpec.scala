@@ -325,6 +325,34 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("stage-1 SourceDeciles policy: per-source kept counts are the exact quantile law") {
+    val dirD = java.nio.file.Files.createTempDirectory("graft_curate_d").toString
+    val k = 8
+    val rD = Curate.run(spark, sf, dirD,
+      qualityPolicy = Curate.QualityPolicy.SourceDeciles(k))
+    // the gate keeps rk <= ceil(k·n_s/10) per source — recompute n_s
+    // (post-carveout docs with >= 1 token, q141's universe) and pin
+    val perSource = graft.Tables.documents(spark, sf)
+      .where("doc_id >= 10")
+      .selectExpr("source",
+        "size(filter(split(lower(text), ' '), t -> t <> '')) as n")
+      .where("n >= 1")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val expectedKept = perSource.map { case (_, n) => (k * n + 9) / 10 }.sum
+    assert(rD.nQuality === expectedKept,
+      s"decile gate kept ${rD.nQuality}, quantile law says $expectedKept")
+    // funnel still monotone and productive under the policy
+    val funnel = Seq(rD.nInput, rD.nQuality, rD.nLmPass, rD.nExactDedup,
+      rD.nNearDedup, rD.nMediaDedup, rD.nDecontaminated, rD.nSemClean,
+      rD.nRewritten, rD.nSampled)
+    assert(funnel === funnel.sorted.reverse, s"funnel grew somewhere: $rD")
+    assert(rD.nShards > 0 && rD.nTokens > 0, rD.toString)
+    intercept[IllegalArgumentException] {
+      Curate.run(spark, sf, dirD, qualityPolicy = Curate.QualityPolicy.SourceDeciles(11))
+    }
+  }
+
   test("chunk parameters are validated up front") {
     val dir = java.nio.file.Files.createTempDirectory("graft_curate_bad").toString
     intercept[IllegalArgumentException] {

@@ -658,6 +658,44 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q144 data card equals a driver-side recompute of every panel") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "was")
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    def toks(t: String) = t.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+    // corpus-wide exact-dup losers (min-doc_id survivor per text)
+    val keepByText = docs.groupBy(_._3).map { case (t, g) => t -> g.map(_._1).min }
+    val expected = docs.groupBy(_._2).toSeq.map { case (src, g) =>
+      val nDocs = g.size.toLong
+      val nTok = g.map(d => toks(d._3).length.toLong).sum
+      val nChars = g.map(_._4).sum
+      val vocab = g.flatMap(d => toks(d._3)).distinct.size.toLong
+      val dup = g.count(d => keepByText(d._3) != d._1).toLong
+      val short = g.count(d => toks(d._3).length < 16).toLong
+      val scored = g.filter(d => toks(d._3).nonEmpty)
+      val sumFp = scored.map { d =>
+        val ts = toks(d._3)
+        val nStop = ts.count(stop.contains).toLong
+        val nPunct = d._3.count(".,;:!?".contains(_)).toLong
+        val nUpper = d._3.count(c => c >= 'A' && c <= 'Z').toLong
+        val nT = ts.length.toLong
+        ((BigInt(12) * nStop * d._4 - BigInt(30) * nPunct * nT -
+          BigInt(20) * nUpper * nT + BigInt(50) * nT * d._4) * 1048576 /
+          (BigInt(10) * nT * d._4)).toLong
+      }.sum
+      (src, nDocs, nTok, nChars, vocab, dup, short, scored.size.toLong,
+        sumFp.toDouble / math.max(scored.size.toLong, 1L).toDouble)
+    }.sortBy(_._1)
+    val got = CurationOps.q144SourceDatacard.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8))).toSeq
+    assert(got === expected)
+    assert(got.map(_._2).sum === docs.length.toLong, "cards partition the corpus")
+  }
+
   test("q126 plan: probe set broadcasts, corpus side streams map-side") {
     val df = CurationOps.q126SemanticDecontam.fn(spark, "/root/testdata/sf0.001")
     df.collect()
