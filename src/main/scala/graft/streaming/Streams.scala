@@ -589,4 +589,113 @@ object Streams {
         writeLedgerBatch(batch, id, path)
       }
       .start()
+
+  // -------------------------------------------------------------------
+  // The LIVE data card — q144's per-source datasheet maintained by the
+  // ingest stream
+  // -------------------------------------------------------------------
+
+  /** One per-document observation for the live data card: the per-doc
+    * measures q144 computes batch-side (token/char counts, md5 text
+    * hash, the exact fixed-point quality score, scorability). */
+  final case class DocCardEvent(source: String, docId: Long, nTok: Long,
+      nChars: Long, h: String, sFp: Long, scorable: Boolean)
+
+  /** The source's current volume panel — q144's order-insensitive
+    * columns as running sums; each emission supersedes the source's
+    * previous row in an upserting sink (the lmCountTracker
+    * convention). mean quality stays the consumer's one IEEE division
+    * (sumSFp / max(nScored, 1)) so no float ever enters state. */
+  final case class CardRow(source: String, nDocs: Long, nTokens: Long,
+      nChars: Long, nShort: Long, nScored: Long, sumSFp: Long)
+
+  /** A +1 attribution to `source`'s duplicate-loser (or vocabulary)
+    * tally; deltas are NEVER retracted — summing them per source
+    * after any complete replay gives the batch figure exactly. */
+  final case class CardDelta(source: String, delta: Long)
+
+  /** Streaming twin of q144's VOLUME panels (doc/token/char counts,
+    * the short-doc tail, quality sums): every column is a
+    * commutative-monoid sum, so the per-source state converges to the
+    * batch card under ANY arrival order or micro-batch split — the
+    * strongest form of the order-insensitivity argument the other
+    * trackers need machinery for. */
+  def cardTracker(events: Dataset[DocCardEvent]): Dataset[CardRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[CardRow, CardRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, evs: Iterator[DocCardEvent],
+            state: GroupState[CardRow]) =>
+          var s = state.getOption.getOrElse(
+            CardRow(src, 0L, 0L, 0L, 0L, 0L, 0L))
+          evs.foreach { e =>
+            s = CardRow(src, s.nDocs + 1, s.nTokens + e.nTok,
+              s.nChars + e.nChars,
+              s.nShort + (if (e.nTok < 16) 1L else 0L),
+              s.nScored + (if (e.scorable) 1L else 0L),
+              s.sumSFp + (if (e.scorable) e.sFp else 0L))
+          }
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
+
+  /** Streaming twin of q144's duplicate-burden panel under the BATCH
+    * rule (min doc_id survives its md5 group — NOT first-arrival
+    * survives): per text hash the state holds the current (minId,
+    * minSource); a doc arriving below the minimum DISPLACES it (the
+    * old minimum becomes a loser of its own source), above it the
+    * arrival is the loser. Every non-minimum doc contributes exactly
+    * one +1 to its own source over any complete replay, so the
+    * per-source delta sum equals the batch figure regardless of
+    * arrival order — no retractions, the blockDeduper ord argument
+    * without the correction rows. State is one (long, string) per
+    * distinct text — linear, the q68 seen-set trade, and the same
+    * information the batch md5 group agg shuffles. */
+  def dupLoserDeltas(events: Dataset[DocCardEvent]): Dataset[CardDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[(Long, String), CardDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, evs: Iterator[DocCardEvent],
+            state: GroupState[(Long, String)]) =>
+          val out = Seq.newBuilder[CardDelta]
+          var cur = state.getOption
+          evs.foreach { e =>
+            cur match {
+              case None => cur = Some((e.docId, e.source))
+              case Some((minId, minSrc)) =>
+                if (e.docId < minId) {
+                  out += CardDelta(minSrc, 1L) // displaced min is the loser
+                  cur = Some((e.docId, e.source))
+                } else out += CardDelta(e.source, 1L)
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of q144's vocabulary panel: first sighting of a
+    * (source, word) pair emits one +1 delta, repeats emit nothing —
+    * the firstSeen/novelty shape keyed by the pair, so the per-source
+    * delta sum is the exact distinct-word count after any complete
+    * replay. State is one boolean per (source, word) — Heaps'-law
+    * bounded (the q138 vocabulary argument), the ONLY card panel
+    * whose state grows with vocabulary rather than corpus. */
+  def vocabDeltas(events: Dataset[(String, String)]): Dataset[CardDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Boolean, CardDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), _: Iterator[(String, String)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(CardDelta(key._1, 1L)) }
+      }
+  }
 }

@@ -754,4 +754,84 @@ class StreamingSpec extends SparkSpec {
     assert(run(events.reverse, "kmv_rev") === expected,
       "k-minima merge must be order-insensitive")
   }
+
+  test("live data card: three trackers converge to batch q144 under forward AND reversed replays") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val sf = "/root/testdata/sf0.001"
+    // per-doc observations via the engine's own measures (the caller's
+    // pre-aggregation contract, as with lmCountTracker)
+    val sfp = graft.queries.CurationOps.qualityFixedPoint(s, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evs = graft.Tables.documents(s, sf)
+      .selectExpr("source", "doc_id",
+        "cast(size(filter(split(lower(text), ' '), t -> t <> '')) as long) nt",
+        "n_chars", "md5(text) h")
+      .collect().map { r =>
+        val id = r.getLong(1); val nt = r.getLong(2)
+        Streams.DocCardEvent(r.getString(0), id, nt, r.getLong(3),
+          r.getString(4), sfp.getOrElse(id, 0L), sfp.contains(id))
+      }.toSeq
+    val words = graft.Tables.documents(s, sf)
+      .selectExpr("source", "explode(filter(split(lower(text), ' '), t -> t <> '')) w")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    def mb(e: Seq[Streams.DocCardEvent], k: Int) = e.filter(_.docId % 3 == k)
+    def runCard(batches: Seq[Seq[Streams.DocCardEvent]],
+        wordBatches: Seq[Seq[(String, String)]], tag: String) = {
+      val inC = MemoryStream[Streams.DocCardEvent]
+      val inD = MemoryStream[Streams.DocCardEvent]
+      val inW = MemoryStream[(String, String)]
+      val qc = Streams.cardTracker(inC.toDS())
+        .writeStream.format("memory").queryName(s"card_$tag")
+        .outputMode("update").start()
+      val qd = Streams.dupLoserDeltas(inD.toDS())
+        .writeStream.format("memory").queryName(s"dup_$tag")
+        .outputMode("append").start()
+      val qw = Streams.vocabDeltas(inW.toDS())
+        .writeStream.format("memory").queryName(s"vocab_$tag")
+        .outputMode("append").start()
+      try {
+        batches.zip(wordBatches).foreach { case (b, wb) =>
+          inC.addData(b); inD.addData(b); inW.addData(wb)
+          qc.processAllAvailable(); qd.processAllAvailable(); qw.processAllAvailable()
+        }
+        // upsert = latest per source; every column is monotone so max IS last
+        val card = s.table(s"card_$tag").groupBy("source")
+          .agg(max("nDocs").as("nDocs"), max("nTokens").as("nTokens"),
+            max("nChars").as("nChars"), max("nShort").as("nShort"),
+            max("nScored").as("nScored"), max("sumSFp").as("sumSFp"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+        val dup = s.table(s"dup_$tag").groupBy("source")
+          .agg(sum("delta").as("d")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val voc = s.table(s"vocab_$tag").groupBy("source")
+          .agg(sum("delta").as("d")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (card, dup, voc)
+      } finally { qc.stop(); qd.stop(); qw.stop() }
+    }
+    def wmb(k: Int) = words.filter(w => math.abs(w._2.hashCode) % 3 == k)
+    val fwd = runCard(Seq(mb(evs, 0), mb(evs, 1), mb(evs, 2)),
+      Seq(wmb(0), wmb(1), wmb(2)), "fwd")
+    val rev = runCard(Seq(mb(evs, 2).reverse, mb(evs, 1).reverse, mb(evs, 0).reverse),
+      Seq(wmb(2), wmb(1), wmb(0)), "rev")
+    // batch truth: q144's card
+    val batch = graft.queries.CurationOps.q144SourceDatacard.fn(s, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8))).toMap
+    for ((got, tag) <- Seq((fwd, "forward"), (rev, "reversed"))) {
+      val (card, dup, voc) = got
+      assert(card.keySet === batch.keySet, s"$tag: source sets differ")
+      batch.foreach { case (src, (nDocs, nTok, nCh, vocab, nDup, nShort, nScored, mean)) =>
+        val (cD, cT, cC, cSh, cSc, cSum) = card(src)
+        assert((cD, cT, cC, cSh, cSc) === ((nDocs, nTok, nCh, nShort, nScored)), s"$tag/$src volume")
+        assert(voc.getOrElse(src, 0L) === vocab, s"$tag/$src vocab")
+        assert(dup.getOrElse(src, 0L) === nDup, s"$tag/$src dup burden")
+        assert(cSum.toDouble / math.max(cSc, 1L).toDouble === mean, s"$tag/$src mean")
+      }
+    }
+  }
 }
