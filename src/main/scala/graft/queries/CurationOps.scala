@@ -2155,9 +2155,12 @@ object CurationOps {
         .groupBy(col("source")).agg(
           count(lit(1)).as("n_scored"),
           sum(col("s_fp")).cast("long").as("sum_s_fp"))
-      vol.join(vocab, "source")
-        .join(losers, Seq("source"), "left")
-        .join(qual, Seq("source"), "left")
+      // every panel is a post-aggregation frame with ≤ |sources| rows
+      // — a structural bound, so the broadcast is stated in the plan
+      // rather than left to AQE's runtime stats (the q136 rationale)
+      vol.join(broadcast(vocab), "source")
+        .join(broadcast(losers), Seq("source"), "left")
+        .join(broadcast(qual), Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
           col("vocab"),
           coalesce(col("n_dup_losers"), lit(0L)).as("n_dup_losers"),

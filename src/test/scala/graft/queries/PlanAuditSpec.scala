@@ -220,6 +220,26 @@ class PlanAuditSpec extends SparkSpec {
       s"rank cut must plan as WindowGroupLimit:\n$plan")
   }
 
+  test("q141 reads only the checkpointed ranked frame: zero parquet scans in the visible plan") {
+    // the round-19 fix: the per-source count branch used to re-derive
+    // the feature scan; both consumers must now read the checkpointed
+    // corpus-narrow frame (the feature scan runs once, at checkpoint
+    // materialization, outside this plan)
+    val plan = executedPlan(CurationOps.q141QualityCalibrate)
+    assert("Scan parquet".r.findAllIn(plan).isEmpty,
+      s"a parquet scan leaked above q141's checkpoint:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the count join must broadcast the sources-sized side:\n$plan")
+  }
+
+  test("q144 card joins stay sources-sized: no SortMergeJoin anywhere") {
+    val plan = executedPlan(CurationOps.q144SourceDatacard)
+    assert(!plan.contains("SortMergeJoin"),
+      s"every per-source panel join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("a hive-partitioned layout gets PARTITION pruning: filtered dirs never reach the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
