@@ -114,7 +114,10 @@ object Curate {
       * w = isqrt(n) — a pure integer rational evaluated in
       * decimal(38,0) (numerator ≤ 2^94 at a 2^52-token source, far
       * past 100 TB; int64 would overflow at ~2^31 min-source
-      * tokens). Kept-token expectation is then ∝ √n_s exactly — the
+      * tokens), clamped to 65536 (the rational exceeds it only when
+      * the min source has single-digit tokens — isqrt floor error —
+      * and any cut ≥ 65536 means keep-everything). Kept-token
+      * expectation is then ∝ √n_s exactly for unclamped sources — the
       * q136 share realized by subsampling alone. */
     case object Temperature extends MixturePolicy
   }
@@ -142,7 +145,12 @@ object Curate {
       case MixturePolicy.Temperature =>
         // cut_s = (65536·w_s·n_min) div (n_s·w_min), w = isqrt(n):
         // exact integer rational in decimal(38,0); isqrt is monotone,
-        // so isqrt(min n) IS the minimizing source's weight
+        // so isqrt(min n) IS the minimizing source's weight. The
+        // rational can exceed 65536 when the min source's token count
+        // is single-digit (isqrt floor error, e.g. n={3,4} gives
+        // cut_4 = 98304) — clamp to keep the documented cut ∈
+        // [0, 65536] invariant; `bucket < cut` semantics are unchanged
+        // (both mean keep-everything).
         per.crossJoin(broadcast(mn))
           .withColumn("__num",
             lit(65536L).cast("decimal(38,0)")
@@ -151,7 +159,8 @@ object Curate {
           .withColumn("__den",
             col("n_tokens").cast("decimal(38,0)")
               * graft.queries.CurationOps.isqrt(col("min_tok")).cast("decimal(38,0)"))
-          .select(col("source"), expr("__num div __den").as("cut"))
+          .select(col("source"),
+            least(expr("__num div __den"), lit(65536L)).as("cut"))
     }
   }
 
@@ -199,7 +208,12 @@ object Curate {
     val scored = graft.queries.CurationOps.qualityScored(spark, sfDir)
       .filter(col("doc_id") >= evalIdBelow)
       .select(col("doc_id"), col("score"))
-    val quality = qualityPolicy match {
+    // persisted whichever branch built it: `quality` is evaluated at
+    // least 4 times (funnel count, lmScored's pair/unigram scans, the
+    // lmPass join) and `docs` is released right after the count below —
+    // without this every re-evaluation recomputes the parquet scan +
+    // score join (the round-19 policy refactor dropped it; ADVICE r19)
+    val quality = (qualityPolicy match {
       case QualityPolicy.AbsoluteFloor =>
         docs.join(scored.filter(col("score") >= 0.05), "doc_id")
       case QualityPolicy.SourceDeciles(k) =>
@@ -211,7 +225,7 @@ object Curate {
           .sourceDeciles(spark, sfDir, evalIdBelow)
           .filter(col("decile") < k).select(col("doc_id"))
         docs.join(scored, "doc_id").join(dec, Seq("doc_id"), "left_semi")
-    }
+    }).persist()
     val nQuality = quality.count(); lap("quality")
     docs.unpersist()
 

@@ -92,6 +92,18 @@ object ConnectedComponents {
       // shuffleId in the DAG scheduler — concurrent branches can at
       // worst re-run the reduce-side projection over already-written
       // shuffle files, never the corpus-side work.
+      //
+      // INVARIANT (load-bearing, not style): `large` must stay
+      // lazy-paired with the ONE checksum action at the bottom of this
+      // round. The shuffle-dedup argument above only bounds the race
+      // WITHIN a single job — adding any action between here and
+      // `checksum(small)` (a debug count, a convergence metric, an
+      // eager checkpoint of a derived frame) splits the round into two
+      // jobs that each reach this unmaterialized checkpoint and
+      // silently reintroduces the q98-class concurrent-first-
+      // computation race the old eager checkpoint existed to prevent.
+      // If you need a mid-round action, flip this back to
+      // localCheckpoint() (eager) first.
       val large = nbrs.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
@@ -117,6 +129,8 @@ object ConnectedComponents {
         .filter(col("src") =!= col("dst"))
         .distinct()
         .localCheckpoint(eager = false)
+      // the round's ONE action — see the invariant note on `large`
+      // above: do not add actions between `large` and this call
       val cs = checksum(small)
       converged = cs == prev
       prev = cs

@@ -2027,13 +2027,16 @@ object CurationOps {
       val rl = graft.ops.BlockRanks.withBlockRank(
           lm, "__blk", Seq(col("lm_score").desc, col("doc_id")), "r_lm")
         .select(col("doc_id"), col("r_lm"))
+      // one null guard: the output rank is coalesce(r_lm, 0), and a
+      // BlockRanks rank is >= 1 when present, so `r_lm = 0` IS the
+      // unscorable marker — fused reads the coalesced column directly
       rq.join(rl, Seq("doc_id"), "left")
         .select(col("doc_id"), col("s_fp"), col("r_quality"),
-          coalesce(col("r_lm"), lit(0L)).as("r_lm"),
-          (lit(1.0) / (lit(60.0) + col("r_quality").cast("double"))
-            + when(col("r_lm").isNull, lit(0.0))
+          coalesce(col("r_lm"), lit(0L)).as("r_lm"))
+        .withColumn("fused",
+          lit(1.0) / (lit(60.0) + col("r_quality").cast("double"))
+            + when(col("r_lm") === 0L, lit(0.0))
               .otherwise(lit(1.0) / (lit(60.0) + col("r_lm").cast("double"))))
-            .as("fused"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -2121,12 +2124,15 @@ object CurationOps {
     * another still owns its duplicate burden.
     *
     * Scale shape: three linear corpus passes, each map-side
-    * combinable — (1) the tokenize scan feeding per-source volume
-    * aggs AND the (source, token)-keyed distinct-vocabulary agg
-    * (the q30 shuffle shape — never a per-source set in one task);
-    * (2) the md5-keyed dup-group agg (8-byte keys); (3) the
-    * fixed-point feature scan. The three per-source panels join
-    * sources-sized at the end — broadcast by construction.
+    * combinable — (1) the checkpointed base scan (counts + md5)
+    * feeding the per-source volume aggs and the dup-loser join; (2)
+    * the vocabulary pass, its OWN tokenize scan feeding the (source,
+    * token)-keyed distinct agg (the q30 shuffle shape — never a
+    * per-source set in one task; `base` carries only counts, not
+    * token arrays, so vocab re-tokenizes rather than widening the
+    * checkpoint corpus-wide); (3) the fixed-point feature scan. The
+    * three per-source panels join sources-sized at the end —
+    * broadcast by construction.
     */
   val q144SourceDatacard = Q(
     "q144_source_datacard",
@@ -2234,6 +2240,342 @@ object CurationOps {
       ORDER BY vol.source""".stripMargin),
     "per-source data card (the Datasheets-for-Datasets panel a release ships per domain): doc/token/char volume, vocabulary size via the (source, token)-keyed agg (never a per-source set in one task), corpus-wide exact-dup LOSER burden attributed to the loser's own source (q29's min-survivor rule), short-doc tail, and mean fixed-point quality - every cell an exact int64 or one IEEE division of exact ints; three linear map-side-combinable corpus passes joined sources-sized")
 
+  // ---------------------------------------------------------------------
+  // q145/q146 — TRAINED quality classifier: fixed-point logistic GD,
+  // train (q145) then corpus-wide apply (q146)
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point scale for the trained classifier: Q = 2^16. */
+  private[graft] val gdQ = 65536L
+  /** Floor-division offset = 4·Q — added as K·den before `div` so the
+    * numerator is provably non-negative and trunc ≡ floor cross-engine
+    * (the q141 "+offset" discipline generalized to signed gradients). */
+  private[graft] val gdK = 4L * gdQ
+
+  /** The training design matrix (doc_id, y, x0..x4): q83's exact
+    * integer features rendered as fixed-point ratios in [0, Q] —
+    * x0 bias, x1 stopword ratio, x2 punctuation ratio, x3 uppercase
+    * ratio, x4 length saturation min(n_toks,256)/256. Every feature is
+    * a non-negative integer division (numerator ≥ 0, so trunc ≡ floor
+    * on both engines with no offset needed). The label is the DECLARED
+    * seed rule y = [lang = 'en'] — the reference-slice-as-positive
+    * shape of fastText/DCLM-style quality classifiers (positives = a
+    * trusted corpus, negatives = the rest); this rule is the seam
+    * where human or LLM labels plug in, exactly as q125's train frame
+    * is the seam for a curated reference corpus.
+    */
+  private[graft] def gdTrainFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    qualityFeatures(s, dir)
+      .join(T.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        lit(gdQ).as("x0"),
+        expr(s"cast(n_stop as bigint) * $gdQ div n_toks").as("x1"),
+        expr(s"cast(n_punct as bigint) * $gdQ div n_chars").as("x2"),
+        expr(s"cast(n_upper as bigint) * $gdQ div n_chars").as("x3"),
+        expr(s"cast(least(n_toks, 256) as bigint) * $gdQ div 256").as("x4"))
+
+  /** z = w·x over the five fixed-point features (long — bounded by
+    * 5·|w|·Q, far under int64 for the 3-round weight growth cap). */
+  private def gdDot(f: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    f.withColumn("z",
+      col("w0") * col("x0") + col("w1") * col("x1") + col("w2") * col("x2")
+        + col("w3") * col("x3") + col("w4") * col("x4"))
+
+  /** The hard-sigmoid link in fixed point: p = clamp((z+2Q) div 4, 0, Q)
+    * — the piecewise-linear surrogate for the logistic σ, chosen so the
+    * whole GD step is EXACT integer arithmetic (σ is transcendental and
+    * never bit-reproducible cross-engine). Engine div semantics cannot
+    * surface: when z+2Q ≥ 0 trunc ≡ floor, and when it is negative both
+    * round to a non-positive value the clamp sends to 0. */
+  private def gdLink(z: String): String =
+    s"least(greatest(($z + ${2 * gdQ}) div 4, 0L), $gdQ)"
+
+  /** ONE distributed gradient-descent step: w ← w − (4·g) ⌊div⌋ (n·Q)
+    * with g_j = Σ_i (p_i − Q·y_i)·x_ij (learning rate 4/Q per unit
+    * gradient — the largest power-of-two step that keeps the 3-round
+    * weight growth under 4Q/round). The step is one map-side-combinable
+    * aggregation (five sums + a count) down to a single row — the
+    * classic data-parallel GD shape; the updated weight row broadcasts
+    * back for the next round. Gradient sums accumulate in decimal(38,0)
+    * (per-row |e·x| ≤ Q² = 2^32, so an int64 accumulator overflows at
+    * ~2^31 docs — the q141 headroom rule), and the floor division adds
+    * K·den = 4Q·nQ ≥ |4g| so the numerator stays non-negative and
+    * trunc ≡ floor on both engines. Integer sums are partition-order
+    * independent, so the learned weights are BIT-REPRODUCIBLE under any
+    * partitioning, retry schedule, or cluster size — the property float
+    * GD famously lacks.
+    */
+  private[graft] def gdStep(fx: org.apache.spark.sql.DataFrame,
+      w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val g = gdDot(fx.crossJoin(broadcast(w)))
+      .withColumn("e", expr(gdLink("z")) - lit(gdQ) * col("y"))
+      .agg(
+        sum((col("e") * col("x0")).cast("decimal(38,0)")).as("g0"),
+        sum((col("e") * col("x1")).cast("decimal(38,0)")).as("g1"),
+        sum((col("e") * col("x2")).cast("decimal(38,0)")).as("g2"),
+        sum((col("e") * col("x3")).cast("decimal(38,0)")).as("g3"),
+        sum((col("e") * col("x4")).cast("decimal(38,0)")).as("g4"),
+        count(lit(1)).cast("decimal(38,0)").as("n"))
+    def upd(j: Int) = expr(
+      s"w$j - ((4 * g$j + $gdK * (n * $gdQ)) div (n * $gdQ) - $gdK)").as(s"w$j")
+    w.crossJoin(broadcast(g))
+      .select(upd(0), upd(1), upd(2), upd(3), upd(4))
+  }
+
+  /** The three unrolled GD rounds from w = 0. The design matrix is
+    * corpus-narrow (7 longs/doc) and localCheckpoint'ed ONCE — each
+    * round then reads blocks, not the parquet+regex feature scan (at
+    * 100 TB this is the cached-design-matrix trade every iterative
+    * trainer makes; recomputing the scan per round is the alternative
+    * when executor storage is the binding constraint). Each weight row
+    * is eagerly checkpointed so a round runs exactly once even though
+    * it feeds both the next round and the query output — the q117/q124
+    * iterative-trainer discipline. Returns (fx, w1, w2, w3). */
+  private[graft] def gdRounds(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val fx = gdTrainFrame(s, dir).localCheckpoint()
+    val w0 = s.range(1).select(
+      lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"),
+      lit(0L).as("w3"), lit(0L).as("w4"))
+    val w1 = gdStep(fx, w0).localCheckpoint()
+    val w2 = gdStep(fx, w1).localCheckpoint()
+    val w3 = gdStep(fx, w2).localCheckpoint()
+    (fx, w1, w2, w3)
+  }
+
+  private def gdTag(w: org.apache.spark.sql.DataFrame, r: Int) =
+    w.select(lit(r.toLong).as("round"),
+      col("w0"), col("w1"), col("w2"), col("w3"), col("w4"))
+
+  /** Trained model-based quality filtering, the TRAIN half — the
+    * capability the reference planned but never built ("Sentiment
+    * Analysis: a planned feature to … filter inappropriate content",
+    * /root/reference/README.md:24, "Filtering non-neutral …
+    * content" :28), rendered as the fastText-style trained quality
+    * classifier of the DCLM / FineWeb-Edu lineage: logistic regression
+    * under the hard-sigmoid link, trained by three unrolled
+    * distributed GD rounds over q83's exact integer feature frame,
+    * every step fixed-point (scale Q = 2^16) so the weights are
+    * bit-reproducible AND replayable as a DuckDB CTE chain (the
+    * q117 k-means / q124 BPE unrolled-trainer precedent).
+    *
+    * Output: one row per round (round, w0..w4) — the full weight
+    * trajectory, so the oracle pins every intermediate state, not
+    * just the fixpoint.
+    *
+    * Scale shape: one feature scan into a checkpointed corpus-narrow
+    * design matrix; per round ONE linear map-side-combinable pass
+    * (five products + sums per row) reduced to a single broadcast-back
+    * weight row. No parameter server, no driver-side loop over rows —
+    * the round count is the only sequential axis. */
+  val q145QualityTrain = Q(
+    "q145_quality_train",
+    (s, dir) => {
+      val (_, w1, w2, w3) = gdRounds(s, dir)
+      gdTag(w1, 1).unionByName(gdTag(w2, 2)).unionByName(gdTag(w3, 3))
+        .orderBy(col("round"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+          CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS y,
+          CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS BIGINT) AS n_toks,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> list_contains(['the','a','of','and','to','in','is','was'], t)))
+               AS BIGINT) AS n_stop,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+               AS BIGINT) AS n_punct,
+          CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+               AS BIGINT) AS n_upper
+        FROM documents),
+      x AS (
+        SELECT doc_id, y,
+          CAST(65536 AS BIGINT) AS x0,
+          (n_stop * 65536) // n_toks AS x1,
+          (n_punct * 65536) // n_chars AS x2,
+          (n_upper * 65536) // n_chars AS x3,
+          (LEAST(n_toks, 256) * 65536) // 256 AS x4
+        FROM f WHERE n_toks >= 1),
+      nn AS (SELECT CAST(COUNT(*) AS HUGEINT) * 65536 AS den FROM x),
+      ga AS (
+        SELECT SUM((32768 - 65536*y) * x0) AS g0,
+               SUM((32768 - 65536*y) * x1) AS g1,
+               SUM((32768 - 65536*y) * x2) AS g2,
+               SUM((32768 - 65536*y) * x3) AS g3,
+               SUM((32768 - 65536*y) * x4) AS g4
+        FROM x),
+      sa AS (
+        SELECT 0 - ((4*g0 + 262144*den) // den - 262144) AS w0,
+               0 - ((4*g1 + 262144*den) // den - 262144) AS w1,
+               0 - ((4*g2 + 262144*den) // den - 262144) AS w2,
+               0 - ((4*g3 + 262144*den) // den - 262144) AS w3,
+               0 - ((4*g4 + 262144*den) // den - 262144) AS w4
+        FROM ga, nn),
+      zb AS (
+        SELECT x.y, x.x0, x.x1, x.x2, x.x3, x.x4,
+          sa.w0*x.x0 + sa.w1*x.x1 + sa.w2*x.x2 + sa.w3*x.x3 + sa.w4*x.x4 AS z
+        FROM x, sa),
+      gb AS (
+        SELECT
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x0) AS g0,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x1) AS g1,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x2) AS g2,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x3) AS g3,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x4) AS g4
+        FROM zb),
+      sb AS (
+        SELECT sa.w0 - ((4*gb.g0 + 262144*den) // den - 262144) AS w0,
+               sa.w1 - ((4*gb.g1 + 262144*den) // den - 262144) AS w1,
+               sa.w2 - ((4*gb.g2 + 262144*den) // den - 262144) AS w2,
+               sa.w3 - ((4*gb.g3 + 262144*den) // den - 262144) AS w3,
+               sa.w4 - ((4*gb.g4 + 262144*den) // den - 262144) AS w4
+        FROM sa, gb, nn),
+      zc AS (
+        SELECT x.y, x.x0, x.x1, x.x2, x.x3, x.x4,
+          sb.w0*x.x0 + sb.w1*x.x1 + sb.w2*x.x2 + sb.w3*x.x3 + sb.w4*x.x4 AS z
+        FROM x, sb),
+      gc AS (
+        SELECT
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x0) AS g0,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x1) AS g1,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x2) AS g2,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x3) AS g3,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x4) AS g4
+        FROM zc),
+      sc AS (
+        SELECT sb.w0 - ((4*gc.g0 + 262144*den) // den - 262144) AS w0,
+               sb.w1 - ((4*gc.g1 + 262144*den) // den - 262144) AS w1,
+               sb.w2 - ((4*gc.g2 + 262144*den) // den - 262144) AS w2,
+               sb.w3 - ((4*gc.g3 + 262144*den) // den - 262144) AS w3,
+               sb.w4 - ((4*gc.g4 + 262144*den) // den - 262144) AS w4
+        FROM sb, gc, nn)
+      SELECT CAST(1 AS BIGINT) AS round, CAST(w0 AS BIGINT) AS w0,
+        CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,
+        CAST(w3 AS BIGINT) AS w3, CAST(w4 AS BIGINT) AS w4 FROM sa
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST(w0 AS BIGINT), CAST(w1 AS BIGINT),
+        CAST(w2 AS BIGINT), CAST(w3 AS BIGINT), CAST(w4 AS BIGINT) FROM sb
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), CAST(w0 AS BIGINT), CAST(w1 AS BIGINT),
+        CAST(w2 AS BIGINT), CAST(w3 AS BIGINT), CAST(w4 AS BIGINT) FROM sc
+      ORDER BY round""".stripMargin),
+    "TRAINED quality classifier, train half (the fastText/DCLM/FineWeb-Edu shape; the reference's planned-but-unbuilt neutrality filter): logistic regression under the piecewise-linear hard-sigmoid link, three unrolled distributed GD rounds over q83's exact integer features as fixed-point ratios (Q=2^16), labels from the declared seed rule y=[lang='en'] (the seam where human labels plug in) - every step exact integer arithmetic (decimal(38,0) gradient sums, offset floor-division so trunc==floor cross-engine), weights bit-reproducible under ANY partitioning; per round ONE map-side-combinable agg to a single broadcast-back weight row")
+
+  /** The APPLY half — q145's learned round-3 weights scored over the
+    * whole corpus: z = w·x, p = hard-sigmoid(z), keep = [p ≥ Q/2]. The
+    * registry's each-query-self-contained contract means the three
+    * training passes re-run here (the q140/q139 composition rule);
+    * the apply itself is the q138 shape — one broadcast weight row
+    * joined into a per-row codegen projection, zero shuffles beyond
+    * the output sort. This closes the train → apply lifecycle the
+    * way q124 (BPE train) → q138 (BPE apply) does for tokenizers. */
+  val q146QualityApply = Q(
+    "q146_quality_apply",
+    (s, dir) => {
+      val (fx, _, _, w3) = gdRounds(s, dir)
+      gdDot(fx.crossJoin(broadcast(w3)))
+        .select(col("doc_id"), col("y"), col("z"),
+          expr(gdLink("z")).as("p_fp"))
+        .withColumn("keep",
+          when(col("p_fp") >= lit(gdQ / 2), 1).otherwise(0))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+          CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS y,
+          CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS BIGINT) AS n_toks,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> list_contains(['the','a','of','and','to','in','is','was'], t)))
+               AS BIGINT) AS n_stop,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+               AS BIGINT) AS n_punct,
+          CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+               AS BIGINT) AS n_upper
+        FROM documents),
+      x AS (
+        SELECT doc_id, y,
+          CAST(65536 AS BIGINT) AS x0,
+          (n_stop * 65536) // n_toks AS x1,
+          (n_punct * 65536) // n_chars AS x2,
+          (n_upper * 65536) // n_chars AS x3,
+          (LEAST(n_toks, 256) * 65536) // 256 AS x4
+        FROM f WHERE n_toks >= 1),
+      nn AS (SELECT CAST(COUNT(*) AS HUGEINT) * 65536 AS den FROM x),
+      ga AS (
+        SELECT SUM((32768 - 65536*y) * x0) AS g0,
+               SUM((32768 - 65536*y) * x1) AS g1,
+               SUM((32768 - 65536*y) * x2) AS g2,
+               SUM((32768 - 65536*y) * x3) AS g3,
+               SUM((32768 - 65536*y) * x4) AS g4
+        FROM x),
+      sa AS (
+        SELECT 0 - ((4*g0 + 262144*den) // den - 262144) AS w0,
+               0 - ((4*g1 + 262144*den) // den - 262144) AS w1,
+               0 - ((4*g2 + 262144*den) // den - 262144) AS w2,
+               0 - ((4*g3 + 262144*den) // den - 262144) AS w3,
+               0 - ((4*g4 + 262144*den) // den - 262144) AS w4
+        FROM ga, nn),
+      zb AS (
+        SELECT x.y, x.x0, x.x1, x.x2, x.x3, x.x4,
+          sa.w0*x.x0 + sa.w1*x.x1 + sa.w2*x.x2 + sa.w3*x.x3 + sa.w4*x.x4 AS z
+        FROM x, sa),
+      gb AS (
+        SELECT
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x0) AS g0,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x1) AS g1,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x2) AS g2,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x3) AS g3,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x4) AS g4
+        FROM zb),
+      sb AS (
+        SELECT sa.w0 - ((4*gb.g0 + 262144*den) // den - 262144) AS w0,
+               sa.w1 - ((4*gb.g1 + 262144*den) // den - 262144) AS w1,
+               sa.w2 - ((4*gb.g2 + 262144*den) // den - 262144) AS w2,
+               sa.w3 - ((4*gb.g3 + 262144*den) // den - 262144) AS w3,
+               sa.w4 - ((4*gb.g4 + 262144*den) // den - 262144) AS w4
+        FROM sa, gb, nn),
+      zc AS (
+        SELECT x.y, x.x0, x.x1, x.x2, x.x3, x.x4,
+          sb.w0*x.x0 + sb.w1*x.x1 + sb.w2*x.x2 + sb.w3*x.x3 + sb.w4*x.x4 AS z
+        FROM x, sb),
+      gc AS (
+        SELECT
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x0) AS g0,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x1) AS g1,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x2) AS g2,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x3) AS g3,
+          SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x4) AS g4
+        FROM zc),
+      sc AS (
+        SELECT sb.w0 - ((4*gc.g0 + 262144*den) // den - 262144) AS w0,
+               sb.w1 - ((4*gc.g1 + 262144*den) // den - 262144) AS w1,
+               sb.w2 - ((4*gc.g2 + 262144*den) // den - 262144) AS w2,
+               sb.w3 - ((4*gc.g3 + 262144*den) // den - 262144) AS w3,
+               sb.w4 - ((4*gc.g4 + 262144*den) // den - 262144) AS w4
+        FROM sb, gc, nn),
+      app AS (
+        SELECT x.doc_id, x.y,
+          sc.w0*x.x0 + sc.w1*x.x1 + sc.w2*x.x2 + sc.w3*x.x3 + sc.w4*x.x4 AS z
+        FROM x, sc)
+      SELECT doc_id, y, CAST(z AS BIGINT) AS z,
+        CAST(LEAST(GREATEST((z + 131072) // 4, 0), 65536) AS BIGINT) AS p_fp,
+        CASE WHEN LEAST(GREATEST((z + 131072) // 4, 0), 65536) >= 32768
+             THEN 1 ELSE 0 END AS keep
+      FROM app ORDER BY doc_id""".stripMargin),
+    "TRAINED quality classifier, apply half (the q138 apply shape closing the q124->q138-style train->apply lifecycle for data selection): q145's learned round-3 fixed-point weights broadcast into one per-row codegen projection over the whole corpus - z = w.x, p = hard-sigmoid(z), keep = [p >= Q/2]; zero shuffles beyond the output sort, bit-identical cross-engine because every op is exact integer arithmetic")
+
   val all: Seq[Q] = Seq(
     q81NgramDupSpans, q82KnnLabelVote, q83QualityScore, q84MixtureRebalance,
     q85VocabOov, q86LengthOutliers, q87EmbedCellDedup, q88LengthHistogram,
@@ -2242,5 +2584,6 @@ object CurationOps {
     q114QualityThresholdCurve, q118PpsSample, q125BigramLmScore,
     q126SemanticDecontam, q135DsirContrast, q136TemperatureMix,
     q139MutualKnnClusters, q140ClusterQuotaSample, q141QualityCalibrate,
-    q143QualityRankFusion, q144SourceDatacard)
+    q143QualityRankFusion, q144SourceDatacard, q145QualityTrain,
+    q146QualityApply)
 }

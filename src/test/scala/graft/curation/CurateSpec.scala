@@ -290,6 +290,14 @@ class CurateSpec extends SparkSpec {
       assert(t2(s) === 65536L * isq(n) * 7L / (n * isq(7L)), s)
       assert(t2(s) >= eq2(s), s"temperature cut below equalize for $s")
     }
+    // saturation edge (ADVICE r19): with a single-digit min source the
+    // raw rational exceeds 65536 (n={3,4}: 65536·2·3/(4·1) = 98304) —
+    // the clamp keeps the documented cut ∈ [0, 65536] invariant, and
+    // both values mean keep-everything under `bucket < cut`
+    val per3 = Seq(("a", 3L), ("b", 4L)).toDF("source", "n_tokens")
+    val t3 = Curate.mixtureCuts(per3, Curate.MixturePolicy.Temperature)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t3 === Map("a" -> 65536L, "b" -> 65536L))
   }
 
   test("temperature policy: stages 1-6 invariant, equalize kept set is a subset, shard laws hold") {
