@@ -63,7 +63,8 @@ object CurateAudit {
         s""""wall":${math.rint(wall * 100) / 100},"funnel":{"input":${r.nInput},""" +
         s""""quality":${r.nQuality},"lm":${r.nLmPass},"exact":${r.nExactDedup},""" +
         s""""near":${r.nNearDedup},"media":${r.nMediaDedup},"decontam":${r.nDecontaminated},""" +
-        s""""sem":${r.nSemClean},"rewritten":${r.nRewritten},"sampled":${r.nSampled},""" +
+        s""""sem":${r.nSemClean},"rewritten":${r.nRewritten},"thinned":${r.nThinned},""" +
+        s""""sampled":${r.nSampled},""" +
         s""""chunks":${r.nChunks},"shards":${r.nShards},"tokens":${r.nTokens}}}""")
     spark.stop()
   }

@@ -31,6 +31,10 @@ import org.apache.spark.sql.functions._
   *                            lexical 5-gram pass cannot see
   *   6. block rewrite       — q123's corpus-wide keep-first block dedup;
   *                            downstream stages see the REWRITTEN text
+  *  6b. diversity thinning  — a POLICY-parameterized cluster-quota
+  *                            sampler: identity (default) or q140's
+  *                            mutual-kNN √-quota rule (see
+  *                            [[SamplingPolicy]])
   *   7. mixture rebalance   — a POLICY-parameterized rate rule applied
   *                            via q93's hash filter: q84's equalizing
   *                            rates (default) or q136's temperature
@@ -101,6 +105,29 @@ object Curate {
     final case class SourceDeciles(keep: Int = 8) extends QualityPolicy
   }
 
+  /** Stage 6b's diversity-sampling rule — the third policy family
+    * (after [[QualityPolicy]] and [[MixturePolicy]]), wiring q140's
+    * oracle-proven cluster-quota sampler into the pipeline. */
+  sealed trait SamplingPolicy
+  object SamplingPolicy {
+    /** The default, unchanged behavior: no cluster thinning — stage
+      * 7's per-source hash-rate mixture is the pipeline's only
+      * subsample. The default path adds ZERO actions and ZERO scans
+      * (the stage is the identity). */
+    case object HashRate extends SamplingPolicy
+    /** q140's kernel (the SemDeDup/cluster-balancing shape): thin each
+      * mutual-kNN embedding community to quota = isqrt(n_members) —
+      * dense regions of embedding space are flattened, singletons
+      * always survive, members chosen by the reproducible md5-slice
+      * rank. The selection is computed CORPUS-WIDE through the
+      * [[graft.queries.CurationOps.clusterQuotaRanked]] seam (exactly
+      * the frame q140's oracle proves — the stage-4 convention: a
+      * verdict derived from the full corpus applies to whatever
+      * survivors remain) and docs without an embedding pass through,
+      * the 5b rule. Uses the testdata vec_id == doc_id seam, like 5b. */
+    case object ClusterQuota extends SamplingPolicy
+  }
+
   sealed trait MixturePolicy
   object MixturePolicy {
     /** q84's equalizing rates (the default, unchanged behavior):
@@ -125,8 +152,8 @@ object Curate {
   final case class Report(
       nInput: Long, nQuality: Long, nLmPass: Long, nExactDedup: Long,
       nNearDedup: Long, nMediaDedup: Long, nDecontaminated: Long, nSemClean: Long,
-      nRewritten: Long, nSampled: Long, nChunks: Long, nShards: Long,
-      nTokens: Long)
+      nRewritten: Long, nThinned: Long, nSampled: Long, nChunks: Long,
+      nShards: Long, nTokens: Long)
 
   /** The policy → per-source hash-bucket cut rule, factored so the
     * spec can pin exact cut values on a hand-built token frame.
@@ -181,6 +208,7 @@ object Curate {
       lmTailFrac: Double = 0.02, semThr: Double = 0.30,
       mixture: MixturePolicy = MixturePolicy.Equalize,
       qualityPolicy: QualityPolicy = QualityPolicy.AbsoluteFloor,
+      samplingPolicy: SamplingPolicy = SamplingPolicy.HashRate,
       verbose: Boolean = false): Report = {
     qualityPolicy match {
       case QualityPolicy.SourceDeciles(k) =>
@@ -451,13 +479,38 @@ object Curate {
     val nRewritten = rewritten.count(); lap("rewrite")
     semClean.unpersist()
 
+    // 6b. cluster-diversity thinning — the policy-selected sampler
+    // (q140's SemDeDup-shape √-quota rule, or the identity default).
+    // Placed with the other document-level filters, BEFORE stage 7:
+    // mixture rates must reflect the thinned corpus or the mixture
+    // over-delivers exactly the dense regions thinning just flattened.
+    val (thinned, nThinned) = samplingPolicy match {
+      case SamplingPolicy.HashRate => (rewritten, nRewritten)
+      case SamplingPolicy.ClusterQuota =>
+        // the REJECTED side (rk > quota) of q140's corpus-wide ranked
+        // frame; docs without an embedding never appear in it and pass
+        // through (the 5b convention). The reject list is
+        // membership-frame-sized — everything corpus-scale stays
+        // inside q139's documented pipeline, no new corpus scans.
+        val rejected = graft.queries.CurationOps
+          .clusterQuotaRanked(spark, sfDir)
+          .filter(col("rk") > col("quota"))
+          .select(col("vec_id").as("doc_id"))
+        // checkpointed like `rewritten` (it replaces it as the stage-7
+        // fan-out root: the token projection reads it twice)
+        val t = rewritten.join(rejected, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        (t, t.count())
+    }
+    lap("thin")
+
     // 7. mixture rebalance on the CLEAN, REWRITTEN corpus: the
     // policy-selected rate rule (q84 equalize / q136 temperature),
     // applied via q93's reproducible hash filter. Both policies share
     // the same plan shape — one sources-sized token agg, one
     // broadcast totals row, one broadcast rate join — so swapping
     // policy never adds a corpus scan.
-    val withTok = rewritten.withColumn("n_tok",
+    val withTok = thinned.withColumn("n_tok",
       expr(s"size(filter($toksSql, t -> t <> ''))"))
     val per = withTok.groupBy(col("source")).agg(sum(col("n_tok")).cast("bigint").as("n_tokens"))
     val rates = mixtureCuts(per, mixture)
@@ -520,6 +573,6 @@ object Curate {
     val nTokens = Option(written.agg(sum(col("nc"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L); lap("nTokens")
     Report(nInput, nQuality, nLm, nExact, nNear, nMedia, nClean, nSemClean,
-      nRewritten, nSampled, nChunks, nShards, nTokens)
+      nRewritten, nThinned, nSampled, nChunks, nShards, nTokens)
   }
 }

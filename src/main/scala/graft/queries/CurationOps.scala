@@ -1825,25 +1825,34 @@ object CurationOps {
     * ('0x' || substr)::BIGINT); ties break on vec_id. All integer
     * algebra downstream of q139's already-exact membership frame.
     */
-  val q140ClusterQuotaSample = Q(
-    "q140_cluster_quota_sample",
-    (s, dir) => {
-      val members = mutualKnnMembers(s, dir)
-        .withColumn("hv",
-          expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
-      // vector count is cheap from parquet metadata and lets the
-      // sub-32k case skip BlockRanks' three extra stages
-      val nVecs = T.embeddings(s, dir).count()
-      val ranked = graft.ops.BlockRanks.withBlockRank(
+  /** q140's full ranked/quota frame — EVERY vector with its in-cluster
+    * reproducible-hash rank and isqrt quota, kept and rejected rows
+    * alike. Factored so the Curate pipeline's ClusterQuota sampling
+    * policy consumes the REJECTED side (`rk > quota`) of exactly the
+    * selection q140's oracle proves, the way stage 1 consumes
+    * [[sourceDeciles]]. */
+  private[graft] def clusterQuotaRanked(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val members = mutualKnnMembers(s, dir)
+      .withColumn("hv",
+        expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
+    // vector count is cheap from parquet metadata and lets the
+    // sub-32k case skip BlockRanks' three extra stages
+    val nVecs = T.embeddings(s, dir).count()
+    graft.ops.BlockRanks.withBlockRank(
         members, "cluster_id", Seq(col("hv"), col("vec_id")), "rk",
         knownRows = nVecs)
-      ranked
-        .withColumn("quota", isqrt(col("n_members")))
+      .withColumn("quota", isqrt(col("n_members")))
+  }
+
+  val q140ClusterQuotaSample = Q(
+    "q140_cluster_quota_sample",
+    (s, dir) =>
+      clusterQuotaRanked(s, dir)
         .filter(col("rk") <= col("quota"))
         .select(col("vec_id"), col("cluster_id"), col("n_members"),
           col("quota"), col("rk"))
-        .orderBy(col("vec_id"))
-    },
+        .orderBy(col("vec_id")),
     Some(mutualKnnOracleCtes + """,
       mem AS (
         SELECT emb.vec_id,

@@ -361,6 +361,37 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("stage-6b ClusterQuota policy: stages 1-6 invariant, rejected docs never written, default is identity") {
+    val (_, rA) = outA
+    // default path adds no thinning: stage 6b is the identity and no
+    // extra action/scan runs (nThinned simply echoes nRewritten)
+    assert(rA.nThinned === rA.nRewritten)
+    val dirS = java.nio.file.Files.createTempDirectory("graft_curate_s").toString
+    val rS = Curate.run(spark, sf, dirS,
+      samplingPolicy = Curate.SamplingPolicy.ClusterQuota)
+    // the policy only exists at stage 6b: every upstream funnel count
+    // is bit-equal to the default run's
+    assert(Seq(rS.nInput, rS.nQuality, rS.nLmPass, rS.nExactDedup,
+        rS.nNearDedup, rS.nMediaDedup, rS.nDecontaminated, rS.nSemClean,
+        rS.nRewritten) ===
+      Seq(rA.nInput, rA.nQuality, rA.nLmPass, rA.nExactDedup,
+        rA.nNearDedup, rA.nMediaDedup, rA.nDecontaminated, rA.nSemClean,
+        rA.nRewritten))
+    // wiring: stage 6b consumes exactly q140's corpus-wide verdict —
+    // no doc on the rejected side (rk > quota) is ever written, and
+    // the policy actually bit at this SF (guards a silent identity)
+    val rejected = graft.queries.CurationOps.clusterQuotaRanked(spark, sf)
+      .filter(col("rk") > col("quota")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rejected.nonEmpty, "testdata produced no rejectable cluster member")
+    val written = spark.read.parquet(s"$dirS/shards")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(written.intersect(rejected).isEmpty,
+      "a cluster-quota-rejected doc reached the shards")
+    assert(rS.nThinned <= rS.nRewritten)
+    assert(rS.nShards > 0 && rS.nTokens > 0, rS.toString)
+  }
+
   test("chunk parameters are validated up front") {
     val dir = java.nio.file.Files.createTempDirectory("graft_curate_bad").toString
     intercept[IllegalArgumentException] {

@@ -571,6 +571,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.size < members.size, "sampling must thin a corpus with non-trivial clusters")
   }
 
+  test("q140 quota law holds exactly on a planted clustered fixture") {
+    import spark.implicits._
+    // four KNOWN communities on orthogonal axes, each owning its own
+    // assignment cell (centroid ids 100-103 are cluster members, the
+    // cellMembers 100-115 convention): sizes 4/3/2/1 → quotas 2/1/1/1.
+    // k=3 mutual-kNN keeps a cluster of size ≤ 4 COMPLETE (each member
+    // ranks only the ≤3 others), so the planted sizes ARE the CC sizes
+    // by construction — no reliance on testdata geometry.
+    def axis(i: Int): Array[Float] = { val a = Array.fill(4)(0f); a(i) = 1f; a }
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      100L -> axis(0), 1L -> axis(0), 2L -> axis(0), 3L -> axis(0),
+      101L -> axis(1), 5L -> axis(1), 6L -> axis(1),
+      102L -> axis(2), 8L -> axis(2),
+      103L -> axis(3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q140_fix").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = CurationOps.clusterQuotaRanked(spark, dir)
+      .select(col("vec_id"), col("cluster_id"), col("n_members"),
+        col("quota"), col("rk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // CC labels are component minima; sizes and isqrt quotas as planted
+    assert(got.groupBy(_._2).map { case (c, g) => (c, g.head._3, g.head._4) }
+      .toSet === Set((1L, 4L, 2L), (5L, 3L, 1L), (8L, 2L, 1L), (103L, 1L, 1L)))
+    // the kept side (rk <= quota) holds EXACTLY quota members per
+    // cluster — the singleton survives, the 4-cluster halves
+    val kept = got.filter(t => t._5 <= t._4)
+    assert(kept.groupBy(_._2).view.mapValues(_.length).toMap ===
+      Map(1L -> 2, 5L -> 1, 8L -> 1, 103L -> 1))
+    assert(got.length - kept.length === 5)
+  }
+
   test("q141 equals a driver-side BigInt fixed-point calibration") {
     val stop = Set("the", "a", "of", "and", "to", "in", "is", "was")
     val rows = graft.Tables.documents(spark, sf)
