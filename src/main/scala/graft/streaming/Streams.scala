@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -697,5 +697,106 @@ object Streams {
           if (state.exists) Iterator.empty
           else { state.update(true); Iterator.single(CardDelta(key._1, 1L)) }
       }
+  }
+
+  /** The three live-card streaming queries, composed into ONE
+    * queryable persisted card (see [[cardSink]]/[[readCard]]). */
+  final case class CardStreams(
+      volume: org.apache.spark.sql.streaming.StreamingQuery,
+      dup: org.apache.spark.sql.streaming.StreamingQuery,
+      vocab: org.apache.spark.sql.streaming.StreamingQuery) {
+    def stopAll(): Unit = { volume.stop(); dup.stop(); vocab.stop() }
+    def processAllAvailable(): Unit = {
+      volume.processAllAvailable(); dup.processAllAvailable()
+      vocab.processAllAvailable()
+    }
+  }
+
+  /** Persist the three card trackers into one queryable store under
+    * `path` — the COMPOSED live data card. Each tracker writes through
+    * [[writeLedgerBatch]]'s batch_id-partition dynamic overwrite, so a
+    * replayed micro-batch REPLACES its own partial output and every
+    * panel is effectively-once without a transaction log:
+    *
+    *  - `path/volume`: [[cardTracker]]'s upsert rows — one CardRow per
+    *    touched source per batch; the CURRENT panel is each source's
+    *    row from its latest batch (last-write-wins upsert, resolved at
+    *    read time by [[readCard]]).
+    *  - `path/dup`, `path/vocab`: the delta streams — append-only +1
+    *    attributions whose per-source SUM is the panel (never
+    *    retracted, so re-summing after any replay is exact).
+    *
+    * `events` and `dupEvents` are two subscriptions to the SAME
+    * per-document feed (two independent streaming queries cannot share
+    * one MemoryStream's commit cursor; a replayable bus/file source
+    * passes the same frame twice). A mid-stream reader sees each
+    * panel at a committed batch boundary — [[readCard]] then equals
+    * batch q144 over exactly the documents ingested so far
+    * (StreamingSpec pins this prefix equality).
+    */
+  def cardSink(events: Dataset[DocCardEvent],
+      dupEvents: Dataset[DocCardEvent],
+      words: Dataset[(String, String)],
+      path: String, checkpointRoot: String): CardStreams = {
+    def start(df: DataFrame, mode: String, sub: String) =
+      df.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", s"$checkpointRoot/$sub")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          writeLedgerBatch(batch, id, s"$path/$sub")
+        }
+        .start()
+    CardStreams(
+      start(cardTracker(events).toDF(), "update", "volume"),
+      start(dupLoserDeltas(dupEvents).toDF(), "append", "dup"),
+      start(vocabDeltas(words).toDF(), "append", "vocab"))
+  }
+
+  /** Read the composed card [[cardSink]] maintains — one row per
+    * source in q144's exact column shape (source, n_docs, n_tokens,
+    * n_chars, vocab, n_dup_losers, n_short, n_scored,
+    * mean_quality_fp). Runnable MID-STREAM: the volume panel resolves
+    * the upsert (latest batch's row per source), the delta panels sum,
+    * and the join semantics mirror q144's (vocab inner — a source
+    * with no non-empty token yet is not on the card; dup-loser left
+    * with 0). The store is sources × batches sized, so every frame
+    * here is tiny; mean quality is the consumer-side single IEEE
+    * division of exact ints, the q144 discipline. A panel whose
+    * stream has not yet committed any ROW (an empty-prefix store —
+    * parquet with no inferable schema) reads as empty: zero dup
+    * losers, no vocabulary sightings — exactly what the batch card
+    * over the same empty prefix would say. */
+  def readCard(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def tryRead(p: String, fallback: => DataFrame): DataFrame =
+      try spark.read.parquet(p)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => fallback
+      }
+    val emptyDeltas = spark.range(0)
+      .select(lit("").as("source"), lit(0L).as("delta"))
+    val w = Window.partitionBy(col("source")).orderBy(col("batch_id").desc)
+    val latest = tryRead(s"$path/volume", spark.range(0)
+        .select(lit("").as("source"), lit(0L).as("nDocs"),
+          lit(0L).as("nTokens"), lit(0L).as("nChars"), lit(0L).as("nShort"),
+          lit(0L).as("nScored"), lit(0L).as("sumSFp"),
+          lit(0L).as("batch_id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "batch_id")
+    val dup = tryRead(s"$path/dup", emptyDeltas)
+      .groupBy(col("source")).agg(sum(col("delta")).as("n_dup_losers"))
+    val voc = tryRead(s"$path/vocab", emptyDeltas)
+      .groupBy(col("source")).agg(sum(col("delta")).as("vocab"))
+    latest.join(voc, "source")
+      .join(dup, Seq("source"), "left")
+      .select(col("source"), col("nDocs").as("n_docs"),
+        col("nTokens").as("n_tokens"), col("nChars").as("n_chars"),
+        col("vocab"),
+        coalesce(col("n_dup_losers"), lit(0L)).as("n_dup_losers"),
+        col("nShort").as("n_short"), col("nScored").as("n_scored"),
+        (col("sumSFp").cast("double")
+          / greatest(col("nScored"), lit(1L)).cast("double"))
+          .as("mean_quality_fp"))
+      .orderBy(col("source"))
   }
 }

@@ -834,4 +834,74 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("composed cardSink: readCard mid-replay equals batch q144 on the seen prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext = s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val sf = "/root/testdata/sf0.001"
+    val sfp = graft.queries.CurationOps.qualityFixedPoint(s, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docRows = graft.Tables.documents(s, sf).collect()
+    val evs = graft.Tables.documents(s, sf)
+      .selectExpr("source", "doc_id",
+        "cast(size(filter(split(lower(text), ' '), t -> t <> '')) as long) nt",
+        "n_chars", "md5(text) h")
+      .collect().map { r =>
+        val id = r.getLong(1); val nt = r.getLong(2)
+        Streams.DocCardEvent(r.getString(0), id, nt, r.getLong(3),
+          r.getString(4), sfp.getOrElse(id, 0L), sfp.contains(id))
+      }.toSeq
+    // word events must TRACK the document batches (the prefix-corpus
+    // contract), unlike the whole-replay test's independent word split
+    val wordsByDoc = graft.Tables.documents(s, sf)
+      .selectExpr("doc_id", "source",
+        "explode(filter(split(lower(text), ' '), t -> t <> '')) w")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getString(1), r.getString(2))).toSeq).toMap
+    def mb(k: Int) = evs.filter(_.docId % 3 == k)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cardsink").toString
+    val inC = MemoryStream[Streams.DocCardEvent]
+    val inD = MemoryStream[Streams.DocCardEvent]
+    val inW = MemoryStream[(String, String)]
+    val qs = Streams.cardSink(inC.toDS(), inD.toDS(), inW.toDS(),
+      s"$tmp/card", s"$tmp/ck")
+    try {
+      for (k <- 0 to 2) {
+        val b = mb(k)
+        inC.addData(b); inD.addData(b)
+        inW.addData(b.flatMap(e => wordsByDoc.getOrElse(e.docId, Nil)))
+        qs.processAllAvailable()
+        // batch truth on exactly the ingested prefix: q144 over a
+        // documents table holding the seen docs and nothing else
+        val pDir = s"$tmp/prefix$k"
+        val seen = evs.filter(_.docId % 3 <= k).map(_.docId).toSet
+        val sch = graft.Tables.documents(s, sf).schema
+        s.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(
+              docRows.filter(r => seen(r.getLong(0))): _*)), sch)
+          .write.mode("overwrite").parquet(s"$pDir/documents.parquet")
+        val want = graft.queries.CurationOps.q144SourceDatacard.fn(s, pDir)
+          .collect().map(_.toSeq).toSeq
+        val gotCard = Streams.readCard(s, s"$tmp/card")
+        assert(gotCard.columns.toSeq === Seq("source", "n_docs", "n_tokens",
+          "n_chars", "vocab", "n_dup_losers", "n_short", "n_scored",
+          "mean_quality_fp"))
+        assert(gotCard.collect().map(_.toSeq).toSeq === want,
+          s"mid-replay card after batch $k diverged from the prefix datasheet")
+      }
+      // effectively-once: re-writing the volume store's newest batch
+      // through the same batch writer leaves the card bit-identical
+      // (the dynamic partition overwrite replaces, never appends)
+      val before = Streams.readCard(s, s"$tmp/card").collect().map(_.toSeq).toSeq
+      val vol = s.read.parquet(s"$tmp/card/volume")
+      // partition columns read back INT-inferred — cast before getLong
+      val maxId = vol.agg(max(col("batch_id").cast("long"))).head().getLong(0)
+      Streams.writeLedgerBatch(
+        vol.filter(col("batch_id") === maxId).drop("batch_id"),
+        maxId, s"$tmp/card/volume")
+      assert(Streams.readCard(s, s"$tmp/card").collect().map(_.toSeq).toSeq
+        === before, "a replayed batch changed the card")
+    } finally qs.stopAll()
+  }
 }
