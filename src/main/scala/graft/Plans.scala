@@ -39,7 +39,9 @@ object Plans {
     "q131_video_near_dup" -> "the shared banded-cosine kernel on DECODED video energies: checkpointed scaled fingerprints (ExistingRDD scan, no parquet below the kernel), the hash(blk) exchange reused across both self-join sides, broadcast b-side with the explicitly repartitioned probe",
     "q137_bm25_topk" -> "BM25 over q120's checkpointed posting build: broadcast query side + broadcast 2-long stats row, dl joined candidate-sized, per-pair sorted-fold above ONE (query_id, doc_id) exchange, WindowGroupLimit rank cut — zero SortMergeJoins, nothing corpus-broadcast",
     "q141_quality_calibrate" -> "per-source calibration: one integer feature scan, decimal(38,0) fixed-point projection, BlockRanks range-split rank (no single-task hot-source window), broadcast sources-sized count join",
-    "q143_quality_rank_fusion" -> "ensemble RRF: two independent signal chains (checkpointed at their range splits), two p-way global ranks, one doc-keyed left join — no global window, no score-scale mixing")
+    "q143_quality_rank_fusion" -> "ensemble RRF: two independent signal chains (checkpointed at their range splits), two p-way global ranks, one doc-keyed left join — no global window, no score-scale mixing",
+    "q145_quality_train" -> "trained classifier, one GD round visible per scan: checkpointed design matrix read as a LogicalRDD, crossJoin of the one-row broadcast weight frame, five-sum partial agg (map-side combine) to a single row — no parameter server, no driver loop over rows",
+    "q146_quality_apply" -> "trained classifier apply: round-3 weight row broadcast into one per-row codegen projection over the checkpointed design matrix; the only exchange is the output sort")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outFile) = args
