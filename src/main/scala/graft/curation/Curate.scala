@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * runs, in the canonical order (each stage's rationale lives on the
   * corresponding oracle query):
   *
-  *   1. quality gate        — a POLICY-parameterized rule over q83's
-  *                            scorer: absolute floor 0.05 (default)
-  *                            or q141's per-source decile cut (see
-  *                            [[QualityPolicy]])
+  *   1. quality gate        — a POLICY-parameterized rule: absolute
+  *                            floor 0.05 on q83's scorer (default),
+  *                            q141's per-source decile cut, or the
+  *                            q145/q146 TRAINED classifier's global
+  *                            decile cut (see [[QualityPolicy]])
   *   2. LM typicality gate  — q125's bigram-LM kernel, keep score >= lmFloor
   *   3. exact dedup         — q29's md5(text) groups, min-doc_id survivor
   *   4. near-dup prune      — the shared near-dup pair graph (q33's
@@ -103,6 +104,17 @@ object Curate {
       * deciles are computed on the post-eval-carveout corpus so held
       * -out docs never shift the quantile. */
     final case class SourceDeciles(keep: Int = 8) extends QualityPolicy
+    /** q145/q146's TRAINED classifier as the gate: train the
+      * fixed-point GD model on the post-carveout corpus (eval docs
+      * never move the learned boundary — the SourceDeciles argument),
+      * score every doc through the factored gdScores seam, keep the
+      * top `keep` global deciles by learned score. A quantile cut,
+      * not the absolute p ≥ Q/2 boundary — the DCLM/CCNet move, and
+      * on this corpus the absolute boundary is degenerate (q146's
+      * scaladoc has the account). Decile machinery is q141's:
+      * BlockRanks global rank (range-split, no single-task window),
+      * decile = (rk−1)·10 div n, all int64. */
+    final case class TrainedDeciles(keep: Int = 8) extends QualityPolicy
   }
 
   /** Stage 6b's diversity-sampling rule — the third policy family
@@ -213,6 +225,8 @@ object Curate {
     qualityPolicy match {
       case QualityPolicy.SourceDeciles(k) =>
         require(k >= 1 && k <= 10, s"SourceDeciles.keep must be 1..10, got $k")
+      case QualityPolicy.TrainedDeciles(k) =>
+        require(k >= 1 && k <= 10, s"TrainedDeciles.keep must be 1..10, got $k")
       case QualityPolicy.AbsoluteFloor => ()
     }
     require(chunkWindow > 0 && chunkStride > 0 && chunkStride <= chunkWindow,
@@ -252,6 +266,25 @@ object Curate {
         val dec = graft.queries.CurationOps
           .sourceDeciles(spark, sfDir, evalIdBelow)
           .filter(col("decile") < k).select(col("doc_id"))
+        docs.join(scored, "doc_id").join(dec, Seq("doc_id"), "left_semi")
+      case QualityPolicy.TrainedDeciles(k) =>
+        // train on the post-carveout corpus, score through the
+        // factored seam, global decile on the LEARNED z (q141's rank
+        // shape on one block; the score frame is corpus-narrow and
+        // its count is one cheap agg on the checkpointed design
+        // matrix)
+        val C = graft.queries.CurationOps
+        val (fx, _, _, w3) = C.gdRounds(spark, sfDir, evalIdBelow)
+        val z = C.gdScores(fx, w3).withColumn("__blk", lit(0L))
+        val ranked = graft.ops.BlockRanks.withBlockRank(
+          z, "__blk", Seq(col("z").desc, col("doc_id")), "rk")
+        // count from the checkpointed design matrix, NOT from `ranked`
+        // (same universe — every fx row scores), so the rank chain is
+        // never re-derived for a scalar (the q141 doubled-scan lesson)
+        val n = fx.agg(count(lit(1)).as("__n"))
+        val dec = ranked.crossJoin(broadcast(n))
+          .filter(expr("(rk - 1) * 10 div __n") < k)
+          .select(col("doc_id"))
         docs.join(scored, "doc_id").join(dec, Seq("doc_id"), "left_semi")
     }).persist()
     val nQuality = quality.count(); lap("quality")

@@ -2254,36 +2254,50 @@ object CurationOps {
   // train (q145) then corpus-wide apply (q146)
   // ---------------------------------------------------------------------
 
-  /** Fixed-point scale for the trained classifier: Q = 2^16. */
+  /** Fixed-point scale of the classifier's PROBABILITY axis: Q = 2^16
+    * (the link output p and the label live in [0, Q]). */
   private[graft] val gdQ = 65536L
-  /** Floor-division offset = 4·Q — added as K·den before `div` so the
-    * numerator is provably non-negative and trunc ≡ floor cross-engine
-    * (the q141 "+offset" discipline generalized to signed gradients). */
-  private[graft] val gdK = 4L * gdQ
+  /** Fixed-point scale of the FEATURE axis: F = 2^8. F is deliberately
+    * much smaller than Q — it bounds the GD step (see [[gdStep]]): a
+    * maximally-wrong round moves z by at most 5·F² = 327,680 ≈ 2.5×
+    * the hard-sigmoid's linear band, so descent cannot oscillate. The
+    * first cut used F = Q with step 4g/(nQ) and MEASURED a three-round
+    * oscillation (w0: −16,777 → +97,518 → −50,331 at sf0.01, every z
+    * saturating both clamp rails in turn, final model all-reject) —
+    * the feature-scale/step pair below is that documented tuning, not
+    * an arbitrary constant. F also serves as the floor-division offset
+    * (K·den ≥ |g| needs exactly K = F). */
+  private[graft] val gdF = 256L
 
   /** The training design matrix (doc_id, y, x0..x4): q83's exact
-    * integer features rendered as fixed-point ratios in [0, Q] —
+    * integer features rendered as fixed-point ratios in [0, F] —
     * x0 bias, x1 stopword ratio, x2 punctuation ratio, x3 uppercase
-    * ratio, x4 length saturation min(n_toks,256)/256. Every feature is
+    * ratio, x4 length saturation min(n_toks, F) (already in [0, F]:
+    * the saturation IS the fixed-point rendering). Every feature is
     * a non-negative integer division (numerator ≥ 0, so trunc ≡ floor
     * on both engines with no offset needed). The label is the DECLARED
     * seed rule y = [lang = 'en'] — the reference-slice-as-positive
     * shape of fastText/DCLM-style quality classifiers (positives = a
     * trusted corpus, negatives = the rest); this rule is the seam
     * where human or LLM labels plug in, exactly as q125's train frame
-    * is the seam for a curated reference corpus.
+    * is the seam for a curated reference corpus. `minDocId` excludes
+    * held-out eval docs from training (the sourceDeciles post-carveout
+    * argument — eval docs must never move the learned boundary);
+    * registry q145/q146 train corpus-wide by default.
     */
   private[graft] def gdTrainFrame(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
+      dir: String, minDocId: Long = Long.MinValue)
+      : org.apache.spark.sql.DataFrame =
     qualityFeatures(s, dir)
+      .filter(col("doc_id") >= minDocId)
       .join(T.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"),
-        lit(gdQ).as("x0"),
-        expr(s"cast(n_stop as bigint) * $gdQ div n_toks").as("x1"),
-        expr(s"cast(n_punct as bigint) * $gdQ div n_chars").as("x2"),
-        expr(s"cast(n_upper as bigint) * $gdQ div n_chars").as("x3"),
-        expr(s"cast(least(n_toks, 256) as bigint) * $gdQ div 256").as("x4"))
+        lit(gdF).as("x0"),
+        expr(s"cast(n_stop as bigint) * $gdF div n_toks").as("x1"),
+        expr(s"cast(n_punct as bigint) * $gdF div n_chars").as("x2"),
+        expr(s"cast(n_upper as bigint) * $gdF div n_chars").as("x3"),
+        expr(s"cast(least(n_toks, $gdF) as bigint)").as("x4"))
 
   /** z = w·x over the five fixed-point features (long — bounded by
     * 5·|w|·Q, far under int64 for the 3-round weight growth cap). */
@@ -2302,20 +2316,25 @@ object CurationOps {
   private def gdLink(z: String): String =
     s"least(greatest(($z + ${2 * gdQ}) div 4, 0L), $gdQ)"
 
-  /** ONE distributed gradient-descent step: w ← w − (4·g) ⌊div⌋ (n·Q)
-    * with g_j = Σ_i (p_i − Q·y_i)·x_ij (learning rate 4/Q per unit
-    * gradient — the largest power-of-two step that keeps the 3-round
-    * weight growth under 4Q/round). The step is one map-side-combinable
-    * aggregation (five sums + a count) down to a single row — the
-    * classic data-parallel GD shape; the updated weight row broadcasts
-    * back for the next round. Gradient sums accumulate in decimal(38,0)
-    * (per-row |e·x| ≤ Q² = 2^32, so an int64 accumulator overflows at
-    * ~2^31 docs — the q141 headroom rule), and the floor division adds
-    * K·den = 4Q·nQ ≥ |4g| so the numerator stays non-negative and
-    * trunc ≡ floor on both engines. Integer sums are partition-order
-    * independent, so the learned weights are BIT-REPRODUCIBLE under any
-    * partitioning, retry schedule, or cluster size — the property float
-    * GD famously lacks.
+  /** ONE distributed gradient-descent step: w ← w − g ⌊div⌋ (n·Q)
+    * with g_j = Σ_i (p_i − Q·y_i)·x_ij. The step bound is the point:
+    * |g| ≤ n·Q·F so |Δw| ≤ F per round, and the induced z movement
+    * |Δz| ≤ 5·F² ≈ 2.5× the link's linear band even when every doc is
+    * maximally wrong — stable descent by construction (the F = Q
+    * first cut oscillated; see [[gdF]]). At a balanced start the step
+    * is gentle: round 1 moves w0 by ē·F/Q ≈ 15 on this corpus.
+    *
+    * The step is one map-side-combinable aggregation (five sums + a
+    * count) down to a single row — the classic data-parallel GD shape;
+    * the updated weight row broadcasts back for the next round.
+    * Gradient sums accumulate in decimal(38,0) (per-row |e·x| ≤ Q·F =
+    * 2^24, so an int64 accumulator overflows at ~2^39 docs — the q141
+    * headroom rule applied at 100 TB), and the floor division adds
+    * K·den with K = F (|g| ≤ n·Q·F = F·den, so the offset numerator is
+    * provably non-negative and trunc ≡ floor on both engines). Integer
+    * sums are partition-order independent, so the learned weights are
+    * BIT-REPRODUCIBLE under any partitioning, retry schedule, or
+    * cluster size — the property float GD famously lacks.
     */
   private[graft] def gdStep(fx: org.apache.spark.sql.DataFrame,
       w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -2329,7 +2348,7 @@ object CurationOps {
         sum((col("e") * col("x4")).cast("decimal(38,0)")).as("g4"),
         count(lit(1)).cast("decimal(38,0)").as("n"))
     def upd(j: Int) = expr(
-      s"w$j - ((4 * g$j + $gdK * (n * $gdQ)) div (n * $gdQ) - $gdK)").as(s"w$j")
+      s"w$j - ((g$j + $gdF * (n * $gdQ)) div (n * $gdQ) - $gdF)").as(s"w$j")
     w.crossJoin(broadcast(g))
       .select(upd(0), upd(1), upd(2), upd(3), upd(4))
   }
@@ -2344,10 +2363,11 @@ object CurationOps {
     * it feeds both the next round and the query output — the q117/q124
     * iterative-trainer discipline. Returns (fx, w1, w2, w3). */
   private[graft] def gdRounds(s: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame,
+      dir: String, minDocId: Long = Long.MinValue)
+      : (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
-    val fx = gdTrainFrame(s, dir).localCheckpoint()
+    val fx = gdTrainFrame(s, dir, minDocId).localCheckpoint()
     val w0 = s.range(1).select(
       lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"),
       lit(0L).as("w3"), lit(0L).as("w4"))
@@ -2356,6 +2376,17 @@ object CurationOps {
     val w3 = gdStep(fx, w2).localCheckpoint()
     (fx, w1, w2, w3)
   }
+
+  /** Per-doc LEARNED scores (doc_id, z) under a weight row — q146's
+    * scoring arithmetic factored so Curate's stage-1 TrainedDeciles
+    * policy consumes exactly what the q145/q146 oracles prove. The
+    * policy thresholds z at a QUANTILE, not at the absolute p ≥ Q/2
+    * boundary — see q146's scaladoc for why the absolute cut is
+    * degenerate on a weakly-separable corpus. */
+  private[graft] def gdScores(fx: org.apache.spark.sql.DataFrame,
+      w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    gdDot(fx.crossJoin(broadcast(w)))
+      .select(col("doc_id"), col("z"))
 
   private def gdTag(w: org.apache.spark.sql.DataFrame, r: Int) =
     w.select(lit(r.toLong).as("round"),
@@ -2369,7 +2400,9 @@ object CurationOps {
     * classifier of the DCLM / FineWeb-Edu lineage: logistic regression
     * under the hard-sigmoid link, trained by three unrolled
     * distributed GD rounds over q83's exact integer feature frame,
-    * every step fixed-point (scale Q = 2^16) so the weights are
+    * every step fixed-point (probability scale Q = 2^16, feature
+    * scale F = 2^8 — the pair that provably cannot oscillate, see
+    * [[gdF]]/[[gdStep]]) so the weights are
     * bit-reproducible AND replayable as a DuckDB CTE chain (the
     * q117 k-means / q124 BPE unrolled-trainer precedent).
     *
@@ -2407,11 +2440,11 @@ object CurationOps {
         FROM documents),
       x AS (
         SELECT doc_id, y,
-          CAST(65536 AS BIGINT) AS x0,
-          (n_stop * 65536) // n_toks AS x1,
-          (n_punct * 65536) // n_chars AS x2,
-          (n_upper * 65536) // n_chars AS x3,
-          (LEAST(n_toks, 256) * 65536) // 256 AS x4
+          CAST(256 AS BIGINT) AS x0,
+          (n_stop * 256) // n_toks AS x1,
+          (n_punct * 256) // n_chars AS x2,
+          (n_upper * 256) // n_chars AS x3,
+          CAST(LEAST(n_toks, 256) AS BIGINT) AS x4
         FROM f WHERE n_toks >= 1),
       nn AS (SELECT CAST(COUNT(*) AS HUGEINT) * 65536 AS den FROM x),
       ga AS (
@@ -2422,11 +2455,11 @@ object CurationOps {
                SUM((32768 - 65536*y) * x4) AS g4
         FROM x),
       sa AS (
-        SELECT 0 - ((4*g0 + 262144*den) // den - 262144) AS w0,
-               0 - ((4*g1 + 262144*den) // den - 262144) AS w1,
-               0 - ((4*g2 + 262144*den) // den - 262144) AS w2,
-               0 - ((4*g3 + 262144*den) // den - 262144) AS w3,
-               0 - ((4*g4 + 262144*den) // den - 262144) AS w4
+        SELECT 0 - ((g0 + 256*den) // den - 256) AS w0,
+               0 - ((g1 + 256*den) // den - 256) AS w1,
+               0 - ((g2 + 256*den) // den - 256) AS w2,
+               0 - ((g3 + 256*den) // den - 256) AS w3,
+               0 - ((g4 + 256*den) // den - 256) AS w4
         FROM ga, nn),
       zb AS (
         SELECT x.y, x.x0, x.x1, x.x2, x.x3, x.x4,
@@ -2441,11 +2474,11 @@ object CurationOps {
           SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x4) AS g4
         FROM zb),
       sb AS (
-        SELECT sa.w0 - ((4*gb.g0 + 262144*den) // den - 262144) AS w0,
-               sa.w1 - ((4*gb.g1 + 262144*den) // den - 262144) AS w1,
-               sa.w2 - ((4*gb.g2 + 262144*den) // den - 262144) AS w2,
-               sa.w3 - ((4*gb.g3 + 262144*den) // den - 262144) AS w3,
-               sa.w4 - ((4*gb.g4 + 262144*den) // den - 262144) AS w4
+        SELECT sa.w0 - ((gb.g0 + 256*den) // den - 256) AS w0,
+               sa.w1 - ((gb.g1 + 256*den) // den - 256) AS w1,
+               sa.w2 - ((gb.g2 + 256*den) // den - 256) AS w2,
+               sa.w3 - ((gb.g3 + 256*den) // den - 256) AS w3,
+               sa.w4 - ((gb.g4 + 256*den) // den - 256) AS w4
         FROM sa, gb, nn),
       zc AS (
         SELECT x.y, x.x0, x.x1, x.x2, x.x3, x.x4,
@@ -2460,11 +2493,11 @@ object CurationOps {
           SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x4) AS g4
         FROM zc),
       sc AS (
-        SELECT sb.w0 - ((4*gc.g0 + 262144*den) // den - 262144) AS w0,
-               sb.w1 - ((4*gc.g1 + 262144*den) // den - 262144) AS w1,
-               sb.w2 - ((4*gc.g2 + 262144*den) // den - 262144) AS w2,
-               sb.w3 - ((4*gc.g3 + 262144*den) // den - 262144) AS w3,
-               sb.w4 - ((4*gc.g4 + 262144*den) // den - 262144) AS w4
+        SELECT sb.w0 - ((gc.g0 + 256*den) // den - 256) AS w0,
+               sb.w1 - ((gc.g1 + 256*den) // den - 256) AS w1,
+               sb.w2 - ((gc.g2 + 256*den) // den - 256) AS w2,
+               sb.w3 - ((gc.g3 + 256*den) // den - 256) AS w3,
+               sb.w4 - ((gc.g4 + 256*den) // den - 256) AS w4
         FROM sb, gc, nn)
       SELECT CAST(1 AS BIGINT) AS round, CAST(w0 AS BIGINT) AS w0,
         CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,
@@ -2476,7 +2509,7 @@ object CurationOps {
       SELECT CAST(3 AS BIGINT), CAST(w0 AS BIGINT), CAST(w1 AS BIGINT),
         CAST(w2 AS BIGINT), CAST(w3 AS BIGINT), CAST(w4 AS BIGINT) FROM sc
       ORDER BY round""".stripMargin),
-    "TRAINED quality classifier, train half (the fastText/DCLM/FineWeb-Edu shape; the reference's planned-but-unbuilt neutrality filter): logistic regression under the piecewise-linear hard-sigmoid link, three unrolled distributed GD rounds over q83's exact integer features as fixed-point ratios (Q=2^16), labels from the declared seed rule y=[lang='en'] (the seam where human labels plug in) - every step exact integer arithmetic (decimal(38,0) gradient sums, offset floor-division so trunc==floor cross-engine), weights bit-reproducible under ANY partitioning; per round ONE map-side-combinable agg to a single broadcast-back weight row")
+    "TRAINED quality classifier, train half (the fastText/DCLM/FineWeb-Edu shape; the reference's planned-but-unbuilt neutrality filter): logistic regression under the piecewise-linear hard-sigmoid link, three unrolled distributed GD rounds over q83's exact integer features as fixed-point ratios (probability scale Q=2^16, feature scale F=2^8 - the step bound |dz| <= 5F^2 ~ 2.5 linear bands that provably cannot oscillate; the F=Q first cut measured a three-round oscillation and is documented at the seam), labels from the declared seed rule y=[lang='en'] (the seam where human labels plug in) - every step exact integer arithmetic (decimal(38,0) gradient sums, offset floor-division so trunc==floor cross-engine), weights bit-reproducible under ANY partitioning; per round ONE map-side-combinable agg to a single broadcast-back weight row")
 
   /** The APPLY half — q145's learned round-3 weights scored over the
     * whole corpus: z = w·x, p = hard-sigmoid(z), keep = [p ≥ Q/2]. The
@@ -2485,7 +2518,21 @@ object CurationOps {
     * the apply itself is the q138 shape — one broadcast weight row
     * joined into a per-row codegen projection, zero shuffles beyond
     * the output sort. This closes the train → apply lifecycle the
-    * way q124 (BPE train) → q138 (BPE apply) does for tokenizers. */
+    * way q124 (BPE train) → q138 (BPE apply) does for tokenizers.
+    *
+    * On THIS corpus the absolute keep column is honestly degenerate
+    * (all 0): the seed-label prior is 0.44 < 1/2 and the synthetic
+    * features separate the classes only weakly, so the GD equilibrium
+    * predicts p̂ < Q/2 for every doc — a property of the data, not the
+    * trainer (any round count lands there; verified against the
+    * sequential reference). Production classifier filters hit the
+    * same wall and cut at a score QUANTILE instead (DCLM keeps the
+    * top ~10-20% by fastText score; CCNet buckets by perplexity
+    * quantile) — that consumer is Curate's stage-1 TrainedDeciles
+    * policy over the factored [[gdScores]] seam, which thresholds the
+    * learned z at a global decile. keep stays in this output because
+    * the absolute boundary is the model's own verdict and the oracle
+    * should pin it — including its all-reject value here. */
   val q146QualityApply = Q(
     "q146_quality_apply",
     (s, dir) => {
@@ -2515,11 +2562,11 @@ object CurationOps {
         FROM documents),
       x AS (
         SELECT doc_id, y,
-          CAST(65536 AS BIGINT) AS x0,
-          (n_stop * 65536) // n_toks AS x1,
-          (n_punct * 65536) // n_chars AS x2,
-          (n_upper * 65536) // n_chars AS x3,
-          (LEAST(n_toks, 256) * 65536) // 256 AS x4
+          CAST(256 AS BIGINT) AS x0,
+          (n_stop * 256) // n_toks AS x1,
+          (n_punct * 256) // n_chars AS x2,
+          (n_upper * 256) // n_chars AS x3,
+          CAST(LEAST(n_toks, 256) AS BIGINT) AS x4
         FROM f WHERE n_toks >= 1),
       nn AS (SELECT CAST(COUNT(*) AS HUGEINT) * 65536 AS den FROM x),
       ga AS (
@@ -2530,11 +2577,11 @@ object CurationOps {
                SUM((32768 - 65536*y) * x4) AS g4
         FROM x),
       sa AS (
-        SELECT 0 - ((4*g0 + 262144*den) // den - 262144) AS w0,
-               0 - ((4*g1 + 262144*den) // den - 262144) AS w1,
-               0 - ((4*g2 + 262144*den) // den - 262144) AS w2,
-               0 - ((4*g3 + 262144*den) // den - 262144) AS w3,
-               0 - ((4*g4 + 262144*den) // den - 262144) AS w4
+        SELECT 0 - ((g0 + 256*den) // den - 256) AS w0,
+               0 - ((g1 + 256*den) // den - 256) AS w1,
+               0 - ((g2 + 256*den) // den - 256) AS w2,
+               0 - ((g3 + 256*den) // den - 256) AS w3,
+               0 - ((g4 + 256*den) // den - 256) AS w4
         FROM ga, nn),
       zb AS (
         SELECT x.y, x.x0, x.x1, x.x2, x.x3, x.x4,
@@ -2549,11 +2596,11 @@ object CurationOps {
           SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x4) AS g4
         FROM zb),
       sb AS (
-        SELECT sa.w0 - ((4*gb.g0 + 262144*den) // den - 262144) AS w0,
-               sa.w1 - ((4*gb.g1 + 262144*den) // den - 262144) AS w1,
-               sa.w2 - ((4*gb.g2 + 262144*den) // den - 262144) AS w2,
-               sa.w3 - ((4*gb.g3 + 262144*den) // den - 262144) AS w3,
-               sa.w4 - ((4*gb.g4 + 262144*den) // den - 262144) AS w4
+        SELECT sa.w0 - ((gb.g0 + 256*den) // den - 256) AS w0,
+               sa.w1 - ((gb.g1 + 256*den) // den - 256) AS w1,
+               sa.w2 - ((gb.g2 + 256*den) // den - 256) AS w2,
+               sa.w3 - ((gb.g3 + 256*den) // den - 256) AS w3,
+               sa.w4 - ((gb.g4 + 256*den) // den - 256) AS w4
         FROM sa, gb, nn),
       zc AS (
         SELECT x.y, x.x0, x.x1, x.x2, x.x3, x.x4,
@@ -2568,11 +2615,11 @@ object CurationOps {
           SUM((LEAST(GREATEST((z + 131072) // 4, 0), 65536) - 65536*y) * x4) AS g4
         FROM zc),
       sc AS (
-        SELECT sb.w0 - ((4*gc.g0 + 262144*den) // den - 262144) AS w0,
-               sb.w1 - ((4*gc.g1 + 262144*den) // den - 262144) AS w1,
-               sb.w2 - ((4*gc.g2 + 262144*den) // den - 262144) AS w2,
-               sb.w3 - ((4*gc.g3 + 262144*den) // den - 262144) AS w3,
-               sb.w4 - ((4*gc.g4 + 262144*den) // den - 262144) AS w4
+        SELECT sb.w0 - ((gc.g0 + 256*den) // den - 256) AS w0,
+               sb.w1 - ((gc.g1 + 256*den) // den - 256) AS w1,
+               sb.w2 - ((gc.g2 + 256*den) // den - 256) AS w2,
+               sb.w3 - ((gc.g3 + 256*den) // den - 256) AS w3,
+               sb.w4 - ((gc.g4 + 256*den) // den - 256) AS w4
         FROM sb, gc, nn),
       app AS (
         SELECT x.doc_id, x.y,

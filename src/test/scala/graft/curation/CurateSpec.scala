@@ -361,6 +361,49 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("stage-1 TrainedDeciles policy: kept count is the exact global quantile of an independently trained model") {
+    val dirT = java.nio.file.Files.createTempDirectory("graft_curate_tm").toString
+    val k = 8
+    val rT = Curate.run(spark, sf, dirT,
+      qualityPolicy = Curate.QualityPolicy.TrainedDeciles(k))
+    // INDEPENDENT trainer: the documented BigInt GD over the collected
+    // post-carveout design matrix (the QualityTrainSpec reference,
+    // reproduced here so this spec shares no engine code path)
+    val Qb = BigInt(65536); val Fb = BigInt(256)
+    val fx = graft.queries.CurationOps.gdTrainFrame(spark, sf, 10L).collect()
+      .map(r => (r.getLong(0), BigInt(r.getLong(1)),
+        (2 to 6).map(i => BigInt(r.getLong(i)))))
+    var w: Seq[BigInt] = Seq.fill(5)(BigInt(0))
+    val den = BigInt(fx.length) * Qb
+    for (_ <- 1 to 3) {
+      val g = Array.fill(5)(BigInt(0))
+      for ((_, y, x) <- fx) {
+        val z = (0 until 5).map(j => w(j) * x(j)).sum
+        val e = ((z + 2 * Qb) / 4).max(0).min(Qb) - Qb * y
+        for (j <- 0 until 5) g(j) += e * x(j)
+      }
+      w = (0 until 5).map(j => w(j) - ((g(j) + Fb * den) / den - Fb))
+    }
+    // global decile law on the learned score: rank by (z desc, doc_id)
+    val zs = fx.map { case (id, _, x) =>
+      (id, (0 until 5).map(j => w(j) * x(j)).sum) }
+    val n = zs.length
+    val expectedKept = zs.sortBy { case (id, z) => (-z, id) }.zipWithIndex
+      .count { case (_, i) => i.toLong * 10 / n < k }
+    assert(rT.nQuality === expectedKept.toLong,
+      s"trained gate kept ${rT.nQuality}, independent model says $expectedKept")
+    // funnel still monotone and productive under the policy
+    val funnel = Seq(rT.nInput, rT.nQuality, rT.nLmPass, rT.nExactDedup,
+      rT.nNearDedup, rT.nMediaDedup, rT.nDecontaminated, rT.nSemClean,
+      rT.nRewritten, rT.nSampled)
+    assert(funnel === funnel.sorted.reverse, s"funnel grew somewhere: $rT")
+    assert(rT.nShards > 0 && rT.nTokens > 0, rT.toString)
+    intercept[IllegalArgumentException] {
+      Curate.run(spark, sf, dirT,
+        qualityPolicy = Curate.QualityPolicy.TrainedDeciles(0))
+    }
+  }
+
   test("stage-6b ClusterQuota policy: stages 1-6 invariant, rejected docs never written, default is identity") {
     val (_, rA) = outA
     // default path adds no thinning: stage 6b is the identity and no

@@ -19,11 +19,12 @@ class QualityTrainSpec extends SparkSpec {
   import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
-  private val Qs = CurationOps.gdQ // 65536
+  private val Qs = CurationOps.gdQ // 65536 — probability/label scale
+  private val Fs = CurationOps.gdF // 256 — feature scale
 
   /** One GD step in plain sequential BigInt arithmetic — mirrors the
     * documented math, not the Spark code: p = clamp((z+2Q)/4, 0, Q),
-    * g_j = Σ (p − Q·y)·x_j, w_j ← w_j − ((4g_j + 4Q·nQ)/(nQ) − 4Q).
+    * g_j = Σ (p − Q·y)·x_j, w_j ← w_j − ((g_j + F·nQ)/(nQ) − F).
     * BigInt `/` truncates toward zero, which equals floor on the
     * non-negative update numerator and is clamp-equivalent inside the
     * link (the same argument the scaladoc makes for the engines). */
@@ -31,7 +32,7 @@ class QualityTrainSpec extends SparkSpec {
       w: Seq[BigInt]): Seq[BigInt] = {
     val n = BigInt(rows.size)
     val den = n * Qs
-    val K = BigInt(4L * Qs)
+    val K = BigInt(Fs)
     val g = Array.fill(5)(BigInt(0))
     for ((y, x) <- rows) {
       val z = (0 until 5).map(j => w(j) * x(j)).sum
@@ -39,20 +40,20 @@ class QualityTrainSpec extends SparkSpec {
       val e = p - BigInt(Qs) * y
       for (j <- 0 until 5) g(j) += e * x(j)
     }
-    (0 until 5).map(j => w(j) - ((4 * g(j) + K * den) / den - K))
+    (0 until 5).map(j => w(j) - ((g(j) + K * den) / den - K))
   }
 
   private def fixture: DataFrame = Seq(
     // (doc_id, y, x0..x4) — mixed labels, saturating and interior
-    // feature values, including rows that push z outside the linear
-    // band once weights move
-    (1L, 1L, Qs, 40000L, 0L, 100L, Qs),
-    (2L, 1L, Qs, 30000L, 500L, 0L, 30000L),
-    (3L, 0L, Qs, 0L, 65536L, 65536L, 256L),
-    (4L, 0L, Qs, 5L, 60000L, 30000L, Qs),
-    (5L, 1L, Qs, 65536L, 0L, 0L, 0L),
-    (6L, 0L, Qs, 12345L, 23456L, 34567L, 45678L),
-    (7L, 0L, Qs, 1L, 2L, 3L, 4L)
+    // feature values in [0, F]; step magnitudes chosen so z crosses
+    // the link's interior over the three reference rounds
+    (1L, 1L, Fs, 200L, 0L, 10L, Fs),
+    (2L, 1L, Fs, 120L, 5L, 0L, 117L),
+    (3L, 0L, Fs, 0L, 256L, 256L, 1L),
+    (4L, 0L, Fs, 1L, 234L, 117L, Fs),
+    (5L, 1L, Fs, 256L, 0L, 0L, 0L),
+    (6L, 0L, Fs, 48L, 91L, 135L, 178L),
+    (7L, 0L, Fs, 1L, 2L, 3L, 4L)
   ).toDF("doc_id", "y", "x0", "x1", "x2", "x3", "x4")
 
   private def weightsOf(w: DataFrame): Seq[BigInt] =
