@@ -240,6 +240,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q146 apply: the weight row broadcasts, the output sort is the only exchange") {
+    // the q138 apply shape: training materialized into checkpoints
+    // (LogicalRDD scans), the round-3 weight row a 1-row broadcast
+    // build, the per-doc arithmetic a codegen projection — nothing
+    // corpus-sized shuffles except the contract's output sort
+    val plan = executedPlan(CurationOps.q146QualityApply)
+    assert("Scan parquet".r.findAllIn(plan).isEmpty,
+      s"a parquet scan leaked above the design-matrix checkpoint:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("Exchange rangepartitioning|Exchange hashpartitioning".r
+      .findAllIn(plan).size === 1,
+      s"the output sort must be the ONLY non-broadcast exchange:\n$plan")
+  }
+
   test("a hive-partitioned layout gets PARTITION pruning: filtered dirs never reach the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
