@@ -275,15 +275,22 @@ object Curate {
         // matrix)
         val C = graft.queries.CurationOps
         val (fx, _, _, w3) = C.gdRounds(spark, sfDir, evalIdBelow)
+        // count from the checkpointed design matrix, NOT from `ranked`
+        // (same universe — every fx row scores), so the rank chain is
+        // never re-derived for a scalar (the q141 doubled-scan lesson).
+        // Driver-side scalar, not a crossJoin'd agg frame: it doubles
+        // as the gdStep non-emptiness guard (ADVICE r20 — an empty
+        // post-carveout matrix trains null weights that silently keep
+        // nothing) and a count on checkpoint blocks is one cheap job.
+        val nFx = fx.count()
+        require(nFx > 0,
+          s"TrainedDeciles: empty design matrix after carveout (evalIdBelow=$evalIdBelow) — " +
+            "gdRounds would train null weights; lower the carveout or use another QualityPolicy")
         val z = C.gdScores(fx, w3).withColumn("__blk", lit(0L))
         val ranked = graft.ops.BlockRanks.withBlockRank(
           z, "__blk", Seq(col("z").desc, col("doc_id")), "rk")
-        // count from the checkpointed design matrix, NOT from `ranked`
-        // (same universe — every fx row scores), so the rank chain is
-        // never re-derived for a scalar (the q141 doubled-scan lesson)
-        val n = fx.agg(count(lit(1)).as("__n"))
-        val dec = ranked.crossJoin(broadcast(n))
-          .filter(expr("(rk - 1) * 10 div __n") < k)
+        val dec = ranked
+          .filter(expr(s"(rk - 1) * 10 div $nFx") < k)
           .select(col("doc_id"))
         docs.join(scored, "doc_id").join(dec, Seq("doc_id"), "left_semi")
     }).persist()
@@ -518,7 +525,11 @@ object Curate {
     // mixture rates must reflect the thinned corpus or the mixture
     // over-delivers exactly the dense regions thinning just flattened.
     val (thinned, nThinned) = samplingPolicy match {
-      case SamplingPolicy.HashRate => (rewritten, nRewritten)
+      case SamplingPolicy.HashRate =>
+        // identity: no action runs, so no lap is recorded — a "thin"
+        // lap on this path would time nothing and mislead audit-output
+        // timing analysis (ADVICE r20)
+        (rewritten, nRewritten)
       case SamplingPolicy.ClusterQuota =>
         // the REJECTED side (rk > quota) of q140's corpus-wide ranked
         // frame; docs without an embedding never appear in it and pass
@@ -530,12 +541,18 @@ object Curate {
           .filter(col("rk") > col("quota"))
           .select(col("vec_id").as("doc_id"))
         // checkpointed like `rewritten` (it replaces it as the stage-7
-        // fan-out root: the token projection reads it twice)
+        // fan-out root: the token projection reads it twice). NOTE:
+        // this stacks a SECOND full corpus frame of un-releasable
+        // checkpoint blocks on top of `rewritten`'s (localCheckpoint
+        // blocks live until session end — the standing stage-6
+        // account); the opt-in policy's memory cost is that extra
+        // corpus-frame residency, the 100 TB shape would write/drop an
+        // intermediate table for both.
         val t = rewritten.join(rejected, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        (t, t.count())
+        val n = t.count(); lap("thin")
+        (t, n)
     }
-    lap("thin")
 
     // 7. mixture rebalance on the CLEAN, REWRITTEN corpus: the
     // policy-selected rate rule (q84 equalize / q136 temperature),

@@ -2260,7 +2260,9 @@ object CurationOps {
   /** Fixed-point scale of the FEATURE axis: F = 2^8. F is deliberately
     * much smaller than Q — it bounds the GD step (see [[gdStep]]): a
     * maximally-wrong round moves z by at most 5·F² = 327,680 ≈ 2.5×
-    * the hard-sigmoid's linear band, so descent cannot oscillate. The
+    * the hard-sigmoid's linear HALF-band 2Q = 131,072 (z ∈ [−2Q, 2Q],
+    * so 1.25× the full 4Q-wide band — the convention here is half-band
+    * multiples), so descent cannot oscillate. The
     * first cut used F = Q with step 4g/(nQ) and MEASURED a three-round
     * oscillation (w0: −16,777 → +97,518 → −50,331 at sf0.01, every z
     * saturating both clamp rails in turn, final model all-reject) —
@@ -2319,10 +2321,21 @@ object CurationOps {
   /** ONE distributed gradient-descent step: w ← w − g ⌊div⌋ (n·Q)
     * with g_j = Σ_i (p_i − Q·y_i)·x_ij. The step bound is the point:
     * |g| ≤ n·Q·F so |Δw| ≤ F per round, and the induced z movement
-    * |Δz| ≤ 5·F² ≈ 2.5× the link's linear band even when every doc is
+    * |Δz| ≤ 5·F² ≈ 2.5× the link's linear half-band 2Q (1.25× the full
+    * band; see [[gdF]] for the convention) even when every doc is
     * maximally wrong — stable descent by construction (the F = Q
     * first cut oscillated; see [[gdF]]). At a balanced start the step
     * is gentle: round 1 moves w0 by ē·F/Q ≈ 15 on this corpus.
+    *
+    * PRECONDITION: `fx` must be NON-EMPTY. On an empty design matrix
+    * (e.g. a caller passing a minDocId past the whole corpus, or a
+    * corpus of only zero-token docs) the gradient sums are null and
+    * n = 0, so every updated weight is null and silently propagates —
+    * a downstream quality gate would keep nothing with no diagnostic.
+    * Callers that can legitimately see an empty slice must check
+    * before calling (Curate's TrainedDeciles fails fast on a count of
+    * the checkpointed design matrix; the registry queries train
+    * corpus-wide on corpora the driver guarantees non-empty).
     *
     * The step is one map-side-combinable aggregation (five sums + a
     * count) down to a single row — the classic data-parallel GD shape;

@@ -730,9 +730,18 @@ object Streams {
     * per-document feed (two independent streaming queries cannot share
     * one MemoryStream's commit cursor; a replayable bus/file source
     * passes the same frame twice). A mid-stream reader sees each
-    * panel at a committed batch boundary — [[readCard]] then equals
-    * batch q144 over exactly the documents ingested so far
-    * (StreamingSpec pins this prefix equality).
+    * panel at a committed batch boundary — [[readCard]] equals batch
+    * q144 over exactly the documents ingested so far WHEN all three
+    * queries have committed the same input prefix (how StreamingSpec
+    * reads it, via processAllAvailable at each boundary). The three
+    * queries commit on independent schedules, so a read taken while
+    * they are mid-batch can mix prefixes across panels — dup losers
+    * counted for docs the volume panel hasn't committed, or a source
+    * dropped by the vocab inner join because the words query lags;
+    * each panel is still exact for ITS OWN committed prefix. A
+    * consumer needing cross-panel consistency without draining would
+    * key panels by a shared high-watermark id and read to the minimum
+    * committed watermark.
     */
   def cardSink(events: Dataset[DocCardEvent],
       dupEvents: Dataset[DocCardEvent],
@@ -759,7 +768,10 @@ object Streams {
     * the upsert (latest batch's row per source), the delta panels sum,
     * and the join semantics mirror q144's (vocab inner — a source
     * with no non-empty token yet is not on the card; dup-loser left
-    * with 0). The store is sources × batches sized, so every frame
+    * with 0). Cross-panel consistency caveat: see [[cardSink]] — the
+    * q144 equality holds when the three writers have committed the
+    * same input prefix; mid-batch reads are per-panel exact but can
+    * mix prefixes across panels. The store is sources × batches sized, so every frame
     * here is tiny; mean quality is the consumer-side single IEEE
     * division of exact ints, the q144 discipline. A panel whose
     * stream has not yet committed any ROW (an empty-prefix store —
