@@ -43,14 +43,22 @@ object ConnectedComponents {
 
     // canonical directed form: (hi -> lo) for every input edge, plus
     // self-loops dropped; the iteration maintains edges as (src, dst)
-    // with no orientation invariant (stars re-orient freely)
+    // with no orientation invariant (stars re-orient freely).
+    // LAZY checkpoint (round 21): round 1's one checksum action
+    // materializes it — the same lazy-checkpoint-plus-action fold as
+    // `large`/`small` below, saving the eager form's dedicated
+    // materialization job. The race bound is the same argument as
+    // `large`'s: the frame ends in the distinct's shuffle, so the two
+    // union branches of round 1's neighborhood frame read one
+    // shuffleId's output — concurrent branches can at worst re-run the
+    // reduce-side projection, never the caller's edge derivation.
     var edges = pairs
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("src"),
         least(col("a"), col("b")).as("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.select(greatest(col("src"), col("dst")).as("h"),
@@ -59,7 +67,16 @@ object ConnectedComponents {
       (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L), r.getLong(1))
     }
 
-    var prev = checksum(edges)
+    // No checksum of the INPUT edge set (round 21): convergence is
+    // detected by two consecutive ROUND outputs agreeing, so the
+    // baseline action over the full input frame bought exactly one
+    // thing — declaring an already-fixpoint input converged after one
+    // round instead of two. Real caller graphs (raw near-dup /
+    // mutual-kNN pair frames) are never pre-contracted stars, so the
+    // dropped action is pure saving; the one corner pays one extra
+    // round over an already-star-shaped (i.e. component-sized) edge
+    // set. Output is the same fixpoint either way.
+    var prev: Option[(Long, Long)] = None
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -132,8 +149,8 @@ object ConnectedComponents {
       // the round's ONE action — see the invariant note on `large`
       // above: do not add actions between `large` and this call
       val cs = checksum(small)
-      converged = cs == prev
-      prev = cs
+      converged = prev.contains(cs)
+      prev = Some(cs)
       edges = small
     }
     // round-count diagnostic is opt-in: this is library code, and an
@@ -141,12 +158,26 @@ object ConnectedComponents {
     // (round-15 advice). GRAFT_CC_DEBUG=1 turns it on for forensics.
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] large/small-star converged in $rounds rounds")
-    // fixpoint: every edge is (v, componentMin). Vertices that ARE the
-    // minimum appear only on the dst side — union them back with
-    // themselves as label.
+    // Fixpoint shape (round 21 — relied on, so proved here): converged
+    // means one more large+small round leaves the edge SET unchanged,
+    // and a stable set is necessarily a disjoint union of stars rooted
+    // at component minima. Sketch: small-star output always has
+    // src > dst (the emitted dst is a closed-neighborhood minimum), so
+    // suppose the stable set held (a→b) AND (b→c) — b both pointed-at
+    // and pointing. Large-star on b's neighborhood {a, c, …} re-links
+    // a to min(Γ(b)∪{b}) ≤ c < b, so (a→b) leaves the set, and no
+    // small-star node can re-emit b as a neighborhood minimum once a's
+    // neighborhood contains that smaller node — the set changed,
+    // contradiction. Hence at the detected fixpoint no dst is ever a
+    // src: the dst side is EXACTLY the component minima, and the roots
+    // are `edges.dst.distinct` directly — the anti-join the first cut
+    // used to separate roots from members re-derived that set the hard
+    // way (two node-sized distincts + an anti-join, ~3 exchanges per
+    // consumer occurrence of the label frame). The spec pins equality
+    // with union-find and minLabelClusters on real + generated graphs,
+    // planted-star cases included.
     val labeled = edges.select(col("src").as("v"), col("dst").as("lbl"))
     val roots = edges.select(col("dst").as("v")).distinct()
-      .join(labeled.select(col("v")).distinct(), Seq("v"), "left_anti")
       .select(col("v"), col("v").as("lbl"))
     labeled.union(roots)
   }

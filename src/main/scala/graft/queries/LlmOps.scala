@@ -98,10 +98,18 @@ object LlmOps {
     * hash gate red, never hide.
     */
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    q33MinhashLshDup.fn(s, dir)
+    lshPairs(s, dir)
 
   /** Exact Jaccard >= `threshold` on candidate pairs (id_a < id_b),
-    * given a frame of candidate (id_a, id_b) pairs.
+    * given a frame of candidate (id_a, id_b) pairs. UNORDERED — the
+    * declared q32/q33 queries add their output `orderBy` on top;
+    * keeping the sort out of this seam keeps it out of the SIX
+    * pair-graph consumers (q72/q89/q111/q112/q134/Curate stage 4),
+    * which read the pairs as an unordered edge/delete list — a global
+    * sort here cost each of them a range exchange plus its
+    * boundary-sampling pass for an ordering nothing downstream used
+    * (round 21; guide §2.4's "orderBy used only to make output
+    * deterministic" case).
     */
   private def verifiedPairs(sh: DataFrame, cands: DataFrame): DataFrame = {
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
@@ -112,7 +120,6 @@ object LlmOps {
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   // ---------------------------------------------------------------------
@@ -365,7 +372,7 @@ object LlmOps {
             greatest(col("x.n"), col("y.n")) * 0.8)
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
-      verifiedPairs(sh, cands)
+      verifiedPairs(sh, cands).orderBy(col("id_a"), col("id_b"))
     },
     Some("""
       WITH s AS (
@@ -403,33 +410,39 @@ object LlmOps {
     * miss < 1e-20). At 100 TB the remaining hazard is a mega-bucket from
     * exact duplicates — run q29 exact dedup first (standard staging).
     */
+  /** q33's verified LSH pair frame, UNORDERED — the body the
+    * [[nearDupPairs]] seam hands to the six pair-graph consumers; the
+    * declared q33 query is exactly this plus its output orderBy (see
+    * the verifiedPairs note). */
+  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    // hashed shingles (8-byte cache, see shingledHashed); the minhash
+    // kernel's Long-input path starts from the same xxhash64 base, so
+    // the sketch is bit-identical to the string form
+    val sh = shingledHashed(s, dir).localCheckpoint()
+    // native one-pass sketch (HashKernels.minhash64): 32 splitmix
+    // derivations per pre-hashed shingle, vs the interpreted
+    // `transform(sequence(0,31), k -> array_min(transform(sh, t ->
+    // xxhash64(t,k))))` chain that re-hashed every shingle 32× through
+    // per-element lambda dispatch (44 s of the round-3 bench)
+    val bandsE = "transform(sequence(0, 15), j -> " +
+      "xxhash64(element_at(mhs, 2*j+1), element_at(mhs, 2*j+2)))"
+    val buckets = sh
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhash64(col("sh"), 32).as("mhs"))
+      .select(col("doc_id"), posexplode(expr(bandsE)).as(Seq("band", "bucket")))
+      .persist()
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    verifiedPairs(sh, cands)
+  }
+
   val q33MinhashLshDup = Q(
     "q33_minhash_lsh_dup",
-    (s, dir) => {
-      // hashed shingles (8-byte cache, see shingledHashed); the minhash
-      // kernel's Long-input path starts from the same xxhash64 base, so
-      // the sketch is bit-identical to the string form
-      val sh = shingledHashed(s, dir).localCheckpoint()
-      // native one-pass sketch (HashKernels.minhash64): 32 splitmix
-      // derivations per pre-hashed shingle, vs the interpreted
-      // `transform(sequence(0,31), k -> array_min(transform(sh, t ->
-      // xxhash64(t,k))))` chain that re-hashed every shingle 32× through
-      // per-element lambda dispatch (44 s of the round-3 bench)
-      val bandsE = "transform(sequence(0, 15), j -> " +
-        "xxhash64(element_at(mhs, 2*j+1), element_at(mhs, 2*j+2)))"
-      val buckets = sh
-        .select(col("doc_id"),
-          graft.functions.GraftFunctions.minhash64(col("sh"), 32).as("mhs"))
-        .select(col("doc_id"), posexplode(expr(bandsE)).as(Seq("band", "bucket")))
-        .persist()
-      val cands = buckets.as("x").join(buckets.as("y"),
-          col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
-      verifiedPairs(sh, cands)
-    },
+    (s, dir) => lshPairs(s, dir).orderBy(col("id_a"), col("id_b")),
     q32NearDupPairs.oracle,
     "near-dup via banded minhash-LSH: xxhash64-long sketches, persisted frames, candidates only within (band, bucket); shuffle O(n·bands), never all-pairs")
 

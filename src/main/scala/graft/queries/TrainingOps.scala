@@ -593,7 +593,13 @@ object TrainingOps {
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     var labels = edges.select(col("v")).distinct()
       .withColumn("lbl", col("v")).persist()
-    var prevSum = lblSum(labels)
+    // No baseline sum over the INITIAL label frame (round 21): labels
+    // start at v and round 1 lowers at least one label for ANY
+    // non-empty edge set (every edge has two distinct endpoints), so
+    // the initial action could only ever match round 1 on an empty
+    // graph — one wasted action per call on every real input.
+    // Convergence is two consecutive ROUND sums agreeing.
+    var prevSum: Option[Long] = None
     var converged = false
     var round = 0
     while (!converged) {
@@ -607,8 +613,8 @@ object TrainingOps {
         if (round % checkpointEvery == 0) merged.localCheckpoint()
         else merged.persist()
       val s = lblSum(next)
-      converged = s == prevSum
-      prevSum = s
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       labels.unpersist()
       labels = next
     }
@@ -767,8 +773,15 @@ object TrainingOps {
   val q111StarClusters = Q(
     "q111_star_clusters",
     (s, dir) => {
+      // NO eager pair checkpoint here (round 21), unlike q72/q134:
+      // largeStarSmallStar's canonical edge frame ends in a distinct
+      // whose shuffle is the single point every round-1 branch reads,
+      // so the LSH generation runs once inside round 1's first action
+      // — q72's two-branch-union race does not exist on this path,
+      // and the eager form paid a dedicated materialization job for a
+      // frame with exactly one consumer.
       val pairs = LlmOps.nearDupPairs(s, dir)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
+        .select(col("id_a"), col("id_b"))
       graft.ops.ConnectedComponents.largeStarSmallStar(pairs)
         .groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
