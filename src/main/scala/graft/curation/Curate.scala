@@ -287,8 +287,15 @@ object Curate {
           s"TrainedDeciles: empty design matrix after carveout (evalIdBelow=$evalIdBelow) — " +
             "gdRounds would train null weights; lower the carveout or use another QualityPolicy")
         val z = C.gdScores(fx, w3).withColumn("__blk", lit(0L))
+        // nFx is exactly the rank input's row count (every fx row
+        // scores), so hand it to BlockRanks: below the 32k threshold
+        // the plain-window form skips the split path's three extra
+        // stages (range-sample job, checkpoint, offset join); above
+        // it the scale-safe split runs as before (round 21, guide
+        // §2.4 — the q141/q142 knownRows discipline applied here)
         val ranked = graft.ops.BlockRanks.withBlockRank(
-          z, "__blk", Seq(col("z").desc, col("doc_id")), "rk")
+          z, "__blk", Seq(col("z").desc, col("doc_id")), "rk",
+          knownRows = nFx)
         val dec = ranked
           .filter(expr(s"(rk - 1) * 10 div $nFx") < k)
           .select(col("doc_id"))

@@ -79,10 +79,13 @@ object BlockRanks {
     * to `row_number().over(Window.partitionBy(blockCol).orderBy
     * (orderCols))` with p-way parallelism in every stage.
     *
-    * `knownRows`: the caller's (cached) input row count, if it has
-    * one; a value in [0, windowFormMaxRows] selects the plain-window
-    * form. Pass -1 (default) when unknown — the scale-safe split runs
-    * unconditionally.
+    * `knownRows`: the caller's (cached) input row count — or any
+    * UPPER BOUND on it (the value only gates the fast-path branch, so
+    * a bound that fits under [[windowFormMaxRows]] proves the true
+    * count does too; q143 passes the memoized corpus doc count for
+    * its sub-corpus rank inputs). A value in [0, windowFormMaxRows]
+    * selects the plain-window form. Pass -1 (default) when unknown —
+    * the scale-safe split runs unconditionally.
     */
   def withBlockRank(df: DataFrame, blockCol: String, orderCols: Seq[Column],
       rnCol: String, partitions: Int = 0, knownRows: Long = -1L): DataFrame = {

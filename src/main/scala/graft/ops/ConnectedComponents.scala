@@ -23,12 +23,12 @@ import org.apache.spark.sql.functions._
   * Both steps preserve connectivity exactly (proved in the paper; the
   * spec pins equality with union-find on generated graphs and with
   * minLabelClusters on the real pair graph). Convergence = the edge
-  * multiset is a fixpoint (every node points directly at its
-  * component minimum), detected by an order-insensitive
-  * (XOR-of-xxhash64, count) checksum — XOR rather than SUM because
-  * the edge set is distinct (no self-cancelling multiset) and XOR
-  * cannot overflow under ANSI mode; one scalar pair per round, no
-  * edge collect. Rounds
+  * set is a fixpoint (every node points directly at its component
+  * minimum), detected STRUCTURALLY in the round that produces it —
+  * the output is a star forest, a per-vertex local property (see
+  * `isStarForest` below) — rather than by comparing consecutive round
+  * checksums, which pays one extra full round to re-derive the same
+  * set. One scalar per round, no edge collect. Rounds
   * localCheckpoint: the per-round frames are edge-sized and lineage
   * must not accumulate across O(log n) iterations.
   *
@@ -60,23 +60,48 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(eager = false)
 
-    def checksum(df: DataFrame): (Long, Long) = {
-      val r = df.select(greatest(col("src"), col("dst")).as("h"),
-          least(col("src"), col("dst")).as("l"))
-        .agg(bit_xor(xxhash64(col("h"), col("l"))), count(lit(1))).head()
-      (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L), r.getLong(1))
+    /** STRUCTURAL convergence probe (round 21, optimization 1): the
+      * round output is a fixpoint of large∘small iff it is a disjoint
+      * union of stars rooted at component minima, and THAT is locally
+      * checkable — (a) no vertex appears as both a src and a dst, and
+      * (b) no src carries two out-edges. (⇐: on such a star forest the
+      * root is below every member, so large-star re-emits each (v, r)
+      * and small-star re-emits the same — both identities, shown in
+      * the fixpoint-shape note at the bottom. ⇒: a fixpoint violating
+      * (a) holds (a→b),(b→c) and the note's contradiction kills it; a
+      * fixpoint violating (b) holds (v→m1),(v→m2) with m1 < m2 and the
+      * next small-star emits the NEW edge (m2→m1) — u = v's
+      * closed-neighborhood min is m1 and m2 ≤ v — so it was no
+      * fixpoint.) The previous detector — two consecutive rounds with
+      * equal (xor-of-hash, count) checksums — could only see a
+      * fixpoint by RE-DERIVING it, paying one extra full round (two
+      * more groupBy/join/distinct passes over the edge set) purely to
+      * confirm; the structural probe fires in the round that PRODUCES
+      * the star forest. Measured: q111 2 → 1 rounds, q139/q140's
+      * mutual-kNN graph 6 → 5, identical labels (oracle + spec). Cost:
+      * the probe's vertex-keyed groupBy is one narrow exchange over
+      * 2|E| tagged rows where the checksum was a single scalar agg —
+      * strictly cheaper than the round it deletes. It is also exact
+      * where the checksum had a (negligible) hash-collision false-
+      * convergence risk, and it directly verifies the no-dst-is-a-src
+      * property the root extraction below RELIES on.
+      */
+    def isStarForest(df: DataFrame): Boolean = {
+      val bad = df.select(col("src").as("x"), lit(1L).as("es"), lit(0L).as("ed"))
+        .union(df.select(col("dst").as("x"), lit(0L).as("es"), lit(1L).as("ed")))
+        .groupBy(col("x"))
+        // edge set is distinct, so the src-tag sum counts out-edges
+        .agg(sum(col("es")).as("outdeg"), max(col("ed")).as("isDst"))
+        .agg(count_if(col("outdeg") > 1L ||
+          (col("outdeg") > 0L && col("isDst") === 1L)))
+        .head().getLong(0)
+      bad == 0L
     }
 
-    // No checksum of the INPUT edge set (round 21): convergence is
-    // detected by two consecutive ROUND outputs agreeing, so the
-    // baseline action over the full input frame bought exactly one
-    // thing — declaring an already-fixpoint input converged after one
-    // round instead of two. Real caller graphs (raw near-dup /
-    // mutual-kNN pair frames) are never pre-contracted stars, so the
-    // dropped action is pure saving; the one corner pays one extra
-    // round over an already-star-shaped (i.e. component-sized) edge
-    // set. Output is the same fixpoint either way.
-    var prev: Option[(Long, Long)] = None
+    // No action over the INPUT edge set (round 21): real caller graphs
+    // (raw near-dup / mutual-kNN pair frames) are never pre-contracted
+    // star forests, so probing the input would be one wasted action per
+    // call; an already-fixpoint input costs one (identity) round.
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -148,9 +173,7 @@ object ConnectedComponents {
         .localCheckpoint(eager = false)
       // the round's ONE action — see the invariant note on `large`
       // above: do not add actions between `large` and this call
-      val cs = checksum(small)
-      converged = prev.contains(cs)
-      prev = Some(cs)
+      converged = isStarForest(small)
       edges = small
     }
     // round-count diagnostic is opt-in: this is library code, and an
@@ -159,9 +182,10 @@ object ConnectedComponents {
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] large/small-star converged in $rounds rounds")
     // Fixpoint shape (round 21 — relied on, so proved here): converged
-    // means one more large+small round leaves the edge SET unchanged,
-    // and a stable set is necessarily a disjoint union of stars rooted
-    // at component minima. Sketch: small-star output always has
+    // now means the structural probe verified the edge set IS a
+    // disjoint union of stars rooted at component minima (and any
+    // checksum-stable set is necessarily one). Sketch for the
+    // stable-set direction: small-star output always has
     // src > dst (the emitted dst is a closed-neighborhood minimum), so
     // suppose the stable set held (a→b) AND (b→c) — b both pointed-at
     // and pointing. Large-star on b's neighborhood {a, c, …} re-links

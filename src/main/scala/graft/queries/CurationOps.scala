@@ -2030,11 +2030,27 @@ object CurationOps {
       val q = qualityFixedPoint(s, dir).withColumn("__blk", lit(0L))
       val lm = lmScored(T.documentsSpread(s, dir))
         .select(col("doc_id"), col("lm_score")).withColumn("__blk", lit(0L))
+      // knownRows (round 21, guide §2.4): both rank inputs are
+      // sub-corpus frames — q ranks docs with n_toks ≥ 1, lm ranks
+      // docs with ≥ 2 tokens — so the cheap memoized non-empty-doc
+      // count is a valid UPPER bound on either row count, and an
+      // upper bound is exactly what the fast-path branch needs (if it
+      // fits under the 32k window threshold, the true count does
+      // too). Below the threshold each rank drops BlockRanks' split
+      // path (range-sample job + eager checkpoint + offset agg +
+      // broadcast join — the documented +0.8 s/call fixed cost at
+      // sf0.1) for one plain window; at corpus scale the count
+      // exceeds the threshold and the scale-safe split runs
+      // unchanged. Ranks are bit-identical on both paths
+      // (BlockRanksSpec), so the oracle is untouched.
+      val nDocsBound = graft.queries.PipelineOps.nonEmptyDocCount(s, dir)
       val rq = graft.ops.BlockRanks.withBlockRank(
-          q, "__blk", Seq(col("s_fp").desc, col("doc_id")), "r_quality")
+          q, "__blk", Seq(col("s_fp").desc, col("doc_id")), "r_quality",
+          knownRows = nDocsBound)
         .select(col("doc_id"), col("s_fp"), col("r_quality"))
       val rl = graft.ops.BlockRanks.withBlockRank(
-          lm, "__blk", Seq(col("lm_score").desc, col("doc_id")), "r_lm")
+          lm, "__blk", Seq(col("lm_score").desc, col("doc_id")), "r_lm",
+          knownRows = nDocsBound)
         .select(col("doc_id"), col("r_lm"))
       // one null guard: the output rank is coalesce(r_lm, 0), and a
       // BlockRanks rank is >= 1 when present, so `r_lm = 0` IS the
