@@ -1689,13 +1689,33 @@ object CurationOps {
       val m = cellMembers(s, dir)
       val wK = Window.partitionBy(col("src"))
         .orderBy(col("cos").desc, col("nb"))
-      // knn fans into both sides of the mutuality join
-      val knn = m.as("a").join(m.as("b"),
+      // Each unordered within-cell pair is joined ONCE (vec_id <, not
+      // ≠) and its cosine mirrored into both directions by a 2-way
+      // explode (round 21, guide §1.2 "don't compute things you throw
+      // away"): the ≠ form matched every pair twice and re-ran the
+      // dim-length dot fold per direction — at scale the candidate
+      // cosine kernel is this query's dominant flops, and half of
+      // them were recomputing the commutative other half. Bitwise
+      // identical: a_i·b_i = b_i·a_i per IEEE multiply and the fold
+      // order over dims is unchanged, so the mirrored cos is the
+      // exact double the ≠ form computed. The cosine is projected
+      // BELOW the explode so it is evaluated once per pair, not once
+      // per emitted direction; row count into the kNN window exchange
+      // is identical to the ≠ form's.
+      val half = m.as("a").join(m.as("b"),
           col("a.cent_id") === col("b.cent_id") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("src"), col("b.vec_id").as("nb"),
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
           (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
             .as("cos"))
+      // knn fans into both sides of the mutuality join
+      val knn = half
+        .select(explode(array(
+            struct(col("va").as("src"), col("vb").as("nb"), col("cos")),
+            struct(col("vb").as("src"), col("va").as("nb"), col("cos"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.nb").as("nb"),
+          col("e.cos").as("cos"))
         .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 3)
         .select(col("src"), col("nb"))
         .localCheckpoint()
@@ -1836,9 +1856,11 @@ object CurationOps {
     val members = mutualKnnMembers(s, dir)
       .withColumn("hv",
         expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
-    // vector count is cheap from parquet metadata and lets the
-    // sub-32k case skip BlockRanks' three extra stages
-    val nVecs = T.embeddings(s, dir).count()
+    // vector count lets the sub-32k case skip BlockRanks' three extra
+    // stages; memoized (round 21) — table cardinality is session-
+    // stable, so the parquet metadata count runs once per session, not
+    // once per invocation
+    val nVecs = graft.queries.PipelineOps.embeddingCount(s, dir)
     graft.ops.BlockRanks.withBlockRank(
         members, "cluster_id", Seq(col("hv"), col("vec_id")), "rk",
         knownRows = nVecs)

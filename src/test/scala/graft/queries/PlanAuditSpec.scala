@@ -296,7 +296,14 @@ class PlanAuditSpec extends SparkSpec {
       // (score quantized to buckets before the window — constant-sized
       // at any corpus; CurationOps.q114 scaladoc)
       "q114_quality_threshold_curve" ->
-        "window over the quantized score-bucket aggregate (≤130 rows)")
+        "window over the quantized score-bucket aggregate (≤130 rows)",
+      // the __blk=0 global ranks take BlockRanks' plain-window form
+      // ONLY when the memoized corpus count proves the input fits
+      // under windowFormMaxRows (32k); above it the range-split path
+      // replaces the global window — bounded by the knownRows gate,
+      // not by this corpus (BlockRanks scaladoc + BlockRanksSpec)
+      "q143_quality_rank_fusion" ->
+        "knownRows-gated plain-window fast path (≤32k rows by construction; split path at scale)")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.optimizedPlan
