@@ -150,6 +150,14 @@ object GraftFunctions {
         org.apache.spark.sql.GraftColumnBridge.expression(xq),
         org.apache.spark.sql.GraftColumnBridge.expression(cs)))
 
+  /** Column-API handle for [[CosArgmaxExpr]]. */
+  def cosArgmax(v: Column, nrm: Column, cs: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      CosArgmaxExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(v),
+        org.apache.spark.sql.GraftColumnBridge.expression(nrm),
+        org.apache.spark.sql.GraftColumnBridge.expression(cs)))
+
   /** Column-API handle for [[Md5PrefixLongsExpr]]. */
   def md5Longs(arr: Column, nHex: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(

@@ -524,14 +524,14 @@ object CurationOps {
     * near-dups are the recall trade documented by the paper.
     */
   /** q87's cell-membership frame (vec_id, cent_id, v, nrm): broadcast
-    * K=16 codebook argmax assignment joined back to the normalized
-    * vectors — factored so q139's mutual-kNN graph runs on the SAME
-    * cells (one implementation, one oracle-checked assignment rule).
-    * The normalized frame fans into the centroid slice, the
-    * assignment scan, and the join-back, so it is persisted for the
-    * build and unpersisted once the RESULT is checkpointed — the
-    * cache is managed entirely inside this seam, so multi-query runs
-    * (q87 + q139 both call it) accumulate nothing.
+    * K=16 codebook argmax assignment as one `cos_argmax` projection
+    * over the normalized vectors — factored so q139's mutual-kNN graph
+    * runs on the SAME cells (one implementation, one oracle-checked
+    * assignment rule). The normalized frame fans into the centroid
+    * slice and the assignment scan, so it is persisted for the build
+    * and unpersisted once the RESULT is checkpointed — the cache is
+    * managed entirely inside this seam, so multi-query runs (q87 +
+    * q139 both call it) accumulate nothing.
     */
   /** The LAZY membership plan over a given normalized-vectors frame
     * — split from [[cellMembers]] so the plan-pin specs can assert
@@ -539,17 +539,32 @@ object CurationOps {
     * production path materializes away. */
   private[graft] def cellMembersPlan(n: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import graft.functions.GraftFunctions.dot
+    import graft.functions.GraftFunctions.cosArgmax
+    // Assignment as one compiled map-side argmax (round 21, guide §2.1
+    // "remove the shuffle outright" + §4): the previous form exploded
+    // the corpus against the broadcast 16-row codebook (corpus×16
+    // rows), ran a row_number window partitioned by vec_id (a corpus×16
+    // exchange + sort whose ONLY job was picking the per-row max), and
+    // joined the winning cent_id back to `n` (a second corpus-scale
+    // exchange pair). The cid-sorted codebook now rides a 1-row
+    // broadcast into a `cos_argmax` projection over the scan — same 16
+    // dot-product flops per row, ZERO corpus exchanges. Equivalence:
+    // the kernel's fold is DotProductF's (bit-identical cosines) and
+    // its NaN-safe strict-max over the cid-ASC array reproduces the
+    // window's (cos DESC, cent_id ASC) rn = 1 row exactly
+    // (VecDistKernels.cosArgmax scaladoc); the size(cs) > 0 guard
+    // reproduces the old inner join's empty-codebook ⇒ empty-output
+    // semantics. Oracle (q87/q139/q140) re-proved at sf0.001/0.01/0.1.
     val cents = n.filter(col("vec_id").between(100, 115))
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val wA = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cent_id"))
-    val assign = n.join(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cos"))
-      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"))
-    assign.join(n, "vec_id")
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))))
+        .as("cs"))
+    n.crossJoin(broadcast(cents))
+      .filter(size(col("cs")) > 0)
+      .select(col("vec_id"),
+        cosArgmax(col("v"), col("nrm"), col("cs")).getField("cid")
+          .as("cent_id"),
+        col("v"), col("nrm"))
   }
 
   /** Normalized embedding vectors (vec_id, v, nrm). */
@@ -1334,44 +1349,48 @@ object CurationOps {
     * tail (41 rows at sf0.01); a real near-paraphrase sits far above
     * any such threshold.
     *
-    * Exactness: q34's contract — pinned-order dot fold (native dot_f),
-    * norms as one sqrt each, argmax with (cos DESC, probe ASC)
-    * row_number — bit-identical to the DuckDB list_reduce oracle.
+    * Exactness: q34's contract — pinned-order dot fold (the cos_argmax
+    * kernel shares DotProductF's fold), argmax with the window's
+    * (cos DESC, probe ASC) tie rule — bit-identical to the DuckDB
+    * list_reduce oracle.
     *
     * Scale shape: eval probe sets are small by nature → one broadcast;
-    * the corpus pass is map-side dots (no shuffle), and the only
-    * corpus-wide exchange is the vec-keyed argmax window over
-    * corpus×|probes| rows. A probe set too big to broadcast routes
-    * through q60's IVF cells first (probe-side routing), plan
-    * unchanged below the candidate join.
+    * the corpus pass is a single map-side cos_argmax projection — NO
+    * corpus-wide exchange at all (round 21; previously a vec-keyed
+    * argmax window over corpus×|probes| rows). A probe set too big to
+    * broadcast routes through q60's IVF cells first (probe-side
+    * routing), plan unchanged below the candidate join.
     */
   /** q126's kernel, factored so the composed pipeline (Curate stage 5b)
     * and the registry query share one implementation: per corpus vector
     * (vec_id >= probeIdBelow), the nearest eval probe (vec_id <
-    * probeIdBelow) and its exact cosine. Plan shape as the q126
-    * scaladoc documents: broadcast probe set, map-side pinned dot
-    * folds, one vec-keyed argmax exchange.
+    * probeIdBelow) and its exact cosine. Plan shape (round 21): the
+    * probe set rides a 1-row broadcast into a single map-side
+    * `cos_argmax` projection over the corpus scan — the previous
+    * corpus×probes exploded broadcast join + row_number window paid a
+    * corpus×probes exchange+sort for the same per-row argmax (same
+    * dot-fold doubles, same (cos DESC, probe_id ASC) tie rule — see
+    * VecDistKernels.cosArgmax; the size guard reproduces the inner
+    * join's empty-probe-set ⇒ empty-output semantics).
     */
   def semanticNearest(emb: org.apache.spark.sql.DataFrame,
       probeIdBelow: Long): org.apache.spark.sql.DataFrame = {
-    import graft.functions.GraftFunctions.dot
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.{dot, cosArgmax}
     val n = emb
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
     val probes = n.filter(col("vec_id") < probeIdBelow)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pn"))
-    val sim = n.filter(col("vec_id") >= probeIdBelow)
-      .join(broadcast(probes))
-      .select(col("vec_id"), col("probe_id"),
-        (dot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("probe_id"))
-    sim.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("probe_id").as("nearest_probe"),
-        col("cos").as("cosine"))
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))))
+        .as("ps"))
+    n.filter(col("vec_id") >= probeIdBelow)
+      .crossJoin(broadcast(probes))
+      .filter(size(col("ps")) > 0)
+      .select(col("vec_id"),
+        cosArgmax(col("v"), col("nrm"), col("ps")).as("am"))
+      .select(col("vec_id"), col("am.cid").as("nearest_probe"),
+        col("am.cos").as("cosine"))
   }
 
   val q126SemanticDecontam = Q(
@@ -1663,8 +1682,10 @@ object CurationOps {
     *
     * Scale shape: candidate generation is q87's within-cell pair join
     * through the factored [[cellMembers]] seam (O(Σ cell²), never
-    * O(n²); K scales ~√n); the kNN cut is one within-source rank
-    * window over the cell-bounded candidate frame; the knn list is
+    * O(n²); K scales ~√n); the kNN cut is a bounded-memory top-3
+    * aggregation over the cell-bounded candidate frame (map-side
+    * partial — candidates never shuffle, only ≤ 3 winners per src do;
+    * round 21, replacing the rank window); the knn list is
     * ≤ k·N rows (checkpointed at its self-join fan-out), mutual edges
     * ≤ k·N/2, and the CC label frame is edge-graph-sized. The final
     * membership join is corpus-keyed and linear; the label side is
@@ -1687,8 +1708,6 @@ object CurationOps {
       // cellMembers checkpoints internally — the frame arrives
       // materialized for the pair-join fan-out, no second pin needed
       val m = cellMembers(s, dir)
-      val wK = Window.partitionBy(col("src"))
-        .orderBy(col("cos").desc, col("nb"))
       // Each unordered within-cell pair is joined ONCE (vec_id <, not
       // ≠) and its cosine mirrored into both directions by a 2-way
       // explode (round 21, guide §1.2 "don't compute things you throw
@@ -1708,7 +1727,19 @@ object CurationOps {
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
           (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
             .as("cos"))
-      // knn fans into both sides of the mutuality join
+      // Per-source top-3 as a bounded-memory typed aggregation (round
+      // 21, guide §2.2 "shuffle fewer bytes" — q51's TopKAggregator
+      // pattern on a hot path): the row_number window shuffled EVERY
+      // within-cell candidate row to its src partition and sorted
+      // there; the Aggregator's map-side partial reduces each input
+      // partition to ≤ 3 rows per src BEFORE the exchange — and since
+      // each src's candidates are already colocated by the cent_id
+      // pair join, the partial pass does all the cutting. Ordering is
+      // TopKAggregator's (score DESC, key ASC) — exactly the window's
+      // (cos DESC, nb ASC) total order, so take(3) ≡ rn ≤ 3 row for
+      // row (the aggregator's oracle-is-the-window-form proof, q51).
+      // knn fans into both sides of the mutuality join.
+      val topK = udaf(new graft.functions.TopKAggregator(3))
       val knn = half
         .select(explode(array(
             struct(col("va").as("src"), col("vb").as("nb"), col("cos")),
@@ -1716,8 +1747,9 @@ object CurationOps {
           .as("e"))
         .select(col("e.src").as("src"), col("e.nb").as("nb"),
           col("e.cos").as("cos"))
-        .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 3)
-        .select(col("src"), col("nb"))
+        .groupBy(col("src"))
+        .agg(topK(col("nb"), col("cos")).as("tops"))
+        .select(col("src"), explode(col("tops.key")).as("nb"))
         .localCheckpoint()
       val mutual = knn.as("k1").join(knn.as("k2"),
           col("k2.src") === col("k1.nb") && col("k2.nb") === col("k1.src") &&

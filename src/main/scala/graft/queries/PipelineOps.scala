@@ -1279,24 +1279,36 @@ object PipelineOps {
   val q60AnnIvf = Q(
     "q60_ann_ivf",
     (s, dir) => {
-      import graft.functions.GraftFunctions.dot
+      import graft.functions.GraftFunctions.{dot, cosArgmax}
       val n = T.embeddings(s, dir)
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
         .persist()
+      // Corpus-side assignment as the map-side cos_argmax kernel
+      // (round 21, the cellMembersPlan rewrite): same dot-fold doubles,
+      // same (cos DESC, cent_id ASC) tie rule as the previous exploded
+      // row_number window, minus the corpus×16 exchange+sort. The
+      // top-4 PROBE ranking still wants 4 cells per query, so it keeps
+      // the window — but over the filtered 10-query slice only
+      // (10×16 rows), never the corpus.
+      val centsArr = n.filter(col("vec_id").between(100, 115))
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))))
+          .as("cs"))
+      val assign = n.crossJoin(broadcast(centsArr))
+        .filter(size(col("cs")) > 0)
+        .select(col("vec_id"),
+          cosArgmax(col("v"), col("nrm"), col("cs")).getField("cid")
+            .as("cent_id"))
       val cents = n.filter(col("vec_id").between(100, 115))
         .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val sim = n.join(broadcast(cents))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cent_id"))
+      val probes = n.filter(col("vec_id") < 10).join(broadcast(cents))
         .select(col("vec_id"),
           col("cent_id"),
           (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cos"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("cent_id"))
-      val assign = sim.withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cent_id"))
-      val probes = sim.filter(col("vec_id") < 10)
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") <= 4)
         .select(col("vec_id").as("query_id"), col("cent_id"))

@@ -1451,12 +1451,25 @@ object TrainingOps {
     val runs = isl.groupBy(col("doc_id"), col("isl"))
       .agg(count(lit(1)).cast("int").as("run_len"),
         min(col("i")).cast("int").as("run_start"))
-    runs.withColumn("rn",
-        row_number().over(Window.partitionBy(col("doc_id"))
-          .orderBy(col("run_len").desc, col("run_start"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("run_len"), col("run_start"),
-        (col("run_len") + (k - 1)).as("span_tokens"))
+    // Longest run per doc via max_by (round 21, guide §2.2): both this
+    // and the previous row_number window ride the isl window's
+    // existing doc_id partitioning (no new exchange either way — the
+    // ShuffleAudit bytes are identical), but the window form sorted
+    // every run row by (run_len, run_start), numbered ALL of them, and
+    // filtered to rn=1, where the partial max_by collapses each doc to
+    // one row in a single pass (paired A/B: q116 0.89 → 0.77 s, q127
+    // 1.04 → 0.85 s at sf0.1). Tie rule matches the window's
+    // (run_len DESC, run_start ASC) exactly: max over
+    // struct(run_len, −run_start) picks max run_len, then min
+    // run_start — and (run_len, run_start) pairs are unique per doc
+    // anyway (each token position belongs to one island), so the pick
+    // is deterministic under any partitioning.
+    runs.groupBy(col("doc_id"))
+      .agg(max_by(struct(col("run_len"), col("run_start")),
+        struct(col("run_len"), -col("run_start"))).as("m"))
+      .select(col("doc_id"), col("m.run_len").as("run_len"),
+        col("m.run_start").as("run_start"),
+        (col("m.run_len") + (k - 1)).as("span_tokens"))
   }
 
   val q116DupSpanLocalize = Q(

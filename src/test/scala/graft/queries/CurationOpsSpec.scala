@@ -216,11 +216,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(assignPlan.contains("BroadcastNestedLoopJoin")
       || assignPlan.contains("BroadcastHashJoin"), assignPlan)
     assert(!assignPlan.contains("CartesianProduct"), assignPlan)
+    // round 21: assignment is a map-side cos_argmax projection — the
+    // corpus×16 row_number window (and its exchange+sort) is gone
+    assert(!assignPlan.contains("Window"), assignPlan)
     // and the caller's within-cell pair join stays KEYED on cent_id
     val plan = executedPlan(CurationOps.q87EmbedCellDedup)
     assert(!plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("[cent_id"), plan)
+  }
+
+  test("cellMembersPlan cos_argmax kernel matches the exploded row_number window form") {
+    // the round-21 map-side argmax must assign every vector to the
+    // exact cell the previous broadcast-explode + (cos DESC, cent_id)
+    // window form picked — same dot fold, same tie rule
+    import graft.functions.GraftFunctions.dot
+    val n = CurationOps.normalizedVectors(spark, sf).persist()
+    val cents = n.filter(col("vec_id").between(100, 115))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cent_id"))
+    val ref = n.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cos"))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = CurationOps.cellMembersPlan(n)
+      .select(col("vec_id"), col("cent_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    n.unpersist()
+    assert(got.size === ref.size)
+    assert(got === ref)
   }
 
   test("q93 keeps exactly the docs an independent application of the rate rule keeps") {
@@ -737,8 +764,11 @@ class CurationOpsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"probe join is not broadcast:\n$plan")
-    // the only exchanges: the vec-keyed argmax window + the output sort
-    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
-      s"unexpected corpus exchange beyond the argmax window:\n$plan")
+    // round 21: the argmax is a map-side cos_argmax projection — no
+    // vec-keyed window exchange remains, only the output sort's range
+    // exchange (and the 1-row probe-collection agg)
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 0,
+      s"unexpected corpus hash exchange:\n$plan")
+    assert(!plan.contains("Window"), s"argmax window survived:\n$plan")
   }
 }
