@@ -158,6 +158,21 @@ object GraftFunctions {
         org.apache.spark.sql.GraftColumnBridge.expression(nrm),
         org.apache.spark.sql.GraftColumnBridge.expression(cs)))
 
+  /** Column-API handle for [[PqEncodeExpr]]. */
+  def pqEncode(vec: Column, cbl: Column, sub: Int, dsub: Int, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      PqEncodeExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec),
+        org.apache.spark.sql.GraftColumnBridge.expression(cbl),
+        sub, dsub, k))
+
+  /** Column-API handle for [[PqAdcExpr]]. */
+  def pqAdc(codes: Column, qdt: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      PqAdcExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(codes),
+        org.apache.spark.sql.GraftColumnBridge.expression(qdt)))
+
   /** Column-API handle for [[Md5PrefixLongsExpr]]. */
   def md5Longs(arr: Column, nHex: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(

@@ -102,6 +102,65 @@ object VecDistKernels {
     }
     new GenericInternalRow(Array[Any](bc, best))
   }
+
+  /** PQ encode: for each subspace jj in 0..sub−1, the cid of the
+    * codeword minimizing the left-to-right-from-+0.0 fold of
+    * (x_i − mu_i)² over the jj-th dsub-slice of `vec`, codewords
+    * scanned in array order within cbl[jj·k .. jj·k+k−1] with strict
+    * `<` from a +Inf seed — exactly the
+    * `aggregate(transform(slice(cbl, jj*k+1, k), ...),
+    *  named_struct('d', Inf, 'c', -1), (acc, en) -> IF(en.d < acc.d,
+    *  en, acc))` HOF chain it replaces (first minimum wins ⇒ the
+    * (dist ASC, cid ASC) tie rule over the sort_array'd codebook).
+    * `fromLong` selects whether vec elements are read as long (q119's
+    * quantized xq, `cast(a as double) − b`) or double (q122's residual
+    * r). cbl elements: struct<jj:int, cid:int, mu:array<double>>. */
+  def pqEncode(vec: ArrayData, cbl: ArrayData, sub: Int, dsub: Int,
+      k: Int, fromLong: Boolean): ArrayData = {
+    val out = new Array[Int](sub)
+    var jj = 0
+    while (jj < sub) {
+      var bd = Double.PositiveInfinity
+      var bc = -1
+      var c = 0
+      while (c < k) {
+        val ct = cbl.getStruct(jj * k + c, 3)
+        val mu = ct.getArray(2)
+        val off = jj * dsub
+        val n = math.min(math.min(dsub, mu.numElements()),
+          math.max(0, vec.numElements() - off))
+        var s = 0.0d
+        var i = 0
+        while (i < n) {
+          val a = if (fromLong) vec.getLong(off + i).toDouble
+                  else vec.getDouble(off + i)
+          val d = a - mu.getDouble(i)
+          s += d * d
+          i += 1
+        }
+        if (s < bd) { bd = s; bc = ct.getInt(1) }
+        c += 1
+      }
+      out(jj) = bc
+      jj += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC lookup sum: Σ_jj qdt(jj)(codes(jj)), jj ascending,
+    * left-to-right from +0.0 — exactly
+    * `aggregate(sequence(0, sub-1), 0D, (s, jj) -> s +
+    *  element_at(element_at(qdt, jj+1), element_at(codes, jj+1)+1))`. */
+  def pqAdc(codes: ArrayData, qdt: ArrayData): Double = {
+    var s = 0.0d
+    var jj = 0
+    val n = codes.numElements()
+    while (jj < n) {
+      s += qdt.getArray(jj).getDouble(codes.getInt(jj))
+      jj += 1
+    }
+    s
+  }
 }
 
 /** `l2sq_ld(array<bigint>, array<double>): double` — native squared-L2
@@ -221,4 +280,85 @@ case class CosArgmaxExpr(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): CosArgmaxExpr =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `pq_encode(vec: array<bigint>|array<double>,
+  * cbl: array<struct<jj:int, cid:int, mu:array<double>>>): array<int>`
+  * — the whole product-quantization encode step (sub × k × dsub) as one
+  * compiled expression; see [[VecDistKernels.pqEncode]] for the exact
+  * fold/tie contract it shares with the interpreted
+  * `transform(sequence(...), jj -> aggregate(transform(slice(...))))`
+  * HOF chain it replaces on the q119/q122 corpus scans (per-row lambda
+  * dispatch was the dominant encode cost, the q117 l2_argmin lesson).
+  * sub/dsub/k are plan-time constants (the codebook geometry). */
+case class PqEncodeExpr(left: Expression, right: Expression,
+    sub: Int, dsub: Int, k: Int) extends BinaryExpression {
+
+  private def fromLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType | DoubleType, _),
+            ArrayType(StructType(Array(
+              StructField(_, IntegerType, _, _),
+              StructField(_, IntegerType, _, _),
+              StructField(_, ArrayType(DoubleType, _), _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects (array<bigint>|array<double>, " +
+          s"array<struct<int, int, array<double>>>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(v: Any, cb: Any): Any =
+    VecDistKernels.pqEncode(v.asInstanceOf[ArrayData],
+      cb.asInstanceOf[ArrayData], sub, dsub, k, fromLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) =>
+      s"${ev.value} = graft.functions.VecDistKernels.pqEncode(" +
+        s"$v, $cb, $sub, $dsub, $k, $fromLong);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `pq_adc(codes: array<int>, qdt: array<array<double>>): double` —
+  * the asymmetric-distance lookup sum as one compiled expression; see
+  * [[VecDistKernels.pqAdc]] for the fold contract shared with the
+  * `aggregate(sequence(...), 0D, ...)` chain it replaces on the
+  * q119/q122 scored frames (corpus × probing-queries rows, 8
+  * interpreted element_at dispatches per row before). */
+case class PqAdcExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc expects (array<int>, array<array<double>>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(c: Any, q: Any): Any =
+    VecDistKernels.pqAdc(c.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"${ev.value} = graft.functions.VecDistKernels.pqAdc($c, $q);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
 }

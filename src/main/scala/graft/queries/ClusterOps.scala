@@ -166,17 +166,15 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
         s"""aggregate(zip_with(slice($vec, jj * $pqDsub + 1, $pqDsub), $ct.mu,
            |  (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
            |  0D, (s, x) -> s + x)""".stripMargin
-      // encode: 8 codeword ids per corpus vector, map-side only
+      // encode: 8 codeword ids per corpus vector, map-side only — the
+      // compiled pq_encode kernel (round 21, guide §4): the interpreted
+      // transform/aggregate HOF chain dispatched sub×k×dsub lambdas per
+      // corpus row; the kernel is the identical fold/tie rule (see
+      // VecDistKernels.pqEncode) fused into the scan's codegen stage
       val coded = e.join(broadcast(cbl))
-        .select(col("vec_id"), expr(s"""
-          transform(sequence(0, ${pqSub - 1}), jj ->
-            aggregate(
-              transform(slice(cbl, jj * $pqK + 1, $pqK), ct -> named_struct(
-                'd', ${subDist("xq", "ct")},
-                'c', ct.cid)),
-              named_struct('d', cast('Infinity' as double), 'c', -1),
-              (acc, en) -> IF(en.d < acc.d, en, acc),
-              acc -> acc.c))""").as("codes"))
+        .select(col("vec_id"),
+          graft.functions.GraftFunctions
+            .pqEncode(col("xq"), col("cbl"), pqSub, pqDsub, pqK).as("codes"))
       // per-query distance tables: qdt[jj][c] = dist(sub_jj(q), cb[jj][c])
       val queries = e.filter(col("vec_id") < 10)
         .join(broadcast(cbl))
@@ -184,12 +182,14 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
           transform(sequence(0, ${pqSub - 1}), jj ->
             transform(slice(cbl, jj * $pqK + 1, $pqK), ct ->
               ${subDist("xq", "ct")}))""").as("qdt"))
+      // ADC via the compiled pq_adc lookup-sum (round 21, guide §4 —
+      // same ascending-jj fold as the aggregate(sequence(...)) chain,
+      // minus 8 interpreted element_at dispatches per corpus×query row)
       val scored = coded.join(broadcast(queries),
           col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          expr(s"""aggregate(sequence(0, ${pqSub - 1}), 0D, (s, jj) ->
-            s + element_at(element_at(qdt, jj + 1),
-                           element_at(codes, jj + 1) + 1))""").as("adist"))
+          graft.functions.GraftFunctions
+            .pqAdc(col("codes"), col("qdt")).as("adist"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("adist"), col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -623,16 +623,13 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
       val subDist = (vec: String, ct: String) =>
         s"""aggregate(zip_with(slice($vec, jj * $pqDsub + 1, $pqDsub), $ct.mu,
            |  (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x)""".stripMargin
+      // compiled pq_encode kernel over the residuals (round 21, guide
+      // §4 — identical fold/tie rule to the HOF chain it replaces; the
+      // double-input variant of q119's long-input encode)
       val coded = res.join(broadcast(cbl))
-        .select(col("vec_id"), col("cell_id"), expr(s"""
-          transform(sequence(0, ${pqSub - 1}), jj ->
-            aggregate(
-              transform(slice(cbl, jj * $pqK + 1, $pqK), ct -> named_struct(
-                'd', ${subDist("r", "ct")},
-                'c', ct.cid)),
-              named_struct('d', cast('Infinity' as double), 'c', -1),
-              (acc, en) -> IF(en.d < acc.d, en, acc),
-              acc -> acc.c))""").as("codes"))
+        .select(col("vec_id"), col("cell_id"),
+          graft.functions.GraftFunctions
+            .pqEncode(col("r"), col("cbl"), pqSub, pqDsub, pqK).as("codes"))
       // probes: per query the nprobe nearest cells; residual is wrt the
       // PROBED cell's centroid (each probed list gets its own table)
       val qdt = cd
@@ -648,9 +645,8 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
       val scored = coded.join(broadcast(qdt), Seq("cell_id"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          expr(s"""aggregate(sequence(0, ${pqSub - 1}), 0D, (s, jj) ->
-            s + element_at(element_at(qdt, jj + 1),
-                           element_at(codes, jj + 1) + 1))""").as("adist"))
+          graft.functions.GraftFunctions
+            .pqAdc(col("codes"), col("qdt")).as("adist"))
       val wAdc = Window.partitionBy(col("query_id"))
         .orderBy(col("adist"), col("neighbor_id"))
       val shortlist = scored.withColumn("srn", row_number().over(wAdc))

@@ -1869,14 +1869,29 @@ object PipelineOps {
       val qs = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("q").as("qq"), col("nrm").as("qn"))
+      // Quantized candidate cut as a bounded top-20 aggregation (round
+      // 21, guide §2.2): the previous row_number window shuffled the
+      // whole corpus×queries frame WITH both full 64-dim vector pairs
+      // (~1 KB/row) to rank by the 8-byte qdot; the TopKAggregator's
+      // map-side partial reduces to ≤ 20 ids per query per partition
+      // and only the winners' vectors are fetched back — a
+      // 20·|Q|-row join against the vector frame instead of a
+      // corpus×|Q|×vectors exchange. Ordering (score DESC, key ASC)
+      // over score = qdot (exact in double: |qdot| ≤ 64·127² ≪ 2^53)
+      // is the window's (qdot DESC, neighbor_id ASC) — identical
+      // candidate set, so the exact-cosine refine and final ranks are
+      // unchanged.
       val scored = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          dot(col("qq"), col("q")).cast("long").as("qdot"),
-          col("qv"), col("v"), col("qn"), col("nrm"))
-      val w1 = Window.partitionBy(col("query_id"))
-        .orderBy(col("qdot").desc, col("neighbor_id"))
-      val cands = scored.withColumn("crank", row_number().over(w1))
-        .filter(col("crank") <= 20)
+          dot(col("qq"), col("q")).cast("long").as("qdot"))
+      val topQ = udaf(new graft.functions.TopKAggregator(20))
+      val cands = scored.groupBy(col("query_id"))
+        .agg(topQ(col("neighbor_id"), col("qdot").cast("double")).as("tops"))
+        .select(col("query_id"), explode(col("tops.key")).as("neighbor_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+          "neighbor_id")
+        .join(broadcast(qs.select(col("query_id"), col("qv"), col("qn"))),
+          "query_id")
         .select(col("query_id"), col("neighbor_id"),
           (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
       val w2 = Window.partitionBy(col("query_id"))
