@@ -36,7 +36,15 @@ final class TopKAggregator(k: Int)
   override def zero: Seq[Scored] = Seq.empty
 
   override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] =
-    (buf :+ a).sorted(ord).take(k)
+    // once the buffer holds k items, anything ordering at/after the
+    // current k-th can neither enter nor displace — O(1) reject for
+    // the overwhelming share of rows (KMinDistinctAggregator's fast
+    // path, round 21: the unconditional sort-take was O(k log k) +
+    // a fresh Seq PER INPUT ROW, measured 2.99 → 8.31 s on q122's
+    // k = 50 shortlist at sf1 before this guard). The kept inserts
+    // produce the identical sorted top-k.
+    if (buf.length >= k && ord.compare(a, buf.last) >= 0) buf
+    else (buf :+ a).sorted(ord).take(k)
 
   override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
     (b1 ++ b2).sorted(ord).take(k)

@@ -190,11 +190,20 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           graft.functions.GraftFunctions
             .pqAdc(col("codes"), col("qdt")).as("adist"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("adist"), col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+      // top-5 per query via the bounded TopKAggregator (round 21,
+      // guide §2.2 — the q34/q108 pattern): map-side partial cuts to
+      // ≤ 5 rows per query before the exchange, vs the window
+      // shuffling the whole corpus×queries ADC frame. Ascending adist
+      // rides as score = −adist (exact IEEE sign flip, negated back on
+      // output: −(−x) ≡ x bitwise for non-NaN, and adist is a sum of
+      // squares); (score DESC, key ASC) ≡ the window's
+      // (adist ASC, neighbor_id ASC), posexplode pos + 1 ≡ row_number.
+      val topQ = udaf(new graft.functions.TopKAggregator(5))
+      scored.groupBy(col("query_id"))
+        .agg(topQ(col("neighbor_id"), -col("adist")).as("tops"))
+        .select(col("query_id"), posexplode(col("tops")).as(Seq("p", "t")))
+        .select(col("query_id"), (col("p") + 1).as("rank"),
+          col("t.key").as("neighbor_id"), (-col("t.score")).as("adist"))
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
@@ -647,6 +656,16 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           graft.functions.GraftFunctions
             .pqAdc(col("codes"), col("qdt")).as("adist"))
+      // Shortlist cut stays the row_number WINDOW deliberately (round
+      // 21, measured): a TopKAggregator(50) conversion here ran 2.99 →
+      // 8.31 s at sf1 even with the O(1) fast-reject — the typed
+      // udaf's per-row object path (InternalRow → case class + Seq
+      // buffer) costs far more than the unsafe-sort window on this
+      // multi-million-row probed-cells×queries frame, and the rows are
+      // 24 B narrow so the window's shuffle is byte-cheap. The
+      // aggregator form wins only where the input is corpus×queries
+      // SMALL-k frames (q34/q43/q119) or the partial cut runs inside
+      // an already-colocated partition (q139).
       val wAdc = Window.partitionBy(col("query_id"))
         .orderBy(col("adist"), col("neighbor_id"))
       val shortlist = scored.withColumn("srn", row_number().over(wAdc))

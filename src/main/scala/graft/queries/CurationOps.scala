@@ -1682,10 +1682,10 @@ object CurationOps {
     *
     * Scale shape: candidate generation is q87's within-cell pair join
     * through the factored [[cellMembers]] seam (O(Σ cell²), never
-    * O(n²); K scales ~√n); the kNN cut is a bounded-memory top-3
-    * aggregation over the cell-bounded candidate frame (map-side
-    * partial — candidates never shuffle, only ≤ 3 winners per src do;
-    * round 21, replacing the rank window); the knn list is
+    * O(n²); K scales ~√n); the kNN cut is one within-source rank
+    * window over the cell-bounded candidate frame (a TopKAggregator
+    * conversion was measured SLOWER at the decade — see the inline
+    * rejected-experiment note); the knn list is
     * ≤ k·N rows (checkpointed at its self-join fan-out), mutual edges
     * ≤ k·N/2, and the CC label frame is edge-graph-sized. The final
     * membership join is corpus-keyed and linear; the label side is
@@ -1727,19 +1727,21 @@ object CurationOps {
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
           (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
             .as("cos"))
-      // Per-source top-3 as a bounded-memory typed aggregation (round
-      // 21, guide §2.2 "shuffle fewer bytes" — q51's TopKAggregator
-      // pattern on a hot path): the row_number window shuffled EVERY
-      // within-cell candidate row to its src partition and sorted
-      // there; the Aggregator's map-side partial reduces each input
-      // partition to ≤ 3 rows per src BEFORE the exchange — and since
-      // each src's candidates are already colocated by the cent_id
-      // pair join, the partial pass does all the cutting. Ordering is
-      // TopKAggregator's (score DESC, key ASC) — exactly the window's
-      // (cos DESC, nb ASC) total order, so take(3) ≡ rn ≤ 3 row for
-      // row (the aggregator's oracle-is-the-window-form proof, q51).
+      // The kNN cut stays the row_number WINDOW deliberately (round
+      // 21, rejected experiment): a TopKAggregator(3) conversion —
+      // q51's bounded map-side partial — measured 9.86 → 11.68 s at
+      // sf1 (same window, paired) even with the O(1) buffer
+      // fast-reject, because the within-cell candidate frame is
+      // multi-million rows of 24 B each: the typed udaf pays an
+      // object-path cost PER ROW (InternalRow → case class + Seq
+      // buffer) that far exceeds what the unsafe-sort window pays, and
+      // the window's shuffle of such narrow rows is byte-cheap. The
+      // aggregator form wins only on corpus×queries frames whose rows
+      // are wide (q108: vectors stripped before the exchange) or where
+      // no other exchange exists to piggyback (q34/q43/q119).
       // knn fans into both sides of the mutuality join.
-      val topK = udaf(new graft.functions.TopKAggregator(3))
+      val wK = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("nb"))
       val knn = half
         .select(explode(array(
             struct(col("va").as("src"), col("vb").as("nb"), col("cos")),
@@ -1747,9 +1749,8 @@ object CurationOps {
           .as("e"))
         .select(col("e.src").as("src"), col("e.nb").as("nb"),
           col("e.cos").as("cos"))
-        .groupBy(col("src"))
-        .agg(topK(col("nb"), col("cos")).as("tops"))
-        .select(col("src"), explode(col("tops.key")).as("nb"))
+        .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 3)
+        .select(col("src"), col("nb"))
         .localCheckpoint()
       val mutual = knn.as("k1").join(knn.as("k2"),
           col("k2.src") === col("k1.nb") && col("k2.nb") === col("k1.src") &&

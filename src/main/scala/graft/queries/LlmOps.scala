@@ -472,11 +472,20 @@ object LlmOps {
       val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      // top-5 per query via the bounded TopKAggregator (round 21,
+      // guide §2.2): the row_number window shuffled the whole
+      // corpus×queries scored frame to rank it; the aggregator's
+      // map-side partial reduces each partition to ≤ 5 rows per query
+      // before the exchange. The buffer is maintained sorted by
+      // (score DESC, key ASC) — the window's exact
+      // (cosine DESC, neighbor_id ASC) order — so posexplode's
+      // position + 1 IS the window's row_number for the kept rows.
+      val topQ = udaf(new graft.functions.TopKAggregator(5))
+      scored.groupBy(col("query_id"))
+        .agg(topQ(col("neighbor_id"), col("cosine")).as("tops"))
+        .select(col("query_id"), posexplode(col("tops")).as(Seq("p", "t")))
+        .select(col("query_id"), (col("p") + 1).as("rank"),
+          col("t.key").as("neighbor_id"), col("t.score").as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     },
     Some("""

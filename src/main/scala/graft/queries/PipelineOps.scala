@@ -207,11 +207,17 @@ object PipelineOps {
         .select(col("query_id"), col("neighbor_id"),
           (GraftFunctions.dot(col("qv"), col("v"))
             / (col("qn") * col("nrm"))).as("cosine"))
-      val rankW = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(rankW))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      // top-5 per query via the bounded TopKAggregator (round 21 —
+      // the q34 pattern): (score DESC, key ASC) ≡ the window's
+      // (cosine DESC, neighbor_id ASC), posexplode pos + 1 ≡
+      // row_number; map-side partial cuts the LSH candidate frame to
+      // ≤ 5 rows per query before any exchange
+      val topQ = udaf(new graft.functions.TopKAggregator(5))
+      scored.groupBy(col("query_id"))
+        .agg(topQ(col("neighbor_id"), col("cosine")).as("tops"))
+        .select(col("query_id"), posexplode(col("tops")).as(Seq("p", "t")))
+        .select(col("query_id"), (col("p") + 1).as("rank"),
+          col("t.key").as("neighbor_id"), col("t.score").as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     },
     Some {
