@@ -419,14 +419,21 @@ ${(1 to lloydIters).map(duckIter).mkString(",\n")}
         .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
       val qv = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val wD = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
+      // dense top-20 via the bounded TopKAggregator (round 21 — the
+      // q34 pattern; posexplode pos+1 IS the window's row_number, and
+      // RRF consumes exactly that rank). The sparse arm below KEEPS
+      // its window: its score is exact int64 (doubles could misorder
+      // ties past 2^53 at scale) and its input is already the
+      // aggregated candidate frame.
+      val topD = udaf(new graft.functions.TopKAggregator(20))
       val dense = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
-        .withColumn("rd", row_number().over(wD))
-        .filter(col("rd") <= 20)
-        .select(col("query_id"), col("neighbor_id"), col("rd"))
+        .groupBy(col("query_id"))
+        .agg(topD(col("neighbor_id"), col("cosine")).as("tops"))
+        .select(col("query_id"), posexplode(col("tops")).as(Seq("p", "t")))
+        .select(col("query_id"), col("t.key").as("neighbor_id"),
+          (col("p") + 1).as("rd"))
       // sparse arm: q120's gram postings (shared gramPostings build —
       // tf/wt checkpoints documented there), cut at top-20
       val postings = gramPostings(s, dir)
